@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop writer (full computation, no
+driver collect) — the honest cost of the distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from newsflow import registry
+from newsflow.session import get_spark
+
+# Headline set: one per major operator family. Names must exist in the
+# registry; unknown names are skipped (keeps bench stable across rounds).
+HEADLINE = [
+    "pricing_summary",          # scan + hash agg (flagship)
+    "revenue_by_status",        # fact-fact sort-merge join
+    "regional_customer_stats",  # broadcast star join
+    "top_sources",              # top-k (TakeOrderedAndProject)
+    "event_class_grouping_sets",  # single-pass multi-branch agg
+    "keep_first_dedup",         # window dedup
+    "topk_orders_per_priority",  # ranked window
+    "user_moving_avg",          # frame window
+    "dedup_exact_keep_min",     # exact dedup (hash groupBy)
+    "minhash_near_dup_pairs",   # MinHash LSH near-dup
+    "knn_cosine_topk",          # brute-force ANN baseline
+    "tumbling_window_counts",   # streaming-equivalent batch windows
+    "session_window_stats",     # sessionization
+    "doc_quality_scores",       # text analysis battery
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+
+    spark = get_spark(
+        app_name="newsflow-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+    )
+
+    specs = registry.all_specs()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Join surface (SURVEY.md §2.3).
+
+The reference implements no joins, but its two-table core/ml split declares
+`url` as a join key (gdelt/processing/make_docs.py:103) — the new engine
+supports the full equi-join family. Strategy at scale:
+
+* dimension tables (region/nation/customer at TPC-H ratios) → explicit
+  ``broadcast()`` hints — no shuffle of the fact side;
+* fact-fact (orders ⋈ lineitem) → sort-merge on the shuffle key, with AQE
+  skew-join splitting enabled (newsflow.session);
+* NOT-IN / EXISTS semantics → left_anti / left_semi, the 100 TB-safe
+  replacement for literal exclusion lists (network_analysis.py:62).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.functions.scalars import davg, dsum, sql_davg, sql_dsum
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+
+@register(
+    "regional_customer_stats",
+    oracle=f"""
+    SELECT r.r_name,
+           count(*) AS n_customers,
+           {sql_davg('c.c_acctbal')} AS avg_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast"),
+)
+def regional_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact ⋈ two broadcast dimensions.
+
+    nation (25 rows) and region (5 rows) are broadcast — the customer scan
+    never shuffles for the join; the only exchange is the final group-by.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .join(r, n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal").alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "revenue_by_status",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n_line_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "agg"),
+)
+def revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (orders ⋈ lineitem) + grouped revenue.
+
+    Shuffles both sides on the order key (sort-merge); at 100 TB both
+    tables would be bucketed on the key at write time to make this a
+    zero-shuffle join (see newsflow.etl writers).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_line_items"),
+            dsum(rev).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "semi"),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — EXISTS semantics without row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n_customers")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — NOT EXISTS / NOT-IN at scale (replaces the
+    reference's literal exclusion list, network_analysis.py:62,71-73)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "n_customers")
+    )
+
+
+@register(
+    "national_supply_balance",
+    oracle=f"""
+    SELECT n.n_name,
+           count(DISTINCT s.s_suppkey) AS n_suppliers,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           {sql_davg('s.s_acctbal')} AS avg_supplier_balance
+    FROM nation n
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def national_supply_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join through a shared dimension + distinct counts.
+
+    Note this is an intentional fan-out join (supplier × customer within a
+    nation) — countDistinct collapses it; avg is computed per joined row to
+    match the SQL semantics exactly.
+    """
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "inner")
+        .join(c, c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            davg("s_acctbal").alias("avg_supplier_balance"),
+        )
+    )

@@ -1,0 +1,459 @@
+"""Relational core: scans, filters, aggregations, sorts, set ops.
+
+Re-expresses the reference's query surface (SURVEY.md §2.2/§2.4/§2.6/§2.7)
+over the driver testdata tables. Every query is declarative DataFrame/SQL —
+Catalyst supplies predicate pushdown, column pruning, partial aggregation,
+and TakeOrderedAndProject for top-k (verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.functions.scalars import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# A3 — the flagship "stats block" shape (SURVEY.md §2.4 A3, Phase 0):
+# scan → group → count/avg/round → sort, TPC-H Q1 style over lineitem.
+# Reference analog: gdelt/scripts/general_ml_and_source_sentiment_analysis.py:31-43.
+# Scale notes: single shuffle on low-cardinality keys, partial aggregation
+# map-side; at 100 TB this is scan-bound and embarrassingly parallel.
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount', out=4)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate stats block (A2/A3): the engine's flagship."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "sum_disc_price"
+        ),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", out=4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 exact analog on events: share-of-voice style percentages computed as
+# avg-of-0/1-flag × 100 (general_ml_...py:37-39).
+# ---------------------------------------------------------------------------
+@register(
+    "event_type_stats",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_davg('value')} AS avg_value,
+           {sql_davg('CASE WHEN value > 100 THEN 100.0 ELSE 0.0 END', out=1)}
+             AS pct_high_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-voice stats: count, avg, percentage-of-flag per group (A3)."""
+    ev = load_table(spark, sf_dir, "events")
+    high = F.when(F.col("value") > 100, F.lit(100.0)).otherwise(F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+        davg(high, out=1).alias("pct_high_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1/A5 — top-k by count ("top sources", network_analysis.py:36-45).
+# Deterministic tie-break on the group key so LIMIT is stable across engines.
+# Catalyst plans TakeOrderedAndProject — no full sort at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "top_sources",
+    oracle=f"""
+    SELECT source,
+           count(*) AS article_count,
+           {sql_davg('n_chars')} AS avg_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY article_count DESC, source
+    LIMIT 10
+    """,
+    tags=("agg", "topk"),
+)
+def top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 sources by document count with avg length (A2+T1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("article_count"),
+            davg("n_chars").alias("avg_chars"),
+        )
+        .orderBy(F.desc("article_count"), F.asc("source"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — filtered group-by + HAVING + full ORDER BY
+# (general_ml_...py:242-252: per-source sentiment, min support).
+# ---------------------------------------------------------------------------
+@register(
+    "source_stats_having",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    HAVING count(*) >= 5
+    ORDER BY avg_chars DESC
+    """,
+    tags=("agg", "having"),
+)
+def source_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING count ≥ k ORDER BY avg DESC (A4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+        )
+        .filter(F.col("n_docs") >= 5)
+        .orderBy(F.desc("avg_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — the UNION ALL stack (sentiment_analysis.py:26-35): three filtered
+# aggregates with aligned literal columns.
+# ---------------------------------------------------------------------------
+_UNION_BRANCH_SQL = """
+    SELECT '{label}' AS event_class,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           {avg_sql} AS avg_value,
+           count(*) AS n
+    FROM events WHERE event_type = '{etype}'
+    GROUP BY 2
+"""
+
+
+@register(
+    "event_class_union",
+    oracle=" UNION ALL ".join(
+        _UNION_BRANCH_SQL.format(
+            label=lbl, etype=et, avg_sql=sql_davg("value")
+        )
+        for lbl, et in [
+            ("Purchases", "purchase"),
+            ("Clicks", "click"),
+            ("Errors", "error"),
+        ]
+    ),
+    tags=("setop",),
+)
+def event_class_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way UNION ALL of filtered aggregates (O1), weekly buckets.
+
+    Kept structurally faithful to the reference (three scans unioned);
+    `event_class_grouping_sets` is the single-pass rewrite.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # date_trunc('week') is ISO-Monday-anchored in both Spark and DuckDB.
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+
+    def branch(label: str, etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(week.alias("week"))
+            .agg(
+                davg("value").alias("avg_value"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.lit(label).alias("event_class"), "week", "avg_value", "n"
+            )
+        )
+
+    return (
+        branch("Purchases", "purchase")
+        .unionByName(branch("Clicks", "click"))
+        .unionByName(branch("Errors", "error"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Idiomatic single-pass rewrite of O1 (SURVEY.md §2.7): one scan + one
+# shuffle instead of three scans. This is the shape that survives 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "event_class_grouping_sets",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           {sql_davg('value')} AS avg_value,
+           count(*) AS n
+    FROM events
+    WHERE event_type IN ('purchase', 'click', 'error')
+    GROUP BY 1, 2
+    """,
+    tags=("setop", "agg"),
+)
+def event_class_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass replacement for the UNION ALL stack: group by the
+    company/type dimension instead of scanning once per branch."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click", "error"))
+        .groupBy("event_type", week.alias("week"))
+        .agg(
+            davg("value").alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P12 — conditional bucket labeling (build_datasets.py:39-45 label_week).
+# ---------------------------------------------------------------------------
+@register(
+    "order_date_buckets",
+    oracle=f"""
+    SELECT CASE
+             WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01' THEN 'early_era'
+             WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '2002-01-01' THEN 'late_era'
+             ELSE 'other'
+           END AS era,
+           count(*) AS n_orders,
+           {sql_davg('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("filter", "agg"),
+)
+def order_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range bucket labeling via when/otherwise chain (P12)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    era = (
+        F.when(
+            (d >= F.lit("1995-01-01").cast("timestamp"))
+            & (d < F.lit("1998-01-01").cast("timestamp")),
+            "early_era",
+        )
+        .when(
+            (d >= F.lit("1998-01-01").cast("timestamp"))
+            & (d < F.lit("2002-01-01").cast("timestamp")),
+            "late_era",
+        )
+        .otherwise("other")
+    )
+    return o.groupBy(era.alias("era")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — IN-list and NOT-IN predicates (nlp_analysis.py:102,
+# network_analysis.py:62).
+# ---------------------------------------------------------------------------
+@register(
+    "segment_in_list",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           {sql_davg('c_acctbal')} AS avg_balance
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')
+    GROUP BY c_mktsegment
+    """,
+    tags=("filter",),
+)
+def segment_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership predicate (P5)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "FURNITURE")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal").alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "brand_not_in",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE p_brand NOT IN ('Brand#11', 'Brand#22', 'Brand#33')
+    GROUP BY p_brand
+    ORDER BY n_parts DESC, p_brand
+    LIMIT 10
+    """,
+    tags=("filter", "topk"),
+)
+def brand_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN exclusion predicate (P6, network_analysis.py:62)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(~F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+        .groupBy("p_brand")
+        .count()
+        .withColumnRenamed("count", "n_parts")
+        .orderBy(F.desc("n_parts"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — count-distinct and min/max QA aggregates (make_docs.py:18-25).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_qa_summary",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS n_customers,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+    tags=("agg", "qa"),
+)
+def orders_qa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA-summary aggregates: row count, distinct key count, date range
+    (A6/A7, make_docs.py:11-25)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — null/empty-rate aggregate (make_docs.py:15-16,43-47), exercised via a
+# JSON-ish props extraction (the reference's themes/orgs emptiness check).
+# ---------------------------------------------------------------------------
+_K_FLAG_SQL = (
+    'CASE WHEN CAST(regexp_extract(props, \'"k": ([0-9]+)\', 1) AS BIGINT)'
+    " >= 50 THEN 100.0 ELSE 0.0 END"
+)
+
+
+@register(
+    "props_flag_rates",
+    oracle=f"""
+    SELECT event_type,
+           {sql_davg(_K_FLAG_SQL, out=2)} AS pct_k_high,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "scalar"),
+)
+def props_flag_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-of-condition aggregate over a JSON-extracted field (A8-shaped:
+    avg(when(cond,1))*100, make_docs.py:15-16)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+    flag = F.when(k >= 50, F.lit(100.0)).otherwise(F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        davg(flag, out=2).alias("pct_k_high"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — two-ended top-k (general_ml_...py:268-271): best-5 and worst-5 as a
+# union of two TakeOrdereds instead of a driver-side head/tail slice.
+# ---------------------------------------------------------------------------
+@register(
+    "docs_two_ended_topk",
+    oracle="""
+    (SELECT 'longest' AS side, doc_id, n_chars
+     FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5)
+    UNION ALL
+    (SELECT 'shortest' AS side, doc_id, n_chars
+     FROM documents ORDER BY n_chars ASC, doc_id LIMIT 5)
+    """,
+    tags=("topk", "setop"),
+)
+def docs_two_ended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-k + worst-k via a union of two top-k plans (T3)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    longest = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+        .select(F.lit("longest").alias("side"), "doc_id", "n_chars")
+    )
+    shortest = (
+        docs.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+        .limit(5)
+        .select(F.lit("shortest").alias("side"), "doc_id", "n_chars")
+    )
+    return longest.unionByName(shortest)
+
+
+# ---------------------------------------------------------------------------
+# T5 — deterministic sample-N (build_datasets.py:117 head(200)).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           (o_totalprice + 0.0) AS o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+    tags=("topk",),
+)
+def orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-200-by-key sample export (T5) — ordered for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(0.0)).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )

@@ -1,0 +1,52 @@
+"""Table loading over the driver-generated parquet testdata.
+
+Explicit, fail-fast schemas (SURVEY.md §1.3: the reference infers schemas
+everywhere; the new engine declares them). ``events.ts`` is stored as
+parquet TIMESTAMP(NANOS), which Spark cannot read natively — we read nanos
+as longs (``spark.sql.legacy.parquet.nanosAsLong``) and convert to µs
+timestamps with integer arithmetic (``div`` — a float division would lose
+precision above 2^53 ns).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table; normalizes the events ns-timestamp."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs truncation, matching how DuckDB's TIMESTAMP_NS compares
+        # at second granularity in the oracle queries.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql entry path
+    (reference pattern: ``createOrReplaceTempView`` at
+    gdelt/scripts/general_ml_and_source_sentiment_analysis.py:26)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
