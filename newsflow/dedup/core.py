@@ -1,0 +1,105 @@
+"""Deduplication operators for a 100 TB training-data pipeline.
+
+Four tiers, cheapest first — this is the order a real pipeline applies them:
+
+1. **Exact** (`exact_*`): md5-hash groupBy. One shuffle on the hash; at
+   scale the hash is 16 bytes per row vs arbitrarily long text, so the
+   shuffle is minimal.
+2. **N-gram Jaccard** (`jaccard_pairs`): exact set-similarity via a
+   shingle self-join. Correct but O(pairs-sharing-a-shingle) — the
+   *oracle* for tier 3, not the scale path itself.
+3. **MinHash + LSH** (`minhash.py`): probabilistic candidate generation,
+   then exact Jaccard verification of candidates only. The scale path.
+4. **SimHash** (`simhash.py`): 64-bit near-dup signatures with
+   banded Hamming join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from newsflow.functions.text import shingles_expr, tokens_expr
+
+
+def with_text_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("text_hash", F.md5(F.col(text_col)))
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical documents (count ≥ 2)."""
+    return (
+        with_text_hash(docs)
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("dup_count") >= 2)
+    )
+
+
+def exact_dedup_keep_min(docs: DataFrame) -> DataFrame:
+    """One row per distinct text, keeping the smallest doc_id.
+
+    min-by-key aggregation (not dropDuplicates, which is
+    order-nondeterministic) — deterministic on any cluster.
+    """
+    return (
+        with_text_hash(docs)
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct, for docs with ≥ n tokens."""
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    return (
+        toks.filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(shingles_expr("toks", n)).alias("s"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jac ≥ t).
+
+    Shuffle profile: one distinct on (doc_id, shingle), a self-join keyed
+    on shingle, and a group on the pair. Exact but quadratic in per-shingle
+    frequency — at 100 TB run `minhash_near_dup_pairs` instead and use this
+    only to verify candidates.
+    """
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,97 @@
+"""Registered dedup queries with DuckDB oracles (documents table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.dedup import core, minhash, simhash
+from newsflow.functions.text import sql_shingles_rel
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({sql_shingles_rel(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+"""
+
+
+@register(
+    "dedup_exact_keep_min",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper per distinct text (hash groupBy, min-by-key)."""
+    return core.exact_dedup_keep_min(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           count(*) AS dup_count,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) >= 2
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups (byte-identical text occurring ≥ 2×)."""
+    return core.exact_duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8)."""
+    return core.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@register(
+    "minhash_near_dup_pairs",
+    # MinHashLSH candidates are verified with EXACT Jaccard, and at
+    # threshold 0.8 with 16 hash tables LSH recall is 1 on this data
+    # (tests/test_dedup.py asserts candidates ⊇ exact pairs), so the exact
+    # SQL is a true oracle for the full operator output.
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "lsh"),
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (scale path), exact-verified candidates."""
+    return minhash.minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    # No oracle: xxhash64 is Spark-specific, not reproducible in DuckDB SQL.
+    # Correctness is covered by tests/test_dedup.py against a pure-Python
+    # SimHash reference implementation.
+    tags=("dedup", "simhash"),
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit) near-dup pairs within Hamming distance 7."""
+    return simhash.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=7
+    )

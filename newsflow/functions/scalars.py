@@ -112,12 +112,13 @@ def parse_v2tone(c: Column | str, n: int = 7) -> list[Column]:
     """F5 — comma-separated floats → ``n`` doubles, pad/truncate, safe cast.
 
     Reference: build_datasets.py:24-37 (pad to 7 with None, unparseable →
-    None). Spark's ``cast('double')`` returns null on garbage natively, and
-    ``getItem(i)`` past the end returns null — pad/truncate for free.
+    None). Under ANSI mode (Spark 4 default) plain cast/getItem throw, so
+    this uses the null-safe ``F.get`` and ``try_cast`` — unparseable → null
+    and short arrays pad with null, exactly the reference contract.
     """
     arr = F.split(F.coalesce(_col(c), F.lit("")), ",")
     return [
-        F.trim(arr.getItem(i)).cast("double").alias(f"v2tone_{i + 1}")
+        F.trim(F.get(arr, i)).try_cast("double").alias(f"v2tone_{i + 1}")
         for i in range(n)
     ]
 

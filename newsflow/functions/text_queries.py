@@ -1,0 +1,271 @@
+"""Registered text-analysis queries (documents table): tokenization stats,
+quality scoring, language-ID heuristic, fingerprinting, term frequency.
+
+All pure JVM expressions — at 100 TB these run at parquet-scan speed with
+one aggregation shuffle each (or none for the per-document ones).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.functions.scalars import dround
+from newsflow.functions.text import (
+    EN_STOPWORDS,
+    sql_shingles_rel,
+    sql_stopword_ratio,
+    sql_tokens,
+    tokens_expr,
+)
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+# Language lexicons for the n-gram/keyword language-ID heuristic. The
+# testdata corpus is synthetic English-ish; lexicons are defined over its
+# vocabulary so the heuristic exercises real argmax mechanics.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "english": ("the", "a", "fast", "slow", "big", "small"),
+    "commerce": ("customer", "order", "part", "line", "supplier"),
+    "engine": ("spark", "query", "scan", "join", "filter", "agg"),
+}
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           (round(list_aggregate(list_transform(t, x -> length(x)),
+                                 'sum')::DOUBLE
+                  / greatest(len(t), 1) + 1e-9, 4) + 0.0) AS avg_token_len
+    FROM (SELECT doc_id, {sql_tokens()} AS t FROM documents)
+    """,
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace/alnum tokenizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    total_len = F.aggregate(
+        F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        dround(
+            total_len.cast("double") / F.greatest(F.size(t), F.lit(1)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+_QUALITY_SQL = f"""
+    SELECT doc_id,
+           (round(
+              0.4 * least(len(t) / 100.0, 1.0)
+            + 0.3 * (1.0 - {sql_stopword_ratio('t')})
+            + 0.3 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
+            + 1e-9, 4) + 0.0) AS quality_score,
+           (round({sql_stopword_ratio('t')} + 1e-9, 4) + 0.0)
+             AS stopword_ratio,
+           (round(len(list_distinct(t))::DOUBLE / greatest(len(t), 1)
+                  + 1e-9, 4) + 0.0) AS distinct_ratio
+    FROM (SELECT doc_id, {sql_tokens()} AS t FROM documents)
+"""
+
+
+@register("doc_quality_scores", oracle=_QUALITY_SQL, tags=("text",))
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length + stopword ratio + lexical diversity
+    (the reference's content-quality filters, nlp_analysis.py:48-62,
+    generalized for training-data curation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(t)
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    stop_ratio = n_sw / F.greatest(n, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
+    score = (
+        0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - stop_ratio)
+        + 0.3 * distinct_ratio
+    )
+    return docs.select(
+        "doc_id",
+        dround(score, 4).alias("quality_score"),
+        dround(stop_ratio, 4).alias("stopword_ratio"),
+        dround(distinct_ratio, 4).alias("distinct_ratio"),
+    )
+
+
+def _lexicon_sql(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"len(list_intersect(list_distinct(t), {_lexicon_sql(w)}))"
+    f" AS score_{lang}"
+    for lang, w in LANG_LEXICONS.items()
+)
+_LANG_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        # argmax with deterministic lexicographic tie-break: a language wins
+        # iff no strictly-greater score exists and no lexicographically
+        # earlier language ties it.
+        f"WHEN {' AND '.join(f'score_{lang} >= score_{other}' for other in LANG_LEXICONS if other != lang)} "
+        f"AND {' AND '.join(f'score_{lang} > score_{other}' for other in sorted(LANG_LEXICONS) if other < lang)} "
+        f"THEN '{lang}'"
+        if any(o < lang for o in LANG_LEXICONS)
+        else (
+            f"WHEN {' AND '.join(f'score_{lang} >= score_{other}' for other in LANG_LEXICONS if other != lang)} "
+            f"THEN '{lang}'"
+        )
+        for lang in sorted(LANG_LEXICONS)
+    )
+    + " ELSE 'unknown' END"
+)
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang_pred, score_english, score_commerce, score_engine
+    FROM (
+      SELECT doc_id, {_LANG_CASE_SQL} AS lang_pred,
+             score_english, score_commerce, score_engine
+      FROM (
+        SELECT doc_id, {_LANG_SCORES_SQL}
+        FROM (SELECT doc_id, {sql_tokens()} AS t FROM documents)
+      )
+    )
+    """,
+    tags=("text", "langid"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-lexicon language-ID heuristic: per-lexicon hit counts +
+    deterministic argmax (lexicographic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.array_distinct(tokens_expr("text"))
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(
+                F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"score_{lang}")
+            for lang, words in LANG_LEXICONS.items()
+        ],
+    )
+    langs = sorted(LANG_LEXICONS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = (
+                F.col(f"score_{lang}") >= F.col(f"score_{other}")
+                if other > lang
+                else F.col(f"score_{lang}") > F.col(f"score_{other}")
+            )
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    pred = pred.otherwise(F.lit("unknown"))
+    return scored.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        "score_english",
+        "score_commerce",
+        "score_engine",
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, min(md5(s)) AS fingerprint, count(*) AS n_shingles
+    FROM ({sql_shingles_rel(n=3)})
+    GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-hash-1 over 3-gram shingles (a content
+    signature stable under reordering-free edits)."""
+    from newsflow.dedup.core import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        doc_shingles(docs, 3)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("s")).alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
+
+
+@register(
+    "token_frequency_topk",
+    oracle=f"""
+    SELECT tok, count(*) AS freq
+    FROM (
+      SELECT unnest({sql_tokens()}) AS tok FROM documents
+    )
+    WHERE length(tok) > 2
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+    tags=("text", "topk"),
+)
+def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-20 (explode + count + TakeOrdered; the
+    reference's value_counts pattern, nlp_analysis.py:178-179)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .filter(F.length("tok") > 2)
+        .groupBy("tok")
+        .count()
+        .withColumnRenamed("count", "freq")
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "source_token_totals",
+    oracle=f"""
+    SELECT source,
+           sum(len({sql_tokens()})) AS total_tokens,
+           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+             AS total_bpe_ish_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text",),
+)
+def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per source: whitespace/alnum tokens and a
+    BPE-ish regex segmentation (letters | digits | single punctuation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(tokens_expr("text"))).alias("total_tokens"),
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    "text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+                )
+            )
+        ).alias("total_bpe_ish_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -1,0 +1,77 @@
+"""Registered similarity-search queries (embeddings table)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.registry import register
+from newsflow.sim import knn, lsh
+from newsflow.tables import load_table
+
+_COS_SQL = (
+    "list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
+)
+
+
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {_COS_SQL} AS sim
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+      ) AS rn FROM sims
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity",),
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors (exact ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "knn_cosine_lsh",
+    # No oracle: LSH retrieval is seed-dependent (Spark-side random
+    # hyperplanes, not reproducible in SQL). tests/test_sim.py asserts
+    # recall ≥ 0.9 against the brute-force baseline instead.
+    tags=("similarity", "lsh"),
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-5 (the both-sides-huge path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # min_cosine sits below the observed top-k similarity floor (~0.25 on
+    # the synthetic embeddings) so retrieval, not the verify threshold,
+    # bounds recall.
+    return lsh.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5,
+        min_cosine=0.15, num_hash_tables=10,
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           (i - 1)::INT AS dim,
+           count(*) AS n_vectors,
+           (round(cast(sum(cast(cast(embedding[i] AS DOUBLE) AS DECIMAL(28,12)))
+                       as double)/count(*) + 1e-9, 8) + 0.0) AS centroid_val
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY label, i
+    """,
+    tags=("similarity", "agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (IVF coarse-quantizer training step)."""
+    return knn.label_centroids(load_table(spark, sf_dir, "embeddings"))

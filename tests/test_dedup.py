@@ -1,0 +1,95 @@
+"""Dedup-algorithm tests beyond oracle parity: SimHash against a
+pure-Python reference implementation, and MinHash-LSH recall against the
+exact Jaccard operator."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from newsflow.dedup import core, minhash, simhash
+from newsflow.tables import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_xxhash64_via_spark(spark, tokens: list[str]) -> dict[str, int]:
+    df = spark.createDataFrame([(t,) for t in tokens], ["tok"])
+    return {
+        r["tok"]: r["h"]
+        for r in df.select("tok", F.xxhash64("tok").alias("h")).collect()
+    }
+
+
+def _py_simhash(token_hashes: list[int]) -> int:
+    sig = 0
+    for bit in range(64):
+        vote = sum(
+            1 if (h >> bit) & 1 else -1 for h in token_hashes
+        )
+        if vote > 0:
+            sig |= 1 << bit
+    # two's-complement to match Spark's signed BIGINT
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_python_reference(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") < 30
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash.simhash_signatures(docs).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    all_tokens = sorted({t for r in rows for t in _py_tokens(r["text"])})
+    hmap = _py_xxhash64_via_spark(spark, all_tokens)
+    for r in rows:
+        toks = sorted(set(_py_tokens(r["text"])))
+        expected = _py_simhash([hmap[t] for t in toks])
+        assert got[r["doc_id"]] == expected, f"doc {r['doc_id']}"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    pairs = simhash.simhash_near_dup_pairs(dup, max_hamming=0).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        assert (i, i + 1000) in found
+
+
+def test_minhash_lsh_candidates_superset_of_exact(spark):
+    """LSH candidate generation must not lose any true near-dup pair —
+    this is what licenses using the exact-Jaccard SQL as the oracle for
+    minhash_near_dup_pairs."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in core.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert len(exact) >= 10, "testdata should contain planted near-dups"
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.minhash_candidates(
+            docs, n=3, max_jaccard_distance=0.35
+        ).collect()
+    }
+    assert exact <= cands, f"LSH missed pairs: {exact - cands}"
+
+
+def test_exact_dedup_removes_planted_duplicates(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    n = docs.count()
+    groups = core.exact_duplicate_groups(dup)
+    assert groups.count() == n
+    assert groups.agg(F.max("dup_count")).first()[0] == 2
+    kept = core.exact_dedup_keep_min(dup)
+    assert kept.count() == n
+    # keeper is always the original (smaller) doc_id
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0

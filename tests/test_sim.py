@@ -1,0 +1,43 @@
+"""Similarity-search tests: LSH recall vs brute force, centroid sanity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from newsflow.sim import knn, lsh
+from newsflow.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh.lsh_topk(
+            emb, queries, k=5, min_cosine=0.15, num_hash_tables=10
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_knn_topk_shape_and_selfexclusion(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    res = knn.cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
+    rows = res.collect()
+    assert len(rows) == 4 * 5
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(-1.0 <= r["cosine_sim"] <= 1.0001 for r in rows)
+
+
+def test_centroids_shape(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cent = knn.label_centroids(emb)
+    n_labels = emb.select("label").distinct().count()
+    dim = len(emb.select("embedding").first()[0])
+    assert cent.count() == n_labels * dim
