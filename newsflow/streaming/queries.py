@@ -1,0 +1,95 @@
+"""Registered batch-equivalent window queries (events table).
+
+These run the SAME window expressions as the streaming module on the
+static events table, with DuckDB oracles computed from raw nanosecond
+epochs (timezone-free)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.registry import register
+from newsflow.streaming import windows as W
+from newsflow.tables import load_table
+
+_HOUR_NS = 3_600_000_000_000
+_HALF_NS = 1_800_000_000_000
+
+
+@register(
+    "tumbling_window_counts",
+    oracle=f"""
+    SELECT strftime(make_timestamp(
+             CAST(epoch_ns(ts) // {_HOUR_NS} AS BIGINT) * 3600000000),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           (cast(sum(cast(value AS DECIMAL(25,4))) as double) + 0.0)
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type (batch twin of the streaming
+    aggregation; epoch-aligned in both engines)."""
+    return W.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sliding_window_counts",
+    oracle=f"""
+    SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           count(*) AS n_events
+    FROM (
+      SELECT unnest([
+        CAST(epoch_ns(ts) // {_HALF_NS} AS BIGINT) * 1800000000,
+        (CAST(epoch_ns(ts) // {_HALF_NS} AS BIGINT) - 1) * 1800000000
+      ]) AS ws_us
+      FROM events
+    )
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event contributes to
+    two windows (oracle materializes both window starts per event)."""
+    return W.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) per user. The
+    oracle is the classic gaps-and-islands SQL; Spark's session_window
+    end = last event + gap, mirrored in the oracle."""
+    return W.session_stats(load_table(spark, sf_dir, "events"))
