@@ -1,0 +1,119 @@
+"""Registered ML queries (SURVEY.md §2.10). MLlib estimator outputs are
+not SQL-expressible, so the model queries are rows-only checks (the judge
+sees which); the bigram aggregation underlying the NGram stage IS
+SQL-expressible and gets an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.functions.scalars import tokenize
+from newsflow.ml.pipeline import coefficient_table, fit_binary_lr
+from newsflow.ml.tfidf import fit_transform_tfidf
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "lr_coefficients_ranked",
+    doc="M7-M9/M12 — StringIndexer + VectorAssembler + LogisticRegression "
+    "over lineitem (binary l_linestatus label, the label_week analog of "
+    "general_ml_...py:52-64), coefficients ranked by |coef|.",
+    tags=("ml",),
+)
+def lr_coefficients_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    result = fit_binary_lr(li, "l_linestatus", LR_FEATURES, seed=42)
+    return coefficient_table(spark, result).select(
+        "feature", "rank", F.round("coef", 6).alias("coef")
+    )
+
+
+@register(
+    "lr_model_metrics",
+    doc="M10/M11 — seeded 80/20 randomSplit + held-out AUC "
+    "(original_first_try_glue_job.py:53-63; the reference's train-set "
+    "variant at general_ml_...py:67-69 is eval_on_train=True).",
+    tags=("ml",),
+)
+def lr_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    result = fit_binary_lr(li, "l_linestatus", LR_FEATURES, seed=42)
+    return spark.createDataFrame(
+        [
+            (
+                "auc",
+                round(result.auc, 4),
+                result.n_train,
+                result.n_test,
+                ",".join(result.label_values),
+            )
+        ],
+        "metric string, value double, n_train bigint, n_test bigint,"
+        " label_order string",
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    doc="M1-M6 — Tokenizer → StopWordsRemover → NGram(2) → CountVectorizer "
+    "→ IDF over documents, top-5 bigrams per doc via the native "
+    "vector_to_array/array_sort extractor (replaces the get_top_k UDF, "
+    "nlp_analysis.py:156-164). Rows-only: CountVectorizer's vocab order "
+    "on tied counts is not an SQL-stable contract.",
+    tags=("ml", "nlp"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    out = fit_transform_tfidf(docs, k=5, vocab_size=1500, min_df=1.0)
+    return out.select(
+        "doc_id", F.array_join("top_terms", "|").alias("top_terms")
+    )
+
+
+@register(
+    "bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+    tags=("ml", "nlp", "agg"),
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3's bigram semantics as a pure DataFrame aggregation with an exact
+    oracle: adjacent-token pairs → count → deterministic top-k (ties
+    broken by bigram text, so the LIMIT boundary is stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(t[i - 1], ' ', t[i]))"
+    )
+    return (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
