@@ -44,6 +44,7 @@ _QUERY_MODULES = (
     "newsflow.streaming.queries",
     "newsflow.etl.queries",
     "newsflow.ml.queries",
+    "newsflow.nlp.queries",
 )
 
 
