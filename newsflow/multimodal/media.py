@@ -1,0 +1,209 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed by Arrow-batched Pandas operators.
+
+Beyond-reference capability (the reference is text-only): a large-scale
+training-data pipeline needs media columns to flow through the same
+engine. Design:
+
+  * **Data model** — one row per media object: `payload BINARY` plus a
+    typed `meta STRUCT` (dims / sample rate / frame count / mime). The
+    engine never interprets payloads JVM-side; only byte-length and
+    metadata predicates run there (pushed down to parquet).
+  * **Compute model** — decode / resize / frame-sample / embed are
+    `mapInPandas` operators: Arrow moves the binary batches to Python
+    once, the whole batch is processed vectorized, and the output schema
+    is declared up front. No row-at-a-time UDFs.
+  * **Decode stub** — this container has no image/audio codecs, so
+    `decode_media` raises NotImplementedError unless `fake=True`, which
+    derives a deterministic ndarray from the payload bytes (stable
+    across runs/partitions — safe for tests and oracles). The Spark-side
+    plumbing (schemas, batch iteration, multi-row emission, partition
+    sizing) is the real production shape either way.
+  * **Scale** — media rows are large and skewed; operators repartition
+    by `media_id` before mapInPandas so one giant object can't pin a
+    partition, and batch size is governed by
+    `spark.sql.execution.arrow.maxRecordsPerBatch` (set it so
+    batch_rows × avg payload fits executor memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
+    """Decode one payload to an ndarray. REAL decode is stubbed: the
+    container ships no codec libraries (PIL/librosa/av). `fake=True`
+    yields a deterministic array derived from the payload bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic test codec"
+        )
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.zeros(1, dtype=np.uint8)
+    return raw
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("mean_byte", LongType()),  # scaled ×100, exact int
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """Decode each payload (fake codec) and emit per-object byte stats.
+    Shows the canonical mapInPandas shape: schema declared up front,
+    vectorized per-batch work, no driver collect."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            arrs = [
+                decode_media(p, k, fake=True)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "n_bytes": [int(a.size) for a in arrs],
+                    # mean scaled to an exact integer so hashes can't
+                    # drift on float formatting.
+                    "mean_byte": [
+                        int(a.sum()) * 100 // int(a.size) for a in arrs
+                    ],
+                    "n_frames": pdf["meta"].map(
+                        lambda m: m["n_frames"] if m is not None else 0
+                    ).astype("int32"),
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(
+        batches, schema=DECODE_STATS_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every Nth frame of each video row — one OUTPUT row per
+    sampled frame (mapInPandas emitting more rows than it receives, the
+    explode-shaped UDF the multimodal path needs). Frame payload length
+    is byte-count only under the stub codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_no": [],
+                "frame_bytes": [],
+            }
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                n_frames = int(meta["n_frames"]) if meta is not None else 0
+                if n_frames <= 0:
+                    continue
+                raw = decode_media(row["payload"], row["kind"], fake=True)
+                per_frame = max(raw.size // n_frames, 1)
+                for f in range(0, n_frames, every_n):
+                    out["media_id"].append(int(row["media_id"]))
+                    out["frame_no"].append(f)
+                    out["frame_bytes"].append(per_frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_no": pd.Series(out["frame_no"], dtype="int32"),
+                    "frame_bytes": pd.Series(
+                        out["frame_bytes"], dtype="int64"
+                    ),
+                }
+            )
+
+    videos = media.filter(F.col("kind") == "video")
+    return videos.repartition("media_id").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake feature-extraction: payload bytes → fixed-dim
+    float vector (histogram of byte values folded to `dim` buckets,
+    L2-normalized). Stands in for a real encoder; vector layout matches
+    the `embeddings` table so downstream ANN ops compose."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                raw = decode_media(p, "any", fake=True)
+                hist = np.bincount(raw % dim, minlength=dim).astype(
+                    "float32"
+                )
+                norm = float(np.linalg.norm(hist))
+                vecs.append((hist / norm if norm > 0 else hist).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "embedding": vecs,
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(
+        batches, schema=EMBED_SCHEMA
+    )

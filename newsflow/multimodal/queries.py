@@ -1,0 +1,125 @@
+"""Registered multimodal queries. The media table is synthesized from
+`documents` (payload = UTF-8 bytes of the text, kind/meta derived from
+doc residues), so even the mapInPandas decode path has an exact DuckDB
+oracle: payload bytes are ASCII codes the oracle can sum with
+list_transform/ascii. That verifies the Arrow batch plumbing — schema,
+multi-row emission, byte handling — not just the JVM-side metadata."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.multimodal.media import (
+    decode_stats,
+    embed_media,
+    frame_sample,
+)
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+_KINDS = ("image", "audio", "video")
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA frame (deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    kind = (
+        F.when(m3 == 0, "image").when(m3 == 1, "audio").otherwise("video")
+    )
+    n_frames = (
+        F.when(m3 == 2, (F.col("n_chars") % 40 + 1)).otherwise(0)
+    ).cast("int")
+    meta = F.struct(
+        F.lit(64).alias("width"),
+        F.lit(48).alias("height"),
+        F.lit(3).alias("channels"),
+        F.when(m3 == 1, 16000).otherwise(0).cast("int").alias("sample_rate"),
+        n_frames.alias("n_frames"),
+        F.concat(F.lit("x-fake/"), kind).alias("mime"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+# DuckDB expression: n_frames by the same construction.
+_SQL_NFRAMES = (
+    "CASE WHEN doc_id % 3 = 2 THEN (n_chars % 40 + 1) ELSE 0 END"
+)
+_SQL_KIND = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END"
+)
+
+
+@register(
+    "media_decode_stats",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {_SQL_KIND} AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+             * 100 // octet_length(encode(text)) AS mean_byte,
+           CAST({_SQL_NFRAMES} AS INT) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode → per-object stats via mapInPandas (Arrow batches,
+    declared schema). The oracle recomputes the byte arithmetic from the
+    source text, proving the batch path end-to-end."""
+    return decode_stats(synth_media(spark, sf_dir))
+
+
+@register(
+    "media_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             CAST({_SQL_NFRAMES} AS INT) AS n_frames,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           CAST(u.f AS INT) AS frame_no,
+           greatest(n_bytes // n_frames, 1) AS frame_bytes
+    FROM vids, UNNEST(range(0, n_frames, 10)) AS u(f)
+    WHERE n_frames > 0
+    """,
+    tags=("multimodal",),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one output row per sampled frame — the
+    explode-shaped mapInPandas operator (emits more rows than it
+    receives)."""
+    return frame_sample(synth_media(spark, sf_dir), every_n=10)
+
+
+@register(
+    "media_embeddings",
+    doc="Deterministic fake feature extraction: payload → L2-normalized "
+    "byte-histogram vector, layout-compatible with the embeddings table. "
+    "Rows-only: float vectors aren't hash-stable across engines.",
+    tags=("multimodal",),
+)
+def media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = embed_media(synth_media(spark, sf_dir), dim=16)
+    return emb.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + (x * x).cast("double"),
+            ),
+            2,
+        ).alias("sq_norm"),
+    )

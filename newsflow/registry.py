@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "newsflow.etl.queries",
     "newsflow.ml.queries",
     "newsflow.nlp.queries",
+    "newsflow.multimodal.queries",
 )
 
 

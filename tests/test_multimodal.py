@@ -1,0 +1,63 @@
+"""Tests for the multimodal binary-column plumbing: real Spark schemas,
+Arrow batch shapes, multi-row emission — with the deterministic stub
+codec (no codec libraries in this container)."""
+
+from __future__ import annotations
+
+import pytest
+
+from newsflow.multimodal.media import (
+    MEDIA_SCHEMA,
+    decode_media,
+    decode_stats,
+    embed_media,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"abcd", (64, 48, 3, 0, 0, "x-fake/image")),
+        (2, "audio", b"\x00\x01\x02\x03\x04\x05", (0, 0, 1, 16000, 0, "x-fake/audio")),
+        (3, "video", b"0123456789abcdefghij", (64, 48, 3, 0, 25, "x-fake/video")),
+        (4, "video", b"xy", (64, 48, 3, 0, 5, "x-fake/video")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).cache()
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"payload", "image")
+
+
+def test_decode_stats_batch_path(media):
+    out = {r["media_id"]: r for r in decode_stats(media).collect()}
+    assert len(out) == 4
+    assert out[1]["n_bytes"] == 4
+    # mean of b"abcd" = (97+98+99+100)*100 // 4 = 9850
+    assert out[1]["mean_byte"] == 9850
+    assert out[2]["mean_byte"] == (0 + 1 + 2 + 3 + 4 + 5) * 100 // 6
+    assert out[3]["n_frames"] == 25
+
+
+def test_frame_sample_multi_row_emission(media):
+    rows = frame_sample(media, every_n=10).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # Only video rows survive; 25 frames @ every 10 → frames 0,10,20.
+    assert set(by_id) == {3, 4}
+    assert sorted(r["frame_no"] for r in by_id[3]) == [0, 10, 20]
+    assert [r["frame_no"] for r in by_id[4]] == [0]
+    # 20 bytes / 25 frames → floor 0 → clamped to 1.
+    assert by_id[3][0]["frame_bytes"] == 1
+
+
+def test_embed_media_deterministic_unit_norm(media):
+    e1 = {r["media_id"]: r["embedding"] for r in embed_media(media, dim=8).collect()}
+    e2 = {r["media_id"]: r["embedding"] for r in embed_media(media, dim=8).collect()}
+    assert e1 == e2  # byte-derived, partition-independent
+    assert all(len(v) == 8 for v in e1.values())
+    for v in e1.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
