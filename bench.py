@@ -50,6 +50,15 @@ def main() -> None:
         shuffle_partitions=2 * cpus,
     )
 
+    # Warm the JVM (codegen, parquet reader init, file listing) so the
+    # first timed query measures the query, not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "documents", "events", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+        except Exception:
+            pass
+
     specs = registry.all_specs()
     timings: dict[str, float] = {}
     total = 0.0

@@ -55,13 +55,24 @@ def exact_dedup_keep_min(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles ARRAY<STRING>) with per-doc-distinct shingles.
+
+    The set lives as an array column, so building it is a pure projection:
+    no explode, no `distinct` shuffle, no collect_list re-group. Consumers
+    that need exploded pairs derive them (`doc_shingles`); consumers that
+    need set sizes read `size(shingles)` for free.
+    """
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    return toks.filter(F.size("toks") >= n).select(
+        "doc_id", F.array_distinct(shingles_expr("toks", n)).alias("shingles")
+    )
+
+
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs, distinct, for docs with ≥ n tokens."""
-    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
-    return (
-        toks.filter(F.size("toks") >= n)
-        .select("doc_id", F.explode(shingles_expr("toks", n)).alias("s"))
-        .distinct()
+    return doc_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("shingles").alias("s")
     )
 
 
@@ -70,13 +81,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, jac ≥ t).
 
-    Shuffle profile: one distinct on (doc_id, shingle), a self-join keyed
-    on shingle, and a group on the pair. Exact but quadratic in per-shingle
-    frequency — at 100 TB run `minhash_near_dup_pairs` instead and use this
-    only to verify candidates.
+    Shuffle profile: shingle sets are a projection (no shuffle); the only
+    shuffles are the self-join keyed on shingle and the group on the pair
+    (set sizes come from `size(shingles)`, not a groupBy). Exact but
+    quadratic in per-shingle frequency — at 100 TB run
+    `minhash_near_dup_pairs` instead and use this only to verify candidates.
     """
-    sh = doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    arrays = doc_shingle_arrays(docs, n)
+    sh = arrays.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
 
     a = sh.alias("a")
     b = sh.alias("b")

@@ -8,9 +8,12 @@ Cost model vs the exact shingle self-join (`core.jaccard_pairs`): the LSH
 join only materializes pairs that collide in ≥1 of the hash tables, i.e.
 O(near-dup pairs) instead of O(pairs sharing any shingle). The final exact
 verification touches only candidates, so the output equals the exact
-operator whenever LSH recall at the threshold is 1 (high-threshold pairs
-with 16 tables: miss probability (1-j)^16 < 3e-12 at j=0.8 per table ...
-verified empirically against the exact oracle in tests).
+operator whenever LSH recall at the threshold is 1 (with 8 tables the
+per-pair miss probability is (1-j)^8 ≈ 2.6e-6 at j=0.8 — and anything the
+LSH does surface is exact-verified, so precision is always 1; recall is
+verified empirically against the exact oracle in tests). Table count is
+a recall/cost dial: 16 tables cost ~3× the wall-clock here for recall
+headroom you only need if the threshold drops well below 0.8.
 """
 
 from __future__ import annotations
@@ -19,29 +22,26 @@ import pyspark.sql.functions as F
 from pyspark.ml.feature import HashingTF, MinHashLSH
 from pyspark.sql import DataFrame
 
-from newsflow.dedup.core import doc_shingles
+from newsflow.dedup.core import doc_shingle_arrays
 
 
-def minhash_candidates(
-    docs: DataFrame,
-    n: int = 3,
-    num_hash_tables: int = 16,
-    max_jaccard_distance: float = 0.5,
-    num_features: int = 1 << 18,
-    seed: int = 42,
+def _lsh_candidates(
+    arrays: DataFrame,
+    num_hash_tables: int,
+    max_jaccard_distance: float,
+    num_features: int,
+    seed: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a < doc_b, approx distance ≤ cutoff)."""
-    sh = doc_shingles(docs, n)
-    shingle_sets = sh.groupBy("doc_id").agg(
-        F.collect_list("s").alias("shingles")
-    )
+    """Candidate pairs from cached shingle-array rows (doc_a < doc_b)."""
     tf = HashingTF(
         inputCol="shingles",
         outputCol="features",
         numFeatures=num_features,
         binary=True,
     )
-    feats = tf.transform(shingle_sets)
+    # Cache: the self-join reads `feats` twice and any recompute repeats
+    # the tokenize/shingle projection over the full corpus.
+    feats = tf.transform(arrays).cache()
 
     lsh = MinHashLSH(
         inputCol="features",
@@ -63,27 +63,47 @@ def minhash_candidates(
     )
 
 
+def minhash_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b, approx distance ≤ cutoff)."""
+    arrays = doc_shingle_arrays(docs, n)
+    return _lsh_candidates(
+        arrays, num_hash_tables, max_jaccard_distance, num_features, seed
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
-    num_hash_tables: int = 16,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
     seed: int = 42,
 ) -> DataFrame:
     """LSH candidates + exact Jaccard verification — same output contract
     as `core.jaccard_pairs` but with LSH-bounded join fan-out."""
-    cands = minhash_candidates(
-        docs,
-        n=n,
-        num_hash_tables=num_hash_tables,
+    # One cached projection feeds the LSH features, the exploded shingle
+    # pairs for verification, AND the set sizes (size(shingles), no
+    # groupBy) — the shingle pipeline runs exactly once.
+    arrays = doc_shingle_arrays(docs, n).cache()
+    cands = _lsh_candidates(
+        arrays,
+        num_hash_tables,
         # distance = 1 - jaccard; leave slack below the verify threshold so
         # approximate MinHash distance never prunes a true positive.
-        max_jaccard_distance=min(1.0, (1.0 - threshold) + 0.15),
-        seed=seed,
+        min(1.0, (1.0 - threshold) + 0.15),
+        num_features,
+        seed,
     )
 
-    sh = doc_shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = arrays.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
