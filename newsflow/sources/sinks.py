@@ -1,0 +1,51 @@
+"""Sinks (SURVEY.md §2.1 S5-S7): parquet / CSV writers and the report
+boundary.
+
+The reference writes parquet via pandas/pyarrow on the driver
+(build_datasets.py:114-115) and CSV via `toPandas().to_csv`
+(nlp_analysis.py:168-169) — both single-process bottlenecks. Here every
+write is a distributed `df.write`; only `collect_report` (S7, the
+intentional report boundary for ≤top-k rows) moves data to the driver,
+Arrow-accelerated.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """S5 — distributed parquet write, optionally hive-partitioned so
+    per-partition predicates become pruned scans at 100 TB."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S6 — distributed CSV write (nlp_analysis.py:168-169 replacement)."""
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_sample_csv(df: DataFrame, path: str, n: int = 200) -> None:
+    """S6 — first-N sample export (build_datasets.py:117's head(200)),
+    written by one task (coalesce(1)) since N is small by contract."""
+    df.limit(n).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+
+def collect_report(df: DataFrame, max_rows: int = 10_000) -> pd.DataFrame:
+    """S7 — the guarded report boundary: refuses silently-unbounded
+    collects (the reference toPandas()'d whole tables)."""
+    limited = df.limit(max_rows + 1).toPandas()
+    if len(limited) > max_rows:
+        raise ValueError(
+            f"collect_report: result exceeds max_rows={max_rows}; "
+            "aggregate or limit before collecting"
+        )
+    return limited

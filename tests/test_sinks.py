@@ -1,0 +1,69 @@
+"""Writer round-trip tests (S5/S6/S7) incl. partition pruning on the
+partitioned layout."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from newsflow.etl.gdelt import build_core, read_gkg, write_core
+from newsflow.sources.sinks import (
+    collect_report,
+    write_csv,
+    write_parquet,
+    write_sample_csv,
+)
+from tests.test_etl import ROWS
+
+
+def test_partitioned_core_write_prunes(spark, tmp_path):
+    src = tmp_path / "raw.jsonl"
+    src.write_text("\n".join(json.dumps(r) for r in ROWS))
+    core = build_core(read_gkg(spark, str(src)))
+    out = str(tmp_path / "core_pq")
+    write_core(core, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    feb = back.filter(back.label_week == "week_feb")
+    assert feb.count() == 1
+    # Hive-partitioned layout → the era filter is partition pruning, not
+    # a data filter.
+    explained = feb._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(label_week" in explained
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.range(10).selectExpr("id", "id * 2 AS dbl")
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    back = spark.read.option("header", True).csv(path, inferSchema=True)
+    assert back.count() == 10
+    assert {r["dbl"] for r in back.collect()} == {2 * i for i in range(10)}
+
+
+def test_sample_csv_single_file(spark, tmp_path):
+    df = spark.range(1000).selectExpr("id")
+    path = tmp_path / "sample_csv"
+    write_sample_csv(df, str(path), n=200)
+    parts = [p for p in path.iterdir() if p.name.startswith("part-")]
+    assert len(parts) == 1
+    back = spark.read.option("header", True).csv(str(path))
+    assert back.count() == 200
+
+
+def test_parquet_writer_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], ["id", "bucket"]
+    )
+    path = tmp_path / "pq"
+    write_parquet(df, str(path), partition_by=("bucket",))
+    assert (path / "bucket=a").exists() and (path / "bucket=b").exists()
+
+
+def test_collect_report_guard(spark):
+    small = spark.range(5)
+    assert len(collect_report(small, max_rows=10)) == 5
+    with pytest.raises(ValueError, match="exceeds max_rows"):
+        collect_report(spark.range(100), max_rows=10)

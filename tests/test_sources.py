@@ -1,0 +1,119 @@
+"""Tests for the distributed ingest sources (S1, S9-S11) using
+deterministic injected fetchers — the network seam the production
+`urllib_fetcher` plugs into.
+
+The fakes are defined INSIDE the tests: cloudpickle ships closures by
+value, so Spark's Python workers don't need this test module importable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pyspark.sql.functions as F
+
+from newsflow.nlp.html import process_html
+from newsflow.sources.fetch import (
+    cdx_lookup,
+    fetch_urls,
+    gdelt_day_urls,
+    read_wholetext,
+    warc_fetch_html,
+)
+
+
+def test_gdelt_day_urls_schedule(spark):
+    urls = gdelt_day_urls(spark, "2024-02-12", "2024-02-19")
+    rows = urls.collect()
+    assert len(rows) == 7
+    assert rows[0]["url"].endswith("/20240212160100.gal.json.gz")
+
+
+def test_fetch_urls_parallel_gunzip(spark):
+    def fake_gdelt_fetcher(url: str, headers: dict) -> tuple[int, bytes]:
+        if "20240213" in url:
+            return 404, b""
+        payload = json.dumps([{"url": url}]).encode()
+        return 200, gzip.compress(payload)
+
+    urls = gdelt_day_urls(spark, "2024-02-12", "2024-02-15")
+    out = {
+        r["url"]: r
+        for r in fetch_urls(
+            urls, fetcher=fake_gdelt_fetcher, gunzip=True, partitions=2
+        ).collect()
+    }
+    assert len(out) == 3
+    ok = [r for r in out.values() if r["status"] == 200]
+    miss = [r for r in out.values() if r["status"] == 404]
+    assert len(ok) == 2 and len(miss) == 1
+    # gunzip applied → payload is the inner JSON bytes.
+    assert json.loads(bytes(ok[0]["payload"]))[0]["url"].startswith("http")
+
+
+def test_cdx_lookup_first_hit_and_miss(spark):
+    def fake_cdx_fetcher(url: str, headers: dict) -> tuple[int, bytes]:
+        if "missing" in url:
+            return 404, b""
+        line = json.dumps(
+            {
+                "filename": "crawl/seg-0.warc.gz",
+                "offset": "1000",
+                "length": "345",
+            }
+        )
+        # Second JSON line must be ignored (first-hit semantics).
+        return 200, (line + "\n" + json.dumps({"offset": "9"})).encode()
+
+    urls = spark.createDataFrame(
+        [("https://example.com/a",), ("https://example.com/missing",)],
+        ["url"],
+    )
+    out = {
+        r["url"]: r
+        for r in cdx_lookup(urls, fetcher=fake_cdx_fetcher).collect()
+    }
+    hit = out["https://example.com/a"]
+    assert hit["warc_filename"] == "crawl/seg-0.warc.gz"
+    assert (hit["warc_offset"], hit["warc_length"]) == (1000, 345)
+    miss = out["https://example.com/missing"]
+    assert miss["warc_filename"] is None and miss["warc_offset"] is None
+
+
+def test_warc_fetch_html_then_nlp_chain(spark):
+    warc_record = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b'<html><p>Veo and sora VIDEO "date": "2024-05-13"</p></html>'
+    )
+
+    def fake_warc_fetcher(url: str, headers: dict) -> tuple[int, bytes]:
+        assert headers.get("Range") == "bytes=1000-1344"
+        return 206, gzip.compress(warc_record)
+
+    coords = spark.createDataFrame(
+        [("https://example.com/a", "crawl/seg-0.warc.gz", 1000, 345)],
+        "url string, warc_filename string, warc_offset long,"
+        " warc_length long",
+    )
+    html_df = warc_fetch_html(coords, fetcher=fake_warc_fetcher)
+    row = html_df.collect()[0]
+    assert row["status"] == 206
+    assert row["html"].startswith("<html>")
+    # The fetched HTML flows straight into the NLP operators (U1).
+    proc = html_df.select(process_html(F.col("html")).alias("x")).collect()[0]
+    assert proc["x"]["period"] == "May_AI_Wars"
+    assert proc["x"]["text"] == "veo and sora video date 20240513"
+
+
+def test_read_wholetext_recursive(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.html").write_text("<p>one</p>")
+    (tmp_path / "sub" / "b.html").write_text("<p>two\nlines</p>")
+    df = read_wholetext(spark, str(tmp_path))
+    rows = sorted(df.collect(), key=lambda r: r["path"])
+    assert len(rows) == 2
+    # wholetext: the multi-line file arrives as ONE row.
+    assert rows[1]["value"] == "<p>two\nlines</p>"
+    assert rows[0]["path"].endswith("a.html")
