@@ -314,3 +314,150 @@ def registrable_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", registrable_domain(url).alias("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# The reference's analysis jobs (newsflow.etl.analysis) over the same
+# synthesized core — each with an exact oracle. Note gdelt_entity_sentiment's
+# oracle deliberately uses the reference's THREE-SCAN UNION ALL form
+# (sentiment_analysis.py:26-35) while the engine runs the single-pass
+# exploded-dimension rewrite: identical rows, one scan.
+# ---------------------------------------------------------------------------
+
+from newsflow.etl.analysis import (  # noqa: E402
+    co_mentions,
+    entity_sentiment,
+    source_sentiment_having,
+    theme_topk,
+    top_sources_for,
+    weekly_stats,
+)
+from newsflow.functions.scalars import sql_davg_nullable  # noqa: E402
+
+_SQL_WITH_CORE = f"WITH core AS ({_SQL_CORE})"
+_SQL_AVG_TONE = sql_davg_nullable("v2tone_1")
+
+
+@register(
+    "gdelt_weekly_stats",
+    oracle=f"""
+    {_SQL_WITH_CORE}
+    SELECT label_week,
+           count(*) AS n_articles,
+           {_SQL_AVG_TONE} AS avg_tone,
+           {sql_davg_nullable("v2tone_3")} AS avg_negative,
+           (round(avg(k_genai) * 100 + 1e-9, 1) + 0.0) AS pct_k_genai,
+           (round(avg(k_dio) * 100 + 1e-9, 1) + 0.0) AS pct_k_dio
+    FROM core GROUP BY label_week
+    """,
+    tags=("etl", "agg", "reference-replay"),
+)
+def gdelt_weekly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — summary stats block (general_ml_...py:31-43)."""
+    return weekly_stats(_core_df(spark, sf_dir), ("k_genai", "k_dio"))
+
+
+@register(
+    "gdelt_entity_sentiment",
+    oracle=f"""
+    {_SQL_WITH_CORE}
+    SELECT 'GenAI' AS company, label_week,
+           {_SQL_AVG_TONE} AS avg_tone, count(*) AS n_articles
+    FROM core WHERE k_genai = 1 GROUP BY label_week
+    UNION ALL
+    SELECT 'Dio' AS company, label_week,
+           {_SQL_AVG_TONE} AS avg_tone, count(*) AS n_articles
+    FROM core WHERE k_dio = 1 GROUP BY label_week
+    """,
+    tags=("etl", "setop", "reference-replay"),
+)
+def gdelt_entity_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — per-company weekly sentiment; single-pass exploded-dimension
+    rewrite of the reference's UNION ALL (sentiment_analysis.py:26-35)."""
+    return entity_sentiment(
+        _core_df(spark, sf_dir), {"GenAI": "k_genai", "Dio": "k_dio"}
+    )
+
+
+@register(
+    "gdelt_top_sources",
+    oracle=f"""
+    {_SQL_WITH_CORE}
+    SELECT domain, count(*) AS article_count,
+           {_SQL_AVG_TONE} AS avg_sentiment
+    FROM core WHERE k_genai = 1
+    GROUP BY domain
+    ORDER BY article_count DESC, domain
+    LIMIT 10
+    """,
+    tags=("etl", "topk", "reference-replay"),
+)
+def gdelt_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/T1 — busiest sources for a flag (network_analysis.py:36-47)."""
+    return top_sources_for(_core_df(spark, sf_dir), "k_genai", limit=10)
+
+
+@register(
+    "gdelt_co_mentions",
+    oracle=f"""
+    {_SQL_WITH_CORE}
+    SELECT partner, count(*) AS n_co_mentions
+    FROM (
+      SELECT unnest(list_filter(string_split(orgs_str, ';'), x -> x <> ''))
+        AS partner
+      FROM core WHERE k_genai = 1
+    )
+    WHERE partner NOT IN ('the', 'data')
+    GROUP BY partner
+    ORDER BY n_co_mentions DESC, partner
+    LIMIT 10
+    """,
+    tags=("etl", "explode", "reference-replay"),
+)
+def gdelt_co_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/P6 — co-mention edge counts with noise exclusion
+    (network_analysis.py:56-68)."""
+    return co_mentions(
+        _core_df(spark, sf_dir), "k_genai", exclude=("the", "data"), limit=10
+    )
+
+
+@register(
+    "gdelt_theme_topk",
+    oracle=f"""
+    {_SQL_WITH_CORE}
+    SELECT theme, count(*) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split(themes_str, ';'), x -> x <> ''))
+        AS theme
+      FROM core WHERE k_genai = 1
+    )
+    GROUP BY theme
+    ORDER BY n DESC, theme
+    LIMIT 10
+    """,
+    tags=("etl", "explode", "reference-replay"),
+)
+def gdelt_theme_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — top themes among flagged articles (theme_ml_job.py:34-39)."""
+    return theme_topk(_core_df(spark, sf_dir), "k_genai", limit=10)
+
+
+@register(
+    "gdelt_source_sentiment_having",
+    oracle=f"""
+    {_SQL_WITH_CORE}
+    SELECT domain, count(*) AS article_count,
+           {_SQL_AVG_TONE} AS avg_sentiment
+    FROM core WHERE k_genai = 1
+    GROUP BY domain
+    HAVING count(*) >= 3
+    """,
+    tags=("etl", "having", "reference-replay"),
+)
+def gdelt_source_sentiment_having(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A4 — per-source sentiment with min-support HAVING
+    (general_ml_...py:242-265)."""
+    return source_sentiment_having(_core_df(spark, sf_dir), "k_genai", 3)

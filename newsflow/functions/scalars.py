@@ -66,6 +66,21 @@ def sql_davg(expr: str, out: int = 2, scale: int = 4) -> str:
     )
 
 
+def davg_nullable(c: Column | str, out: int = 2, scale: int = 4) -> Column:
+    """Deterministic mean over a NULLABLE measure: decimal-exact sum ÷
+    non-null count (both engines' avg ignores nulls; count(col) matches)."""
+    col = _col(c)
+    s = F.sum(col.cast(f"decimal(25,{scale})")).cast("double")
+    return F.round(s / F.count(col) + F.lit(_EPS), out) + F.lit(0.0)
+
+
+def sql_davg_nullable(expr: str, out: int = 2, scale: int = 4) -> str:
+    return (
+        f"(round(cast(sum(cast(({expr}) as decimal(25,{scale}))) as double)"
+        f"/count({expr}) + {_EPS}, {out}) + 0.0)"
+    )
+
+
 def dratio(num: Column, den: Column, out: int = 4) -> Column:
     """Deterministic ratio of two exact (integer/decimal-derived) doubles."""
     return F.round(num / den + F.lit(_EPS), out) + F.lit(0.0)
