@@ -118,9 +118,15 @@ def split_semicolon(c: Column | str) -> Column:
 
     Reference: build_datasets.py:19-22 (``[p.strip() for p in s.split(';')
     if p.strip()]``, None/"" → []).
+
+    NOTE the one-arg lambda below is load-bearing: passing ``F.trim``
+    directly would let ``transform`` call it with (element, index), and
+    trim's two-arg form treats the second argument as the set of
+    characters to strip — silently mangling digit-only elements. Found
+    by tests/test_properties.py.
     """
     arr = F.split(F.coalesce(_col(c), F.lit("")), ";")
-    return F.filter(F.transform(arr, F.trim), lambda x: x != "")
+    return F.filter(F.transform(arr, lambda x: F.trim(x)), lambda x: x != "")
 
 
 def parse_v2tone(c: Column | str, n: int = 7) -> list[Column]:
