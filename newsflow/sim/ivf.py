@@ -1,0 +1,117 @@
+"""IVF (inverted-file) approximate nearest neighbors — the third ANN
+tier: coarse-quantize the corpus into cells (seeded KMeans), probe only
+the `n_probe` cells nearest each query, exact-rerank inside them.
+
+Cost model at 100 TB: the corpus is scanned once at build time to fit
+and assign cells (both distributed); each query then touches
+``n_probe / n_cells`` of the corpus instead of all of it. The cell
+assignment column is exactly the partition key you'd bucket the corpus
+parquet by, making a probe a partition-pruned scan.
+
+Recall contract: with n_probe == n_cells the probe set is the whole
+corpus, so the output EQUALS brute force (`knn.cosine_topk`) —
+tests/test_sim_ivf.py asserts that identity, plus a recall floor for
+partial probing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+from newsflow.functions.scalars import dround
+from newsflow.sim.knn import as_double_array, dot_expr, norm_expr
+
+
+def _with_unit_features(embeddings: DataFrame, id_alias: str) -> DataFrame:
+    vec = as_double_array(F.col("embedding"))
+    df = embeddings.select(
+        F.col("vec_id").alias(id_alias), vec.alias("vec")
+    ).withColumn("nrm", norm_expr(F.col("vec")))
+    return df.select(
+        id_alias,
+        F.transform("vec", lambda x: x / F.col("nrm")).alias("unit"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k with an IVF index built on the fly.
+
+    Output contract matches `knn.cosine_topk` (query_id, neighbor_id,
+    cosine_sim); self-matches excluded; deterministic tie-breaks.
+    """
+    corpus = _with_unit_features(embeddings, "neighbor_id").cache()
+
+    # --- build: coarse quantizer + inverted lists ----------------------
+    train = corpus.select(array_to_vector("unit").alias("features"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
+    model = km.fit(train)
+    assigned = model.transform(
+        corpus.select(
+            "neighbor_id", "unit", array_to_vector("unit").alias("features")
+        )
+    ).select("neighbor_id", "unit", F.col("prediction").alias("cell"))
+
+    # Centroid table is tiny (n_cells rows) → broadcast everywhere.
+    centroids = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in
+             enumerate(model.clusterCenters())],
+            "cell int, centroid array<double>",
+        )
+    )
+
+    # --- probe: n_probe nearest cells per query ------------------------
+    qs = _with_unit_features(queries, "query_id")
+    # Unit query · centroid — larger dot = nearer cell (centroids need
+    # no normalization for ranking: argmax over cos ∝ dot/|c| differs,
+    # so keep the true cosine to match KMeans' euclidean cell geometry).
+    q_cells = (
+        qs.join(centroids)
+        .withColumn(
+            "cell_sim",
+            dot_expr(F.col("unit"), F.col("centroid"))
+            / norm_expr(F.col("centroid")),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cell_sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", F.col("unit").alias("qunit"), "cell")
+    )
+
+    # --- search: exact cosine inside probed cells ----------------------
+    cands = q_cells.join(assigned, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sims = cands.withColumn(
+        "sim", dot_expr(F.col("qunit"), F.col("unit"))
+    ).select("query_id", "neighbor_id", "sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("sim"), round_to).alias("cosine_sim"),
+        )
+    )

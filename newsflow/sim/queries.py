@@ -75,3 +75,21 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors (IVF coarse-quantizer training step)."""
     return knn.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_cosine_ivf",
+    # No oracle: the KMeans coarse quantizer is engine-specific.
+    # tests/test_sim_ivf.py asserts exhaustive probing == brute force
+    # exactly, and a recall floor for partial probing.
+    tags=("similarity", "ivf"),
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-5: seeded-KMeans cells, probe the 4
+    nearest of 8 cells per query, exact re-rank inside them."""
+    from newsflow.sim.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=4
+    )
