@@ -1,0 +1,90 @@
+"""Scale toolkit (SURVEY.md §4 / north-star "optimize for scale"):
+bucketed co-located joins and skew salting.
+
+These are the two knobs AQE cannot fully supply at 100 TB:
+
+* **Bucketing** — a fact table joined repeatedly on the same key should
+  be written bucketed by that key; both sides of the join then read
+  pre-partitioned data and the sort-merge join runs WITHOUT any
+  Exchange. At 100 TB the removed shuffle is usually the single largest
+  cost in the pipeline. (`write_bucketed` + tests/test_scale.py assert
+  the Exchange-free plan.)
+
+* **Salting** — when one join key carries a disproportionate share of
+  rows, the task holding it straggles. AQE's skew-join split handles
+  sort-merge joins after the fact; explicit salting (`salted_join`)
+  handles it at plan time and also covers aggregations: the hot key is
+  split across `n_salt` subkeys, the small side replicated per subkey,
+  results identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist `df` as an external bucketed (+sorted) table. Reads via
+    spark.table(name) carry the bucket layout into join planning."""
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    salt_source: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side's hot keys split over `n_salt`
+    subkeys and the RIGHT side replicated once per subkey.
+
+    `salt_source` must be a deterministic expression over left columns
+    (default: hash of the whole row) — determinism matters because Spark
+    may recompute a partition after failure, and a nondeterministic salt
+    would route the row to a different copy (harmless for inner joins,
+    wrong for aggregations layered on top of cached results).
+
+    Replication multiplies the right side by n_salt — use only when
+    right is broadcast-small or the skew dwarfs the replication cost.
+    """
+    if salt_source is None:
+        salt_source = F.hash(*[F.col(c) for c in left.columns])
+    l_salted = left.withColumn("_salt", F.pmod(salt_source, F.lit(n_salt)))
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
+
+
+def salted_count(
+    df: DataFrame, key: str, n_salt: int = 8, salt_source: Column | None = None
+) -> DataFrame:
+    """Two-phase count for a skewed group key: pre-aggregate on
+    (key, salt), then merge. Catalyst's partial aggregation already does
+    this for simple counts; the explicit form matters for operations
+    with no map-side combine (e.g. collect_list / exact distinct
+    downstream) and documents the pattern."""
+    if salt_source is None:
+        salt_source = F.hash(*[F.col(c) for c in df.columns])
+    salted = df.withColumn("_salt", F.pmod(salt_source, F.lit(n_salt)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return partial.groupBy(key).agg(F.sum("_n").alias("n"))
