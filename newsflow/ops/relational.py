@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.functions.scalars import (
     davg,
+    dround,
     dsum,
     sql_davg,
     sql_dsum,
@@ -456,4 +457,104 @@ def orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
         .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference analytics shapes: rollup subtotals, pivot, exact
+# quantiles — the aggregation surface a reference user grows into next.
+# ---------------------------------------------------------------------------
+@register(
+    "order_status_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass (rollup: per (status,priority),
+    per status, grand total). Subtotal keys surfaced as 'ALL' so the
+    output is sentinel-keyed, not positional (SURVEY A11 lesson)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "order_priority_pivot",
+    oracle=f"""
+    SELECT o_orderstatus AS status,
+           {", ".join(
+               "sum(CASE WHEN o_orderpriority = '" + p + "' THEN 1 ELSE 0 END)"
+               " AS " + c
+               for p, c in zip(_PRIORITIES,
+                               ["n_urgent", "n_high", "n_medium",
+                                "n_unspecified", "n_low"])
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a FIXED value list (explicit values keep the schema
+    stable and skip the extra distinct-values job Spark otherwise runs)."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["n_urgent", "n_high", "n_medium",
+                          "n_unspecified", "n_low"])
+    )
+    return pv.select(
+        "status",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a)
+          for p, a in renames.items()],
+    )
+
+
+@register(
+    "order_price_quantiles",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           (round(quantile_cont(o_totalprice, 0.25) + 1e-9, 2) + 0.0) AS p25,
+           (round(quantile_cont(o_totalprice, 0.50) + 1e-9, 2) + 0.0) AS p50,
+           (round(quantile_cont(o_totalprice, 0.75) + 1e-9, 2) + 0.0) AS p75
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "quantile"),
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated quantiles per group (F.percentile ≡ DuckDB
+    quantile_cont). At 100 TB swap for percentile_approx with a stated
+    error bound — kept exact here because the oracle gate is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q25"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q50"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q75"),
+    )
+    return q.select(
+        "status",
+        dround(F.col("q25"), 2).alias("p25"),
+        dround(F.col("q50"), 2).alias("p50"),
+        dround(F.col("q75"), 2).alias("p75"),
     )
