@@ -78,6 +78,34 @@ def minhash_candidates(
     )
 
 
+def _verify_pairs(
+    arrays: DataFrame, cands: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against the cached
+    shingle arrays (shared by the MLlib and native LSH paths)."""
+    sh = arrays.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    common = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -101,25 +129,58 @@ def minhash_near_dup_pairs(
         num_features,
         seed,
     )
+    return _verify_pairs(arrays, cands, threshold)
 
-    sh = arrays.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
-    common = (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+def native_minhash_candidates(
+    arrays: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Candidate pairs via NATIVE minhash signatures — no MLlib, no
+    vectors: min over xxhash64(shingle, i) per hash function i, then a
+    self-join on (function, signature). Collision probability per
+    function equals Jaccard similarity, so ≥1 collision across
+    `num_hashes` functions ≈ 1-(1-j)^H — the same banding (r=1, b=H) as
+    MinHashLSH, entirely inside whole-stage codegen.
+    """
+    def _minhash(i: int) -> F.Column:
+        # One-arg lambda is load-bearing: a two-parameter lambda (e.g.
+        # `lambda s, i=i: ...`) would make transform() pass the array
+        # INDEX as the second argument, collapsing all hash functions
+        # into one (same trap as F.trim in functions/scalars.py).
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(s, F.lit(i)))
+        )
+
+    sig_structs = F.array(
+        *[
+            F.struct(F.lit(i).alias("fn"), _minhash(i).alias("mh"))
+            for i in range(num_hashes)
+        ]
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    sigs = arrays.select(
+        "doc_id", F.explode(sig_structs).alias("sig")
+    ).select("doc_id", F.col("sig.fn").alias("fn"), F.col("sig.mh").alias("mh"))
+
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "fn", "mh")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "fn", "mh")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        a.join(b, ["fn", "mh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+
+
+def native_minhash_near_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Native-expression MinHash near-dup pairs: identical output
+    contract (and, given recall 1, identical output) to
+    `minhash_near_dup_pairs`, at a fraction of the cost — no vector
+    construction, no Python/MLlib model, every stage codegen'd."""
+    arrays = doc_shingle_arrays(docs, n).cache()
+    cands = native_minhash_candidates(arrays, num_hashes)
+    return _verify_pairs(arrays, cands, threshold)

@@ -82,6 +82,21 @@ def test_minhash_lsh_candidates_superset_of_exact(spark):
     assert exact <= cands, f"LSH missed pairs: {exact - cands}"
 
 
+def test_native_minhash_candidates_superset_of_exact(spark):
+    """Same recall contract for the native xxhash64 signature path."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in core.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    arrays = core.doc_shingle_arrays(docs, 3)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.native_minhash_candidates(arrays, 8).collect()
+    }
+    assert exact <= cands, f"native MinHash missed pairs: {exact - cands}"
+
+
 def test_exact_dedup_removes_planted_duplicates(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
