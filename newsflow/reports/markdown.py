@@ -1,0 +1,65 @@
+"""Markdown report layer (SURVEY.md §2.1 S13) — the thin driver-side
+client over collected ≤top-k results.
+
+The reference renders its findings as f-string markdown inside each job
+(e.g. gdelt/scripts/general_ml_and_source_sentiment_analysis.py:75-134,
+network_analysis.py:82-184). Here rendering is one generic table
+formatter plus small composers, fed ONLY by `sinks.collect_report`-sized
+frames — the engine/report boundary stays explicit, which is what keeps
+the report layer correct at any corpus scale (everything big happened in
+Spark before the collect).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+
+def df_to_markdown(pdf: pd.DataFrame, float_fmt: str = "{:.2f}") -> str:
+    """Render a small pandas frame as a GitHub markdown table."""
+    cols = list(pdf.columns)
+    lines = [
+        "| " + " | ".join(str(c) for c in cols) + " |",
+        "|" + "|".join("---" for _ in cols) + "|",
+    ]
+    for _, row in pdf.iterrows():
+        cells = []
+        for v in row:
+            if isinstance(v, float):
+                cells.append(float_fmt.format(v))
+            else:
+                cells.append(str(v))
+        lines.append("| " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
+def weekly_summary_report(
+    stats: pd.DataFrame,
+    coefficients: pd.DataFrame | None = None,
+    auc: float | None = None,
+    title: str = "AI News Coverage — Weekly Summary",
+) -> str:
+    """The summary_report.md shape: per-week stats block, optional model
+    section (AUC + signed coefficients)."""
+    parts = [f"# {title}", "", "## Weekly statistics", ""]
+    parts.append(df_to_markdown(stats))
+    if auc is not None:
+        parts += ["", "## Model", "", f"Logistic-regression AUC: **{auc:.2f}**"]
+    if coefficients is not None:
+        parts += ["", "### What distinguishes the eras (signed importance)", ""]
+        parts.append(df_to_markdown(coefficients, float_fmt="{:+.4f}"))
+    return "\n".join(parts) + "\n"
+
+
+def network_report(
+    sections: Sequence[tuple[str, pd.DataFrame]],
+    title: str = "Coverage Networks",
+) -> str:
+    """The network_report.md shape: one table per company/section
+    (top sources, co-mentions, ...)."""
+    parts = [f"# {title}"]
+    for heading, pdf in sections:
+        parts += ["", f"## {heading}", "", df_to_markdown(pdf)]
+    return "\n".join(parts) + "\n"
