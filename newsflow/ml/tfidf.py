@@ -102,3 +102,42 @@ def fit_transform_tfidf(
     return out.withColumn(
         "top_terms", top_k_terms(F.col("tfidf"), list(vocab), k=k)
     )
+
+
+def transform_tfidf_fixed_vocab(
+    df: DataFrame,
+    vocabulary: list[str],
+    k: int = 5,
+    ngram_n: int = 2,
+    extra_stopwords: tuple[str, ...] = DOMAIN_STOPWORDS,
+) -> DataFrame:
+    """The golden-test variant of the chain (SURVEY §7 'what's hard' #4):
+    CountVectorizer breaks count ties in an unspecified order, so fitted
+    vocabularies aren't a stable contract. Pinning the vocabulary with
+    `CountVectorizerModel.from_vocabulary` makes the whole chain (and
+    `top_terms`) fully deterministic — index i IS vocabulary[i]. IDF is
+    still fit (document frequencies are order-independent)."""
+    from pyspark.ml.feature import CountVectorizerModel
+
+    stopwords = StopWordsRemover.loadDefaultStopWords("english") + list(
+        extra_stopwords
+    )
+    stages = [
+        Tokenizer(inputCol="text", outputCol="words"),
+        StopWordsRemover(
+            inputCol="words", outputCol="filtered", stopWords=stopwords
+        ),
+        NGram(n=ngram_n, inputCol="filtered", outputCol="ngrams"),
+    ]
+    out = df
+    for s in stages:
+        out = s.transform(out)
+    cv = CountVectorizerModel.from_vocabulary(
+        vocabulary, inputCol="ngrams", outputCol="tf"
+    )
+    tf = cv.transform(out)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    scored = idf_model.transform(tf)
+    return scored.withColumn(
+        "top_terms", top_k_terms(F.col("tfidf"), list(vocabulary), k=k)
+    )

@@ -72,3 +72,31 @@ def test_lr_pipeline_seeded(spark):
     tbl = coefficient_table(spark, r1).collect()
     assert tbl[0]["rank"] == 1
     assert tbl[0]["abs_coef"] >= tbl[1]["abs_coef"]
+
+
+def test_fixed_vocab_tfidf_fully_deterministic(spark):
+    """Pinned vocabulary → golden-stable indices and top-terms (the
+    CountVectorizer tie-order hazard from SURVEY §7 is out of the
+    picture)."""
+    from newsflow.ml.tfidf import transform_tfidf_fixed_vocab
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta gamma delta"),
+            (1, "alpha beta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = ["alpha beta", "beta gamma", "epsilon zeta", "beta alpha"]
+    out = {
+        r["doc_id"]: r
+        for r in transform_tfidf_fixed_vocab(df, vocab, k=2).collect()
+    }
+    # doc 0 bigrams: alpha beta ×2, beta alpha, beta gamma, gamma delta.
+    # 'alpha beta' appears in BOTH docs → idf ln(3/3)=0 → score 0 →
+    # excluded from top terms (nonzero-only contract); the doc-unique
+    # bigrams win.
+    assert out[0]["top_terms"] == ["beta gamma", "beta alpha"]
+    assert out[1]["top_terms"] == ["epsilon zeta"]
+    tf0 = out[0]["tf"].toArray().tolist()
+    assert tf0 == [2.0, 1.0, 0.0, 1.0]  # indices ARE vocab order
