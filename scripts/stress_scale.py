@@ -1,0 +1,94 @@
+"""Scale-up stress run: the dedup/ANN paths on a corpus 5x the largest
+testdata SF, with realistic near-dup structure (each doc replicated with
+a distinct suffix -> pairwise Jaccard ~0.9, NOT byte-identical).
+
+Usage: python scripts/stress_scale.py [copies]
+Prints one JSON line with corpus sizes, output sizes, and wall times.
+This is evidence for the would-it-survive-100x question: all stages are
+shuffle-bounded (signature join, hash groupBy), so wall-clock should
+scale ~linearly in corpus size + near-dup pair count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from newsflow.dedup import core, minhash  # noqa: E402
+from newsflow.session import get_spark  # noqa: E402
+from newsflow.sim.ivf import ivf_topk  # noqa: E402
+from newsflow.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="newsflow-stress")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    docs = load_table(spark, sf_dir, "documents")
+    big_docs = None
+    for i in range(copies):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat("text", F.lit(f" stresscopy{i}")).alias("text"),
+        )
+        big_docs = c if big_docs is None else big_docs.union(c)
+    big_docs = big_docs.cache()
+    n_docs = big_docs.count()
+
+    t0 = time.perf_counter()
+    n_groups = core.exact_dedup_keep_min(
+        big_docs.withColumn("text", F.regexp_replace("text", " stresscopy\\d+", ""))
+    ).count()
+    t_exact = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pairs = minhash.native_minhash_near_dup_pairs(
+        big_docs, n=3, threshold=0.8
+    ).count()
+    t_minhash = time.perf_counter() - t0
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    big_emb = None
+    for i in range(copies):
+        c = emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        big_emb = c if big_emb is None else big_emb.union(c)
+    big_emb = big_emb.cache()
+    n_vecs = big_emb.count()
+    queries = big_emb.filter(F.col("vec_id") < 16)
+
+    t0 = time.perf_counter()
+    n_knn = ivf_topk(big_emb, queries, k=5, n_cells=16, n_probe=4).count()
+    t_ivf = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "copies": copies,
+                "n_docs": n_docs,
+                "exact_dedup_groups": n_groups,
+                "exact_dedup_sec": round(t_exact, 1),
+                "minhash_pairs": n_pairs,
+                "minhash_sec": round(t_minhash, 1),
+                "n_vectors": n_vecs,
+                "ivf_topk_rows": n_knn,
+                "ivf_sec": round(t_ivf, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
