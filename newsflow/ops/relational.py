@@ -558,3 +558,24 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("q50"), 2).alias("p50"),
         dround(F.col("q75"), 2).alias("p75"),
     )
+
+
+@register(
+    "orders_approx_stats",
+    # No oracle: HLL++ and GK-sketch results are engine-specific.
+    # tests/test_approx.py bounds both against their exact twins.
+    tags=("agg", "approx"),
+)
+def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms of A6/quantiles: approx_count_distinct (HLL++,
+    default 5% rsd) and percentile_approx (GK sketch) — single-pass,
+    mergeable, bounded-memory, where the exact forms need a full
+    shuffle/sort of the column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
