@@ -28,6 +28,7 @@ HEADLINE = [
     "top_sources",              # top-k (TakeOrderedAndProject)
     "event_class_grouping_sets",  # single-pass multi-branch agg
     "keep_first_dedup",         # window dedup
+    "keep_first_dedup_agg",     # min_by hash-agg dedup (scale form)
     "topk_orders_per_priority",  # ranked window
     "user_moving_avg",          # frame window
     "dedup_exact_keep_min",     # exact dedup (hash groupBy)

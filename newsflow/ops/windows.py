@@ -183,3 +183,41 @@ def order_price_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_price"
         ),
     )
+
+
+@register(
+    "keep_first_dedup_agg",
+    # Same result contract (and oracle) as keep_first_dedup — the window
+    # formulation demonstrates P11; this is the cheaper scale form.
+    oracle="""
+    SELECT l_orderkey,
+           l_partkey AS first_partkey,
+           (l_quantity + 0.0) AS first_quantity
+    FROM (
+      SELECT l_orderkey, l_partkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity
+             ) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "agg"),
+)
+def keep_first_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first as a hash aggregation: min_by over the composite sort
+    struct. Versus the row_number window it needs no per-partition sort
+    and gets map-side partial aggregation — at 100 TB the shuffle
+    carries one row per (key, map task) instead of every row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    order_key = F.struct("l_linenumber", "l_partkey", "l_quantity")
+    first = F.min_by(F.struct("l_partkey", "l_quantity"), order_key)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(first.alias("first"))
+        .select(
+            "l_orderkey",
+            F.col("first.l_partkey").alias("first_partkey"),
+            (F.col("first.l_quantity") + F.lit(0.0)).alias("first_quantity"),
+        )
+    )
