@@ -7,9 +7,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.functions.scalars import (
+    davg,
     parse_compact_ts,
     parse_v2tone,
     split_semicolon,
+    sql_davg,
 )
 from newsflow.registry import register
 from newsflow.tables import load_table
@@ -154,3 +156,64 @@ def regex_clean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_long_words"
         ),
     )
+
+
+@register(
+    "props_json_buckets",
+    oracle=f"""
+    SELECT (CAST(props->>'$.k' AS INT) // 10) AS k_bucket,
+           count(*) AS n_events,
+           {sql_davg('value')} AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("scalar", "json", "agg"),
+)
+def props_json_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions: typed from_json extraction of the events
+    props payload, bucketed aggregation. The schema'd parse stays
+    JVM-side (JsonToStructs is codegen-friendly); prefer it over
+    get_json_object when the shape is known — one parse, typed output."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return ev.groupBy(
+        F.floor(k / 10).cast("long").alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+    )
+
+
+@register(
+    "sql_entry_source_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars
+    FROM documents
+    WHERE lang IN ('en', 'de', 'es')
+    GROUP BY source
+    HAVING count(*) >= 5
+    ORDER BY avg_chars DESC, source
+    """,
+    tags=("sql-path", "agg", "having"),
+)
+def sql_entry_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-STRING entry path (SURVEY §3.2): register_views +
+    spark.sql with WHERE/GROUP BY/HAVING/ORDER BY — parser → analyzer →
+    same Catalyst plan as the DataFrame chain. The decimal-exact avg is
+    inlined in SQL to stay hash-stable."""
+    from newsflow.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT source,
+               count(*) AS n_docs,
+               (round(cast(sum(cast(n_chars as decimal(25,4))) as double)
+                      / count(*) + 1e-9, 2) + 0.0) AS avg_chars
+        FROM documents
+        WHERE lang IN ('en', 'de', 'es')
+        GROUP BY source
+        HAVING count(*) >= 5
+        ORDER BY avg_chars DESC, source
+    """)
