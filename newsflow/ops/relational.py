@@ -579,3 +579,80 @@ def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 completeness: the set operations the reference never used, and the
+# CUBE companion to rollup. All distinct-based (shuffle on full row).
+# ---------------------------------------------------------------------------
+@register(
+    "active_customer_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("setop", "intersect"),
+)
+def active_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both an urgent and a low-priority order.
+    Planned as a left-semi join after distinct — same shuffle count as
+    the semi-join formulation."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low)
+
+
+@register(
+    "urgent_only_customer_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    tags=("setop", "except"),
+)
+def urgent_only_customer_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: urgent-order customers who never placed a low-priority
+    order (anti-join after distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(low)
+
+
+@register(
+    "status_priority_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping combinations in one pass (adds the
+    per-priority marginals rollup omits)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
