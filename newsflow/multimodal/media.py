@@ -173,6 +173,53 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads to width x height x channels (stub codec:
+    deterministic byte resampling — evenly-spaced source indices, the
+    nearest-neighbor access pattern a real resize has). Non-image rows
+    pass through untouched; metadata is rewritten to the new dims so
+    downstream operators see a consistent contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                if row["kind"] != "image":
+                    payloads.append(row["payload"])
+                    metas.append(row["meta"])
+                    continue
+                raw = decode_media(row["payload"], "image", fake=True)
+                channels = int(meta.get("channels") or 1)
+                n_out = width * height * channels
+                idx = (
+                    np.linspace(0, raw.size - 1, n_out).round().astype("int64")
+                )
+                payloads.append(raw[idx].tobytes())
+                meta.update({"width": width, "height": height})
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
 EMBED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

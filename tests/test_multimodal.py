@@ -61,3 +61,18 @@ def test_embed_media_deterministic_unit_norm(media):
     assert all(len(v) == 8 for v in e1.values())
     for v in e1.values():
         assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+
+
+def test_resize_images_rewrites_payload_and_meta(media):
+    from newsflow.multimodal.media import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, 4, 2).collect()}
+    img = out[1]  # image row: b"abcd", meta channels=3
+    assert len(img["payload"]) == 4 * 2 * 3
+    assert (img["meta"]["width"], img["meta"]["height"]) == (4, 2)
+    # Deterministic resample of the source bytes.
+    assert bytes(img["payload"])[0:1] == b"a" and bytes(img["payload"])[-1:] == b"d"
+    # Non-image rows pass through untouched.
+    aud = out[2]
+    assert bytes(aud["payload"]) == b"\x00\x01\x02\x03\x04\x05"
+    assert aud["meta"]["sample_rate"] == 16000
