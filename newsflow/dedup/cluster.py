@@ -1,0 +1,89 @@
+"""Near-duplicate CLUSTERS via iterative label propagation — the scale
+form of dedup output.
+
+Pairwise near-dup output is quadratic per duplicate cluster (a c-way
+cluster emits C(c,2) pairs — the 10x stress corpus shows exactly that
+blow-up). A dedup pipeline doesn't need the pairs; it needs one keeper
+per connected component of the near-dup graph. Label propagation over
+the candidate EDGES is linear in edges per iteration and converges in
+O(diameter) iterations — near-dup components are essentially cliques,
+so 2-3 iterations in practice.
+
+This is a genuinely iterative DataFrame algorithm (driver-side loop,
+checkpoint-style truncation via cache + count per round) — the pattern
+MLlib uses internally for connected components; no RDDs, no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, component) where
+    component = min doc_id reachable. Deterministic.
+
+    Each iteration: every node takes the min label among itself and its
+    neighbors. Converged when no label changes. Caching each round and
+    unpersisting the previous one keeps lineage short (the iterative-
+    algorithm equivalent of checkpointing).
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    both = both.cache()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("component").alias("n_comp"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("n_comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("n_comp", "component")
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels
+
+
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs → (doc_id, keeper) assignments; docs with
+    no near-dup never appear (they are their own keeper by convention)."""
+    comp = connected_components(pairs)
+    return comp.select("doc_id", F.col("component").alias("keeper"))

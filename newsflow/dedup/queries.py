@@ -111,3 +111,23 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=7
     )
+
+
+@register(
+    "near_dup_clusters",
+    # Iterative label propagation is not single-statement SQL; DuckDB
+    # can express it with a recursive CTE, but termination/dedup
+    # semantics differ — covered instead by tests/test_cluster.py
+    # against a Python union-find reference.
+    tags=("dedup", "cluster", "iterative"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignments: connected components over the
+    MinHash-verified pair graph — O(edges) per iteration instead of the
+    quadratic-per-cluster pairwise listing."""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+
+    pairs = minhash.native_minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+    return _clusters(pairs)

@@ -1,0 +1,52 @@
+"""Connected-components correctness vs a Python union-find over the
+same edges, incl. multi-hop chains that need >1 iteration."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from newsflow.dedup import core, minhash
+from newsflow.dedup.cluster import connected_components
+from newsflow.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_needs_multiple_iterations(spark):
+    # 0-1-2-3-4 path plus {10,11} pair: diameter 4 → several rounds.
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
+    assert got[4] == 0 and got[11] == 10 and got[22] == 20
+
+
+def test_components_match_union_find_on_real_pairs(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs = minhash.native_minhash_near_dup_pairs(docs, n=3, threshold=0.8)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert len(edges) > 0
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _union_find(edges)

@@ -123,3 +123,47 @@ def test_keyword_flag_substring_matches_reference(spark, batch, keywords):
     for s, row in zip(batch, got):
         joined = " ".join(_ref_url_tokens(s))
         assert row["k"] == _ref_flag(joined, keywords), (s, keywords)
+
+
+# --- F3: registrable-domain when-chain vs a Python transcription -----------
+
+from newsflow.etl.gdelt import (  # noqa: E402
+    PUBLIC_SUFFIXES_1,
+    PUBLIC_SUFFIXES_2,
+    registrable_domain,
+)
+
+_label = st.sampled_from(["news", "blog9", "x", "sub", "verylonglabel"])
+_suffix = st.one_of(
+    st.sampled_from(PUBLIC_SUFFIXES_2),
+    st.sampled_from(PUBLIC_SUFFIXES_1),
+    st.just("unknowntld"),
+)
+_host = st.builds(
+    lambda labels, suffix: ".".join(labels + [suffix]),
+    st.lists(_label, min_size=1, max_size=3),
+    _suffix,
+)
+
+
+def _ref_domain(host: str) -> str:
+    labels = host.lower().split(".")
+    n = len(labels)
+    last1 = labels[-1]
+    last2 = ".".join(labels[-2:])
+    if n >= 3 and last2 in PUBLIC_SUFFIXES_2:
+        return ".".join(labels[-3:])
+    if n >= 2 and last1 in PUBLIC_SUFFIXES_1:
+        return last2
+    return last1
+
+
+@SETTINGS
+@given(st.lists(_host, min_size=1, max_size=25))
+def test_registrable_domain_matches_reference(spark, batch):
+    df = spark.createDataFrame(
+        [(f"https://{h}/a/b?q=1",) for h in batch], "url string"
+    )
+    got = df.select(registrable_domain(F.col("url")).alias("d")).collect()
+    for h, row in zip(batch, got):
+        assert row["d"] == _ref_domain(h), h
