@@ -170,3 +170,71 @@ def national_supply_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("s_acctbal").alias("avg_supplier_balance"),
         )
     )
+
+
+@register(
+    "events_asof_updates",
+    oracle="""
+    WITH upd AS (
+      SELECT o_custkey % 150 AS user_id,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL (date_diff('day', DATE '1995-01-01',
+                                     CAST(o_orderdate AS DATE)) * 15) MINUTE
+               AS upd_ts,
+             max(o_orderkey) AS upd_key,
+             (max_by(o_totalprice, o_orderkey) + 0.0) AS upd_price
+      FROM orders
+      WHERE o_custkey % 150 < 140
+      GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, u.upd_key, u.upd_price
+    FROM events e
+    ASOF LEFT JOIN upd u
+      ON e.user_id = u.user_id AND e.ts >= u.upd_ts
+    """,
+    tags=("join", "asof", "temporal"),
+)
+def events_asof_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (newsflow.ops.asof): each event picks the latest
+    price-update at/before its timestamp per user. The update table is
+    synthesized deterministically from orders (dates remapped into the
+    events window, 15 min per historical day; users ≥140 withheld to
+    exercise the unmatched-left path). Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from newsflow.ops.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+    )
+    upd = (
+        o.select(
+            (F.col("o_custkey") % 150).alias("user_id"),
+            days.alias("_d"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .filter(F.col("user_id") < 140)
+        .withColumn(
+            "upd_ts",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_dt_interval(0, 0, _d * 15, 0)"
+            ),
+        )
+        .groupBy("user_id", "upd_ts")
+        .agg(
+            F.max("o_orderkey").alias("upd_key"),
+            (F.max_by("o_totalprice", "o_orderkey") + F.lit(0.0)).alias(
+                "upd_price"
+            ),
+        )
+    )
+    joined = asof_join(
+        ev, upd, key="user_id", left_ts="ts", right_ts="upd_ts",
+        value_cols=["upd_key", "upd_price"],
+    )
+    return joined.select("event_id", "user_id", "upd_key", "upd_price")
