@@ -238,3 +238,42 @@ def events_asof_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["upd_key", "upd_price"],
     )
     return joined.select("event_id", "user_id", "upd_key", "upd_price")
+
+
+@register(
+    "events_value_tiers",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('bronze', 0.0, 50.0), ('silver', 50.0, 120.0),
+             ('gold', 120.0, 300.0), ('platinum', 300.0, 1000.0)
+    )
+    SELECT t.tier,
+           count(*) AS n_events,
+           {sql_davg('e.value')} AS avg_value
+    FROM events e
+    JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+    tags=("join", "range", "non-equi"),
+)
+def events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (newsflow.ops.rangejoin): events bucketed into value
+    tiers via the binned equi-join — a hash join on bin ids plus a
+    bounds filter, not a BroadcastNestedLoopJoin over BETWEEN."""
+    from newsflow.ops.rangejoin import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [
+            ("bronze", 0.0, 50.0),
+            ("silver", 50.0, 120.0),
+            ("gold", 120.0, 300.0),
+            ("platinum", 300.0, 1000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join_binned(ev, tiers, "value", bin_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg("value").alias("avg_value"),
+    )
