@@ -21,3 +21,15 @@ __version__ = "0.1.0"
 
 from newsflow.session import get_spark  # noqa: F401
 from newsflow.tables import load_table, load_all  # noqa: F401
+
+# Headline operator surface (stable public API).
+from newsflow.dedup.cluster import connected_components  # noqa: F401
+from newsflow.dedup.minhash import (  # noqa: F401
+    minhash_near_dup_pairs,
+    native_minhash_near_dup_pairs,
+)
+from newsflow.ops.asof import asof_join  # noqa: F401
+from newsflow.ops.rangejoin import range_join_binned  # noqa: F401
+from newsflow.ops.scale import salted_join, write_bucketed  # noqa: F401
+from newsflow.sim.ivf import ivf_topk  # noqa: F401
+from newsflow.sim.knn import cosine_topk  # noqa: F401
