@@ -24,6 +24,10 @@ from newsflow.tables import load_table, load_all  # noqa: F401
 
 # Headline operator surface (stable public API).
 from newsflow.dedup.cluster import connected_components  # noqa: F401
+from newsflow.dedup.embedding import (  # noqa: F401
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
+)
 from newsflow.dedup.minhash import (  # noqa: F401
     minhash_near_dup_pairs,
     native_minhash_near_dup_pairs,

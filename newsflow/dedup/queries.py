@@ -4,10 +4,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from newsflow.dedup import core, minhash, simhash
+from newsflow.dedup import core, embedding, minhash, simhash
+from newsflow.functions.scalars import sql_dround
 from newsflow.functions.text import sql_shingles_rel
 from newsflow.registry import register
 from newsflow.tables import load_table
+
+_EMB_COS_SQL = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
 
 _JACCARD_ORACLE = f"""
 WITH sh AS ({sql_shingles_rel(n=3)}),
@@ -110,6 +117,40 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) near-dup pairs within Hamming distance 7."""
     return simhash.simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=7
+    )
+
+
+@register(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_dround(_EMB_COS_SQL, 6)} AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_EMB_COS_SQL} >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs, threshold 0.4):
+    the fifth dedup family (after exact/MinHash/SimHash/Jaccard), over the
+    embeddings table's array<float> column."""
+    return embedding.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "embedding_cosine_near_dup_lsh",
+    # No oracle: LSH bucketing is seed-dependent (Spark-side random
+    # hyperplanes). Precision is exact (every emitted pair is verified);
+    # recall vs the exact variant is measured in tests/test_dedup.py.
+    tags=("dedup", "embedding", "lsh"),
+)
+def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding-cosine near-dup pairs — the at-scale variant
+    (collision-pruned candidate set instead of the quadratic self-join)."""
+    return embedding.embedding_cosine_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 

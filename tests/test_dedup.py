@@ -108,3 +108,26 @@ def test_exact_dedup_removes_planted_duplicates(spark):
     assert kept.count() == n
     # keeper is always the original (smaller) doc_id
     assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_embedding_cosine_lsh_precision_and_recall(spark):
+    """The LSH-blocked embedding near-dup variant: precision must be exact
+    (every emitted pair truly clears the threshold — candidates are
+    verified), recall vs the exact all-pairs operator must stay high."""
+    from newsflow.dedup import embedding
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert len(exact) >= 10, "testdata should contain cosine-similar pairs"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding.embedding_cosine_pairs_lsh(
+            emb, threshold=0.4
+        ).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall} below floor"
