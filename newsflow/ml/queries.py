@@ -117,3 +117,30 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(25)
     )
+
+
+@register(
+    "theme_lr_coefficients",
+    # Rows-only: L-BFGS coefficient values are not an SQL contract.
+    # tests/test_ml.py asserts seeded determinism, vocab alignment, and
+    # the minDF vocabulary cut.
+    doc="M4/M7/M9/M12 theme variant — CountVectorizer(vocabSize=1000, "
+    "minDF=5) sparse counts -> StringIndexer -> LogisticRegression("
+    "regParam=0.1), top-8 vocabulary terms by |coef| "
+    "(S3-scripts/.../theme_ml_job.py:59-79; token arrays over documents "
+    "play themes_arr, the two most frequent langs play label_week).",
+    tags=("ml", "themes"),
+)
+def theme_lr_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsflow.functions.text import tokens_expr
+    from newsflow.ml.themes import fit_countvec_lr, vocab_coefficient_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "zh"))
+        .select("lang", tokens_expr("text").alias("toks"))
+    )
+    result = fit_countvec_lr(
+        docs, "toks", "lang", vocab_size=1000, min_df=5.0, reg_param=0.1
+    )
+    return vocab_coefficient_table(spark, result, k=8)

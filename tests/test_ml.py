@@ -9,6 +9,8 @@ from pyspark.ml.linalg import Vectors
 
 from newsflow.ml.pipeline import coefficient_table, fit_binary_lr
 from newsflow.ml.tfidf import fit_transform_tfidf, top_k_terms
+from newsflow.tables import load_table
+from tests.conftest import SF_ORACLE
 
 
 def test_top_k_terms_semantics(spark):
@@ -100,3 +102,38 @@ def test_fixed_vocab_tfidf_fully_deterministic(spark):
     assert out[1]["top_terms"] == ["epsilon zeta"]
     tf0 = out[0]["tf"].toArray().tolist()
     assert tf0 == [2.0, 1.0, 0.0, 1.0]  # indices ARE vocab order
+
+
+def test_theme_lr_vocab_alignment_and_determinism(spark):
+    """Theme-job pipeline (theme_ml_job.py:59-79 analog): coefficients are
+    aligned 1:1 with the CountVectorizer vocabulary, minDF prunes rare
+    terms, and the seeded fit is run-to-run deterministic."""
+    from newsflow.functions.text import tokens_expr
+    from newsflow.ml.themes import fit_countvec_lr, vocab_coefficient_table
+
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter(F.col("lang").isin("en", "zh"))
+        .select("lang", tokens_expr("text").alias("toks"))
+    )
+    result = fit_countvec_lr(
+        docs, "toks", "lang", vocab_size=1000, min_df=5.0, reg_param=0.1
+    )
+    assert len(result.coefficients) == len(result.vocabulary)
+    assert sorted(result.label_values) == ["en", "zh"]
+    # minDF=5: every vocab term appears in >= 5 documents
+    from pyspark.sql import functions as SF
+    doc_freq = {
+        r["t"]: r["df"]
+        for r in docs.select(
+            SF.explode(SF.array_distinct("toks")).alias("t")
+        ).groupBy("t").agg(SF.count("*").alias("df")).collect()
+    }
+    assert all(doc_freq[t] >= 5 for t in result.vocabulary)
+
+    table1 = vocab_coefficient_table(spark, result, k=8).collect()
+    rerun = fit_countvec_lr(
+        docs, "toks", "lang", vocab_size=1000, min_df=5.0, reg_param=0.1
+    )
+    table2 = vocab_coefficient_table(spark, rerun, k=8).collect()
+    assert table1 == table2
