@@ -92,7 +92,9 @@ def test_native_minhash_candidates_superset_of_exact(spark):
     arrays = core.doc_shingle_arrays(docs, 3)
     cands = {
         (r["doc_a"], r["doc_b"])
-        for r in minhash.native_minhash_candidates(arrays, 8).collect()
+        for r in minhash.native_minhash_candidates(
+            arrays, 16, rows_per_band=2
+        ).collect()
     }
     assert exact <= cands, f"native MinHash missed pairs: {exact - cands}"
 
