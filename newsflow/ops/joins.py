@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from newsflow.functions.exactagg import Sum, exact_stats_agg
 from newsflow.functions.scalars import davg, dsum, sql_davg, sql_dsum
 from newsflow.registry import register
 from newsflow.tables import load_table
@@ -81,13 +82,12 @@ def revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "inner")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_line_items"),
-            dsum(rev).alias("revenue"),
-        )
+    return exact_stats_agg(
+        o.join(li, o.o_orderkey == li.l_orderkey, "inner"),
+        keys=["o_orderstatus"],
+        measures={"rev": rev},
+        stats=[Sum("revenue", "rev")],
+        count_alias="n_line_items",
     )
 
 
