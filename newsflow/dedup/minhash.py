@@ -191,12 +191,33 @@ def native_minhash_candidates(
         "doc_id", F.explode(band_structs).alias("sig")
     ).select("doc_id", F.col("sig.band").alias("band"), F.col("sig.key").alias("key"))
 
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    # Bucket-grouped pair generation instead of a self-join: a self-join
+    # would evaluate the signature pipeline twice (once per side) and
+    # shuffle both copies; grouping materializes each LSH bucket once and
+    # expands pairs locally. sort_array makes doc_a < doc_b by
+    # construction and the output order-deterministic. Bucket skew is
+    # bounded by the signature itself: a bucket of k members yields
+    # k(k-1)/2 pairs either way — inherent to LSH output size, not to
+    # this formulation. (The two-arg lambda below *wants* the element
+    # index — the same transform() behavior that is a trap for
+    # one-arg functions is load-bearing here.)
+    buckets = (
+        sigs.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
