@@ -221,3 +221,43 @@ def keep_first_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first.l_quantity") + F.lit(0.0)).alias("first_quantity"),
         )
     )
+
+
+@register(
+    "customer_balance_quartiles",
+    oracle="""
+    SELECT c_mktsegment,
+           quartile,
+           count(*) AS n_customers,
+           (min(c_acctbal) + 0.0) AS min_bal,
+           (max(c_acctbal) + 0.0) AS max_bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey
+             ) AS quartile
+      FROM customer
+    )
+    GROUP BY c_mktsegment, quartile
+    """,
+    tags=("window", "agg"),
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking window: per-segment balance quartiles, aggregated to
+    quartile boundaries. The c_custkey tie-breaker makes the ntile
+    assignment total-order deterministic, so both engines bucket
+    identically. One shuffle on the segment key; the per-partition sort
+    is the inherent window cost (same trade-off as keep_first_dedup).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.min("c_acctbal") + F.lit(0.0)).alias("min_bal"),
+            (F.max("c_acctbal") + F.lit(0.0)).alias("max_bal"),
+        )
+    )

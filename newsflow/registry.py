@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "newsflow.ops.relational",
     "newsflow.ops.joins",
     "newsflow.ops.windows",
+    "newsflow.ops.subqueries",
     "newsflow.functions.scalars_queries",
     "newsflow.functions.text_queries",
     "newsflow.dedup.queries",

@@ -44,9 +44,13 @@ def test_topk_plans_take_ordered_not_full_sort(spark):
 def test_flagship_agg_is_partial_plus_final_codegen(spark):
     df = SPECS["pricing_summary"].build(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # partial (map-side) + final hash aggregation around one exchange.
+    # Hierarchical exact agg (functions/exactagg.py): partial (map-side)
+    # + final hash aggregation at each of the two levels. Two exchanges,
+    # but both move only pre-aggregated rows — level 1 collapses each
+    # scan partition to |groups| rows before its exchange, level 2
+    # shuffles |groups| x |partitions| partial sums.
     assert plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 2
     # Whole-stage-codegen markers ("*(n)") appear once AQE finalizes —
     # collect() executes THIS df's queryExecution (a write would plan a
     # fresh one), then the final plan shows the codegen stages.
@@ -85,3 +89,18 @@ def test_text_batteries_stay_udf_free(spark, name):
     stages in the text/NLP hot paths."""
     plan = plan_of(spark, name)
     assert "EvalPython" not in plan
+
+
+def test_decorrelated_thresholds_broadcast(spark):
+    # Scalar-subquery and correlated-subquery rewrites must broadcast the
+    # aggregate side — a shuffle of the fact table here would be the
+    # 100 TB bottleneck the rewrite exists to avoid.
+    assert "BroadcastNestedLoopJoin" in plan_of(spark, "orders_above_global_avg")
+    plan = plan_of(spark, "parts_above_brand_avg")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_outer_join_shapes_preserved(spark):
+    assert "FullOuter" in plan_of(spark, "daily_funnel_reconciliation")
+    assert "LeftOuter" in plan_of(spark, "customer_order_histogram")
