@@ -93,3 +93,37 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the classic gaps-and-islands SQL; Spark's session_window
     end = last event + gap, mirrored in the oracle."""
     return W.session_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "view_purchase_conversions",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_conversions,
+           min(lag_us) AS min_lag_us,
+           max(lag_us) AS max_lag_us
+    FROM (
+      SELECT v.user_id,
+             (epoch_ns(p.ts)//1000 - epoch_ns(v.ts)//1000) AS lag_us
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND epoch_ns(p.ts)//1000 > epoch_ns(v.ts)//1000
+       AND epoch_ns(p.ts)//1000 <= epoch_ns(v.ts)//1000 + 3600000000
+    )
+    GROUP BY user_id
+    """,
+    tags=("streaming", "join"),
+)
+def view_purchase_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (streaming/join.py):
+    view→purchase pairs within 1 hour per user, rolled up per user. The
+    oracle truncates ns→µs with integer arithmetic, matching Spark's µs
+    timestamps exactly. The streaming execution of the identical pair
+    join (watermarked both sides, bounded state) is asserted equal in
+    tests/test_streaming_join.py."""
+    from newsflow.streaming.join import conversion_pairs, conversion_stats
+
+    return conversion_stats(
+        conversion_pairs(load_table(spark, sf_dir, "events"))
+    )
