@@ -49,3 +49,18 @@ def collect_report(df: DataFrame, max_rows: int = 10_000) -> pd.DataFrame:
             "aggregate or limit before collecting"
         )
     return limited
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Columnar alternative to parquet (built into Spark, no extra jars):
+    same pushdown/pruning properties; some lakes standardize on ORC."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -67,3 +67,27 @@ def test_collect_report_guard(spark):
     assert len(collect_report(small, max_rows=10)) == 5
     with pytest.raises(ValueError, match="exceeds max_rows"):
         collect_report(spark.range(100), max_rows=10)
+
+
+def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from newsflow.sources.sinks import read_orc, write_orc
+    from newsflow.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=("o_orderstatus",))
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    # Partition pruning: a status predicate must reach the ORC scan as a
+    # partition filter, not a post-scan filter.
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
