@@ -40,6 +40,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # Deterministic timestamp rendering for oracle parity.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
+    # Spark's default parquet timestamp encoding is legacy INT96, which
+    # carries NO column statistics — every time-range predicate then
+    # reads every row group. TIMESTAMP_MICROS is a stats-bearing int64
+    # (and what every modern reader expects), making time-clustered
+    # layouts (ops/layout.py) actually skippable.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
