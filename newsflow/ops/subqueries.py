@@ -175,3 +175,51 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "signup_days_gapfilled",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      FROM events WHERE event_type = 'signup'
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM b
+    ),
+    counts AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT s.day, coalesce(c.n, 0) AS n_signups
+    FROM spine s LEFT JOIN counts c ON s.day = c.day
+    """,
+    tags=("timeseries", "join"),
+)
+def signup_days_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series: a generated date spine left-joined to the
+    per-day counts, so days with zero signups appear explicitly — the
+    shape every dashboard/time-series consumer needs (a bare GROUP BY
+    silently drops empty days). The spine is sequence()-generated from
+    the observed min/max (one 2-value aggregate broadcast, then one row
+    per day — never a driver-side loop), so it costs nothing at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    counts = (
+        signups.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = signups.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return spine.join(counts, "day", "left_outer").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_signups")
+    )
