@@ -27,9 +27,13 @@ def connected_components(
     component = min doc_id reachable. Deterministic.
 
     Each iteration: every node takes the min label among itself and its
-    neighbors. Converged when no label changes. Caching each round and
-    unpersisting the previous one keeps lineage short (the iterative-
-    algorithm equivalent of checkpointing).
+    neighbors. Converged when no label changes. Each round's labels are
+    localCheckpoint'ed — unlike cache(), that TRUNCATES lineage, so the
+    logical plan stays constant-size across iterations and an evicted
+    block can never trigger a recompute of the whole iteration chain
+    (the failure mode that kills iterative DataFrame jobs at scale).
+    On a cluster where executor loss matters, swap for reliable
+    ``checkpoint()`` with a checkpoint dir — same call shape.
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -42,7 +46,7 @@ def connected_components(
         both.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
     both = both.cache()
 
@@ -66,7 +70,7 @@ def connected_components(
                     "component", F.coalesce("n_comp", "component")
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -74,7 +78,6 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -50,3 +50,18 @@ def test_components_match_union_find_on_real_pairs(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == _union_find(edges)
+
+
+def test_iteration_lineage_is_truncated(spark):
+    # A 12-node chain needs ~11 propagation rounds; localCheckpoint must
+    # keep the result's plan constant-size (a cache()-based loop would
+    # accumulate one join per round and recompute the whole chain on
+    # block eviction).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(edges)
+    assert comp.distinct().count() == 12
+    assert {r["component"] for r in comp.collect()} == {0}
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, "lineage grew across iterations"
