@@ -53,10 +53,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
 
+    # One task wave per shuffle at the local core count: at sf0.1 every
+    # shuffle fits comfortably per-task, so extra partitions only add
+    # scheduling overhead (measured: 2x cpus costs +5-20% per query).
+    # AQE still re-splits any skewed/oversized partition at runtime; on a
+    # real cluster callers size shuffle partitions to data volume.
     spark = get_spark(
         app_name="newsflow-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=cpus,
     )
 
     # Warm the JVM (codegen, parquet reader init, file listing) so the
