@@ -79,3 +79,36 @@ def test_negative_values_and_single_row_groups(spark):
         dsum("v").alias("s"), davg("v").alias("m"), F.count(F.lit(1)).alias("n")
     )
     assert _rows(fast) == _rows(slow)
+
+
+from hypothesis import given, settings, strategies as st
+
+# Money-like values: ≤2 decimal digits, the exactness precondition both
+# dsum and exact_stats_agg state (scale-4 integer scaling is lossless).
+_money = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda c: c / 100.0
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), _money),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_property_matches_decimal_formulation(spark, rows, n_parts):
+    df = spark.createDataFrame(rows, "k string, v double").repartition(n_parts)
+    fast = exact_stats_agg(
+        df,
+        keys=["k"],
+        measures={"v": F.col("v")},
+        stats=[Sum("s", "v"), Avg("m", "v")],
+        count_alias="n",
+    )
+    slow = df.groupBy("k").agg(
+        dsum("v").alias("s"), davg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(fast) == _rows(slow)
