@@ -261,3 +261,48 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("c_acctbal") + F.lit(0.0)).alias("max_bal"),
         )
     )
+
+
+@register(
+    "user_trailing_24h_stats",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           count(*) OVER w AS n_24h,
+           sum(CAST(value * 100 AS BIGINT)) OVER w AS cents_24h
+    FROM (
+      SELECT event_id, user_id,
+             epoch_ns(ts) // 1000000000 AS ts_s,
+             round(value, 2) AS value
+      FROM events WHERE user_id < 20
+    )
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts_s
+      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "range-frame"),
+)
+def user_trailing_24h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-24-hour event
+    count and value total — the frame every rate-limit / rolling-metric
+    query needs, and a distinct shape from the ROWS frames
+    (`user_moving_avg`): the frame spans whatever ROW COUNT falls in the
+    time interval. Ordered by epoch seconds so the range arithmetic is
+    integer-exact in both engines; the value total sums exact cents
+    (value is 2-decimal) so no float-order hazard exists. Same
+    single-shuffle-plus-sort cost model as any window at scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts").alias("ts_s"))
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    cents = F.round(F.round("value", 2) * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(cents).over(w).alias("cents_24h"),
+    )
