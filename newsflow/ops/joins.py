@@ -277,3 +277,62 @@ def events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         davg("value").alias("avg_value"),
     )
+
+
+@register(
+    "shipping_priority_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           (cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+              AS DECIMAL(25,4))), 2) as double) + 0.0) AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '2024-06-01'
+      AND l.l_shipdate > DATE '2024-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "flagship"),
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the canonical mixed-strategy join pipeline:
+    selective dimension (filtered customer, broadcast) → fact-fact
+    orders ⋈ lineitem (shuffle on the order key) → grouped revenue →
+    top-10 (TakeOrderedAndProject, no full sort). Both date filters push
+    to the parquet scans, so the joins see pre-filtered inputs — at
+    100 TB the segment + date selectivity is what keeps the fact shuffle
+    small, and AQE can flip the orders side to broadcast after filtering.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "2024-06-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("2024-06-01").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

@@ -104,3 +104,9 @@ def test_decorrelated_thresholds_broadcast(spark):
 def test_outer_join_shapes_preserved(spark):
     assert "FullOuter" in plan_of(spark, "daily_funnel_reconciliation")
     assert "LeftOuter" in plan_of(spark, "customer_order_histogram")
+
+
+def test_q3_shape_broadcasts_dim_and_takes_ordered(spark):
+    plan = plan_of(spark, "shipping_priority_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
