@@ -671,3 +671,73 @@ def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reshape + diagnostics (beyond-reference relational completeness).
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_measures_unpivot",
+    oracle=f"""
+    SELECT l_returnflag, measure,
+           {sql_dsum('value')} AS total,
+           count(*) AS n
+    FROM (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+    tags=("reshape",),
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns → long (measure, value) form,
+    then aggregate per (flag, measure).
+
+    Spark's native `DataFrame.unpivot` expands rows inside the scan stage
+    (one `Expand` node, no join, no multi-scan) — at 100 TB this is one
+    pass over lineitem versus the oracle's 3-scan UNION ALL formulation,
+    the same single-pass-vs-restack tradeoff as grouping sets (O1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        dsum("value").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "orderkey_skew_profile",
+    oracle="""
+    SELECT group_size, count(*) AS n_keys
+    FROM (
+      SELECT l_orderkey, count(*) AS group_size
+      FROM lineitem GROUP BY l_orderkey
+    )
+    GROUP BY group_size
+    """,
+    tags=("agg", "scale"),
+)
+def orderkey_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: distribution of per-key group sizes.
+
+    The pre-flight check before choosing a join strategy at 100 TB — a
+    heavy tail here means AQE skew-join or `ops/scale.salted_join`.
+    Two cheap shuffles (key count, then size histogram), both with
+    map-side partial aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return per_key.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_keys"))

@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "newsflow.ops.joins",
     "newsflow.ops.windows",
     "newsflow.ops.subqueries",
+    "newsflow.ops.sampling",
     "newsflow.functions.scalars_queries",
     "newsflow.functions.text_queries",
     "newsflow.dedup.queries",
