@@ -8,7 +8,7 @@ from newsflow.dedup import core, embedding, minhash, simhash
 from newsflow.functions.scalars import sql_dround
 from newsflow.functions.text import sql_shingles_rel
 from newsflow.registry import register
-from newsflow.tables import load_table
+from newsflow.tables import load_table, spread
 
 _EMB_COS_SQL = (
     "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
@@ -70,7 +70,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.8)."""
     return core.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
     )
 
 
@@ -88,7 +88,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 min-signatures + signature self-join + exact verification —
     ~3x the MLlib MinHashLSH variant's throughput, identical output."""
     return minhash.native_minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
     )
 
 
@@ -102,7 +102,7 @@ def minhash_near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH (pyspark.ml) variant of the same operator — kept as
     the API-parity path and as a cross-check of the native signatures."""
     return minhash.minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
     )
 
 
@@ -116,7 +116,7 @@ def minhash_near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) near-dup pairs within Hamming distance 7."""
     return simhash.simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=7
+        spread(load_table(spark, sf_dir, "documents")), max_hamming=7
     )
 
 
@@ -135,7 +135,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fifth dedup family (after exact/MinHash/SimHash/Jaccard), over the
     embeddings table's array<float> column."""
     return embedding.embedding_cosine_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        spread(load_table(spark, sf_dir, "embeddings")), threshold=0.4
     )
 
 
@@ -150,7 +150,7 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     """LSH-blocked embedding-cosine near-dup pairs — the at-scale variant
     (collision-pruned candidate set instead of the quadratic self-join)."""
     return embedding.embedding_cosine_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        spread(load_table(spark, sf_dir, "embeddings")), threshold=0.4
     )
 
 
@@ -169,6 +169,6 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsflow.dedup.cluster import near_dup_clusters as _clusters
 
     pairs = minhash.native_minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
     )
     return _clusters(pairs)

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.registry import register
 from newsflow.sim import knn, lsh
-from newsflow.tables import load_table
+from newsflow.tables import load_table, spread
 
 _COS_SQL = (
     "list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) / "
@@ -36,7 +36,7 @@ _COS_SQL = (
 )
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 8 query vectors (exact ANN baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return knn.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -49,7 +49,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-5 (the both-sides-huge path)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     # min_cosine sits below the observed top-k similarity floor (~0.25 on
     # the synthetic embeddings) so retrieval, not the verify threshold,
     # bounds recall.
@@ -89,7 +89,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 8 cells per query, exact re-rank inside them."""
     from newsflow.sim.ivf import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=4
     )

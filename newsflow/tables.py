@@ -40,6 +40,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread a small-file scan across the cluster before CPU-heavy work.
+
+    The driver testdata parquet is one row group per file, so its scan
+    stage is a single task no matter how many cores exist — and any
+    per-row heavy projection chained onto the scan (shingle+hash
+    signatures, vector math) runs serially. Round-robin repartitioning a
+    few-MB input costs one tiny shuffle and buys full-core parallelism
+    for the compute stage.
+
+    At real scale this is a no-op: 100 TB tables scan as thousands of
+    splits, so ``getNumPartitions() >= target`` and the input passes
+    through unchanged. Only callers whose downstream cost is dominated by
+    per-row CPU should use this; scan-bound aggregations are better off
+    without the extra exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
