@@ -48,6 +48,7 @@ HEADLINE = [
     "tumbling_window_counts",   # streaming-equivalent batch windows
     "session_window_stats",     # sessionization
     "doc_quality_scores",       # text analysis battery
+    "corpus_curation_kept",     # end-to-end curation funnel composition
 ]
 
 

@@ -1,0 +1,210 @@
+"""Flagship training-data curation pipeline: the end-to-end composition a
+100 TB corpus actually goes through before model training.
+
+Stages, in the order a real pipeline applies them (cheap row-local filters
+first so every later shuffle sees fewer rows):
+
+1. **Quality + language gate** — pure per-row expressions (quality score,
+   lang metadata), no shuffle, fully pushdown-friendly.
+2. **Exact dedup** — md5 hash groupBy keeping min(doc_id); one 16-byte-key
+   shuffle over the surviving rows only.
+3. **Near-dup removal** — MinHash LSH candidates + exact Jaccard
+   verification (`dedup/minhash.py`), then drop the larger doc_id of every
+   verified pair (deterministic greedy keep-smallest). The LSH stage runs
+   on the already-filtered corpus, which at 100 TB is the difference
+   between shingling every document and shingling the ~1/3 that survive
+   the cheap gates.
+
+The whole pipeline is one lazy DataFrame plan — Catalyst pushes the
+stage-1 predicates into the parquet scan and the only shuffles are the
+dedup hash-agg and the LSH band join, both over filtered data.
+
+Generalizes the reference's manual filter chain
+(`common-crawl/scripts/nlp_analysis.py:102-105` — period filter, non-empty
+filter — and `gdelt/processing/build_datasets.py:90` — URL dedup) into the
+full curation funnel an LLM-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.dedup import minhash
+from newsflow.functions.scalars import dround
+from newsflow.functions.text import (
+    sql_stopword_ratio,
+    sql_tokens,
+    stopword_ratio_expr,
+    tokens_expr,
+)
+from newsflow.registry import register
+from newsflow.tables import load_table, spread
+
+QUALITY_THRESHOLD = 0.6
+KEEP_LANGS = ("en",)
+NEAR_DUP_JACCARD = 0.8
+
+
+def _scored(docs: DataFrame) -> DataFrame:
+    """documents + (n_tokens, quality score q) as pure row-local columns."""
+    t = tokens_expr("text")
+    n = F.size(t)
+    stop_ratio = stopword_ratio_expr(t)
+    distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
+    q = (
+        0.4 * F.least(n / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - stop_ratio)
+        + 0.3 * distinct_ratio
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        n.alias("n_tokens"),
+        q.alias("q"),
+    )
+
+
+def curate(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run the full funnel; returns the surviving per-document table."""
+    filtered = _scored(docs).filter(
+        (F.col("q") >= F.lit(QUALITY_THRESHOLD))
+        & F.col("lang").isin(*KEEP_LANGS)
+    )
+    kept = curate_exact_stage(filtered)
+    # Near-dup removal on the survivors only. Greedy keep-smallest: drop
+    # any doc that is the larger side of a verified near-dup pair. The
+    # dropped list is corpus-proportional at scale, so no broadcast hint —
+    # AQE picks broadcast only when it actually fits.
+    pairs = minhash.native_minhash_near_dup_pairs(
+        spread(kept.select("doc_id", "text")), n=3, threshold=NEAR_DUP_JACCARD
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return kept.join(dropped, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        dround(F.col("q"), 4).alias("quality_score"),
+    )
+
+
+_FUNNEL_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text, {sql_tokens()} AS t FROM documents),
+scored AS (
+  SELECT doc_id, lang, source, text, t, len(t) AS n_tokens,
+         0.4 * least(len(t) / 100.0, 1.0)
+       + 0.3 * (1.0 - {sql_stopword_ratio("t")})
+       + 0.3 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)) AS q
+  FROM toks),
+filtered AS (
+  SELECT * FROM scored
+  WHERE q >= {QUALITY_THRESHOLD} AND lang IN ('en')),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+kept AS (
+  SELECT f.* FROM filtered f JOIN keepers k USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+  FROM kept, UNNEST(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+        >= {NEAR_DUP_JACCARD}),
+final AS (
+  SELECT * FROM kept
+  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
+"""
+
+
+@register(
+    "corpus_curation_kept",
+    oracle=_FUNNEL_CTES
+    + """
+    SELECT doc_id, lang, source, n_tokens,
+           (round(q + 1e-9, 4) + 0.0) AS quality_score
+    FROM final
+    """,
+    tags=("curation", "dedup", "text"),
+)
+def corpus_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: quality gate -> language gate ->
+    exact dedup -> MinHash near-dup removal; the surviving corpus."""
+    return curate(load_table(spark, sf_dir, "documents"), spark)
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=_FUNNEL_CTES
+    + """
+    SELECT * FROM (
+      SELECT '0_total' AS stage, count(*) AS docs,
+             sum(len({t})) AS tokens
+      FROM documents
+      UNION ALL
+      SELECT '1_quality_lang', count(*), sum(n_tokens) FROM filtered
+      UNION ALL
+      SELECT '2_exact_dedup', count(*), sum(n_tokens) FROM kept
+      UNION ALL
+      SELECT '3_near_dup', count(*), sum(n_tokens) FROM final)
+    """.format(t=sql_tokens()),
+    tags=("curation", "dedup", "text"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts + token budget for the curation
+    funnel — the yield report a data-pipeline owner reads first."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.lit("0_total").alias("stage"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(tokens_expr("text"))).alias("tokens"),
+    )
+    filtered = _scored(docs).filter(
+        (F.col("q") >= F.lit(QUALITY_THRESHOLD))
+        & F.col("lang").isin(*KEEP_LANGS)
+    )
+    f_stats = filtered.agg(
+        F.lit("1_quality_lang").alias("stage"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    kept_docs = curate_exact_stage(filtered)
+    k_stats = kept_docs.agg(
+        F.lit("2_exact_dedup").alias("stage"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    final = curate(docs, spark)
+    n_stats = final.agg(
+        F.lit("3_near_dup").alias("stage"),
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    return total.unionByName(f_stats).unionByName(k_stats).unionByName(n_stats)
+
+
+def curate_exact_stage(filtered: DataFrame) -> DataFrame:
+    """Exact dedup keeping the min-doc_id row per distinct text.
+
+    Single min_by hash aggregation on the 16-byte text hash — one shuffle,
+    map-side partials, no keeper-list broadcast (that list is
+    corpus-proportional at 100 TB) and no window sort.
+    """
+    row = F.struct("doc_id", "lang", "source", "text", "n_tokens", "q")
+    return (
+        filtered.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min_by(row, F.col("doc_id")).alias("r"))
+        .select("r.*")
+    )

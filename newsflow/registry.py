@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "newsflow.ml.queries",
     "newsflow.nlp.queries",
     "newsflow.multimodal.queries",
+    "newsflow.curation",
 )
 
 

@@ -1,0 +1,58 @@
+"""Unit tests for the curation funnel's stage semantics on a hand-built
+corpus: deterministic exact-dup keeper choice, greedy near-dup drop, and
+funnel monotonicity. (Oracle parity at sf0.01 is covered automatically by
+tests/test_oracle_parity.py via the registry.)"""
+
+from __future__ import annotations
+
+from newsflow import curation
+
+# A high-quality, long, lexically diverse English sentence base — passes
+# the quality gate (score >= 0.6) comfortably.
+_BASE = (
+    "distributed query engines shuffle partition data across executor "
+    "nodes while broadcast joins replicate small dimension tables "
+    "everywhere reducing network traffic during large scale analytics "
+    "workloads that scan columnar parquet files with predicate pushdown "
+    "enabled for maximum throughput on modern hardware clusters today"
+)
+# Near-dup of _BASE: one word changed -> Jaccard on 3-gram shingles ~0.9.
+_NEAR = _BASE.replace("maximum", "optimal")
+# Clearly distinct document, same quality profile.
+_OTHER = (
+    "streaming pipelines watermark late arriving events into tumbling "
+    "windows aggregating session state incrementally while checkpoint "
+    "barriers guarantee exactly once semantics across micro batch "
+    "boundaries when sinks commit idempotent transactional output files "
+    "partitioned by event time for downstream consumption reliability"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, _BASE, "en", "siteA"),
+        (2, _BASE, "en", "siteB"),      # exact dup of 1 -> dropped
+        (3, _NEAR, "en", "siteC"),      # near dup of 1 -> dropped (greedy)
+        (4, _OTHER, "en", "siteD"),     # kept
+        (5, _BASE, "fr", "siteE"),      # language-gated out
+        (6, "the a an and of to", "en", "siteF"),  # quality-gated out
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_curate_funnel_semantics(spark):
+    out = curation.curate(_docs(spark), spark)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 survives (min doc_id in both its exact and near-dup groups),
+    # doc 4 survives; everything else is filtered at its stage.
+    assert set(rows) == {1, 4}
+    assert rows[1]["source"] == "siteA"  # keeper is min doc_id, not arbitrary
+    assert rows[1]["n_tokens"] == len(_BASE.split())
+
+
+def test_exact_stage_keeps_min_doc_id_row(spark):
+    filtered = curation._scored(_docs(spark)).filter("lang = 'en'")
+    kept = curation.curate_exact_stage(filtered)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 2 not in ids  # exact dup of 1 removed
+    assert 1 in ids and 3 in ids and 4 in ids
