@@ -28,7 +28,7 @@ full curation funnel an LLM-data pipeline needs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from newsflow.dedup import minhash
 from newsflow.functions.scalars import dround
@@ -193,6 +193,87 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("tokens"),
     )
     return total.unionByName(f_stats).unionByName(k_stats).unionByName(n_stats)
+
+
+BUDGET_FRACTION = 0.5
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {sql_tokens()} AS t FROM documents),
+    scored AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             (round(0.4 * least(len(t) / 100.0, 1.0)
+                  + 0.3 * (1.0 - {sql_stopword_ratio("t")})
+                  + 0.3 * (len(list_distinct(t))::DOUBLE
+                           / greatest(len(t), 1)) + 1e-9, 4) + 0.0) AS qb
+      FROM toks),
+    tot AS (SELECT floor(sum(n_tokens) * {BUDGET_FRACTION}) AS budget
+            FROM scored),
+    buckets AS (SELECT qb, sum(n_tokens) AS bt FROM scored GROUP BY qb),
+    bcum AS (SELECT qb, bt, sum(bt) OVER (ORDER BY qb DESC) AS cum_after
+             FROM buckets),
+    cls AS (SELECT qb, cum_after, cum_after - bt AS cum_before FROM bcum),
+    dcum AS (SELECT doc_id, n_tokens, qb,
+                    sum(n_tokens) OVER (PARTITION BY qb ORDER BY doc_id)
+                      AS run
+             FROM scored)
+    SELECT doc_id, n_tokens, qb AS quality_score
+    FROM dcum JOIN cls USING (qb) CROSS JOIN tot
+    WHERE cum_after <= budget
+       OR (cum_before < budget AND run <= budget - cum_before)
+    """,
+    tags=("curation", "sampling"),
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered token-budget selection: keep the best documents
+    until the token budget (50% of corpus tokens) is filled.
+
+    The naive form — global ORDER BY quality + one cumulative-sum window —
+    is a single-partition window at 100 TB. This is the scale-correct
+    two-pass: (1) aggregate token totals per ROUNDED quality bucket
+    (<= ~10k buckets by construction, so the bucket cumsum window is
+    driver-trivial and the bucket table broadcasts), classify each bucket
+    as fully-inside / boundary / outside the budget; (2) only the single
+    boundary bucket needs a per-document cumulative window, partitioned by
+    bucket — never a global sort, never a one-partition shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _scored(docs).select(
+        "doc_id", "n_tokens", dround(F.col("q"), 4).alias("qb")
+    )
+    budget = scored.agg(
+        F.floor(F.sum("n_tokens") * F.lit(BUDGET_FRACTION)).alias("budget")
+    )
+    buckets = scored.groupBy("qb").agg(F.sum("n_tokens").alias("bt"))
+    bw = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # qb is distinct per bucket row, so the rows-frame == range-frame; the
+    # un-partitioned window is safe here because the bucket table is
+    # bounded (rounded scores), not corpus-proportional.
+    cls = (
+        buckets.withColumn("cum_after", F.sum("bt").over(bw))
+        .withColumn("cum_before", F.col("cum_after") - F.col("bt"))
+        .select("qb", "cum_after", "cum_before")
+    )
+    dw = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = scored.withColumn("run", F.sum("n_tokens").over(dw))
+    return (
+        run.join(F.broadcast(cls), "qb")
+        .crossJoin(F.broadcast(budget))
+        .filter(
+            (F.col("cum_after") <= F.col("budget"))
+            | (
+                (F.col("cum_before") < F.col("budget"))
+                & (F.col("run") <= F.col("budget") - F.col("cum_before"))
+            )
+        )
+        .select("doc_id", "n_tokens", F.col("qb").alias("quality_score"))
+    )
 
 
 def curate_exact_stage(filtered: DataFrame) -> DataFrame:

@@ -6,6 +6,7 @@ tests/test_oracle_parity.py via the registry.)"""
 from __future__ import annotations
 
 from newsflow import curation
+from tests.conftest import SF_SMOKE
 
 # A high-quality, long, lexically diverse English sentence base — passes
 # the quality gate (score >= 0.6) comfortably.
@@ -56,3 +57,31 @@ def test_exact_stage_keeps_min_doc_id_row(spark):
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert 2 not in ids  # exact dup of 1 removed
     assert 1 in ids and 3 in ids and 4 in ids
+
+
+def test_token_budget_equals_global_sort_prefix(spark):
+    """The scale-safe two-pass (bucket histogram + boundary window) must
+    produce exactly the docs a naive global sort-and-cumsum would keep.
+    Scoring is shared via curation._scored — this test pins the selection
+    ALGORITHM (two-pass == global prefix), the score itself is pinned by
+    the DuckDB oracle."""
+    import pyspark.sql.functions as F
+
+    from newsflow.functions.scalars import dround
+    from newsflow.tables import load_table
+
+    sf = SF_SMOKE
+    got = {
+        r["doc_id"]
+        for r in curation.corpus_token_budget_sample(spark, sf).collect()
+    }
+    scored = (
+        curation._scored(load_table(spark, sf, "documents"))
+        .select("doc_id", "n_tokens", dround(F.col("q"), 4).alias("qb"))
+        .toPandas()
+    )
+    budget = int(scored["n_tokens"].sum() * curation.BUDGET_FRACTION)
+    ref = scored.sort_values(["qb", "doc_id"], ascending=[False, True])
+    ref = ref[ref["n_tokens"].cumsum() <= budget]
+    assert got == set(ref["doc_id"])
+    assert len(got) > 0
