@@ -269,3 +269,40 @@ def source_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_bpe_ish_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# GPT-2-style byte-level pretokenizer pattern (public tokenizer regex,
+# simplified to ASCII classes and with the RE2-incompatible lookahead
+# dropped so the same pattern runs in Spark (Java regex) and DuckDB (RE2):
+# contraction suffixes | space-prefixed letter runs | space-prefixed digit
+# runs | space-prefixed punctuation runs | whitespace runs. Counting these
+# matches approximates a BPE tokenizer's pre-merge segment count — the
+# standard cheap token-budget estimator for corpus planning.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+@register(
+    "doc_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+           len({sql_tokens()}) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token estimate (GPT-2 pretokenizer regex)
+    next to the whitespace/alnum token count — both pure JVM regex, no
+    tokenizer library in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_PRETOKEN_PATTERN)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(tokens_expr("text")).alias("n_ws_tokens"),
+    )
