@@ -164,35 +164,62 @@ def corpus_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage survivor counts + token budget for the curation
-    funnel — the yield report a data-pipeline owner reads first."""
+    funnel — the yield report a data-pipeline owner reads first.
+
+    Single-pass form: every document gets its stage-survival flags in one
+    scan (filter predicate as a column; exact-dedup keeper via a min-over
+    window on the text hash; near-dup drop via one join against the pair
+    list), then ONE aggregation computes all four stage totals, unpivoted
+    with `stack`. The naive form — re-running the funnel prefix per stage
+    — scans the corpus four times and cost 12 shuffles; this is 1 flag
+    pass + the dedup shuffles it already owns (see PLANS.md).
+    """
     docs = load_table(spark, sf_dir, "documents")
-    total = docs.agg(
-        F.lit("0_total").alias("stage"),
-        F.count(F.lit(1)).alias("docs"),
-        F.sum(F.size(tokens_expr("text"))).alias("tokens"),
+    passes = (F.col("q") >= F.lit(QUALITY_THRESHOLD)) & F.col("lang").isin(
+        *KEEP_LANGS
     )
-    filtered = _scored(docs).filter(
-        (F.col("q") >= F.lit(QUALITY_THRESHOLD))
-        & F.col("lang").isin(*KEEP_LANGS)
+    hw = Window.partitionBy(F.md5("text"))
+    flags = (
+        _scored(docs)
+        .withColumn("pass_filter", passes)
+        .withColumn(
+            "keeper",
+            F.col("pass_filter")
+            & (
+                F.col("doc_id")
+                == F.min(
+                    F.when(passes, F.col("doc_id"))
+                ).over(hw)
+            ),
+        )
     )
-    f_stats = filtered.agg(
-        F.lit("1_quality_lang").alias("stage"),
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
+    kept = flags.filter("keeper").select("doc_id", "text")
+    pairs = minhash.native_minhash_near_dup_pairs(
+        spread(kept), n=3, threshold=NEAR_DUP_JACCARD
     )
-    kept_docs = curate_exact_stage(filtered)
-    k_stats = kept_docs.agg(
-        F.lit("2_exact_dedup").alias("stage"),
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
+    dropped = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dropped", F.lit(True))
     )
-    final = curate(docs, spark)
-    n_stats = final.agg(
-        F.lit("3_near_dup").alias("stage"),
-        F.count(F.lit(1)).alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
+    flags = flags.join(dropped, "doc_id", "left").withColumn(
+        "survivor", F.col("keeper") & F.coalesce(~F.col("near_dropped"), F.lit(True))
     )
-    return total.unionByName(f_stats).unionByName(k_stats).unionByName(n_stats)
+    wide = flags.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.count_if("pass_filter").alias("d1"),
+        F.sum(F.when(F.col("pass_filter"), F.col("n_tokens"))).alias("t1"),
+        F.count_if("keeper").alias("d2"),
+        F.sum(F.when(F.col("keeper"), F.col("n_tokens"))).alias("t2"),
+        F.count_if("survivor").alias("d3"),
+        F.sum(F.when(F.col("survivor"), F.col("n_tokens"))).alias("t3"),
+    )
+    return wide.selectExpr(
+        "stack(4, '0_total', d0, t0, '1_quality_lang', d1, t1, "
+        "'2_exact_dedup', d2, t2, '3_near_dup', d3, t3) "
+        "AS (stage, docs, tokens)"
+    )
 
 
 BUDGET_FRACTION = 0.5
