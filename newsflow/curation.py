@@ -270,10 +270,12 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _scored(docs).select(
         "doc_id", "n_tokens", dround(F.col("q"), 4).alias("qb")
     )
-    budget = scored.agg(
-        F.floor(F.sum("n_tokens") * F.lit(BUDGET_FRACTION)).alias("budget")
-    )
     buckets = scored.groupBy("qb").agg(F.sum("n_tokens").alias("bt"))
+    # Derive the budget from the bucket histogram (sum(bt) == total
+    # tokens) instead of a third scan over the corpus.
+    budget = buckets.agg(
+        F.floor(F.sum("bt") * F.lit(BUDGET_FRACTION)).alias("budget")
+    )
     bw = Window.orderBy(F.desc("qb")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
