@@ -271,21 +271,26 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", dround(F.col("q"), 4).alias("qb")
     )
     buckets = scored.groupBy("qb").agg(F.sum("n_tokens").alias("bt"))
-    # Derive the budget from the bucket histogram (sum(bt) == total
-    # tokens) instead of a third scan over the corpus.
-    budget = buckets.agg(
-        F.floor(F.sum("bt") * F.lit(BUDGET_FRACTION)).alias("budget")
-    )
     bw = Window.orderBy(F.desc("qb")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    bw_all = Window.orderBy(F.desc("qb")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     # qb is distinct per bucket row, so the rows-frame == range-frame; the
-    # un-partitioned window is safe here because the bucket table is
-    # bounded (rounded scores), not corpus-proportional.
+    # un-partitioned windows are safe here because the bucket table is
+    # bounded (rounded scores), not corpus-proportional. The budget
+    # (fraction of total tokens) is the full-frame sum over the SAME
+    # bucket table — computing it here instead of as a separate agg branch
+    # saves a third corpus scan (verified in PLANS.md / executed plan).
     cls = (
         buckets.withColumn("cum_after", F.sum("bt").over(bw))
         .withColumn("cum_before", F.col("cum_after") - F.col("bt"))
-        .select("qb", "cum_after", "cum_before")
+        .withColumn(
+            "budget",
+            F.floor(F.sum("bt").over(bw_all) * F.lit(BUDGET_FRACTION)),
+        )
+        .select("qb", "cum_after", "cum_before", "budget")
     )
     dw = Window.partitionBy("qb").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -293,7 +298,6 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = scored.withColumn("run", F.sum("n_tokens").over(dw))
     return (
         run.join(F.broadcast(cls), "qb")
-        .crossJoin(F.broadcast(budget))
         .filter(
             (F.col("cum_after") <= F.col("budget"))
             | (
