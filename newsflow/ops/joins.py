@@ -336,3 +336,57 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@register(
+    "large_order_customers",
+    # Oracle keeps the literal TPC-H Q18 IN-subquery formulation; the
+    # engine runs the single-aggregation rewrite below. Same rows.
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    tags=("join", "tpch"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): who placed orders whose
+    total quantity exceeds the threshold.
+
+    Spark-first rewrite: the classic IN-subquery form aggregates lineitem
+    TWICE (once in the subquery, once for the output total). Here one
+    hash aggregation produces the per-order quantity, the HAVING filter
+    runs on it, and the surviving ~1% of orders join back to orders and
+    customer — lineitem is scanned and shuffled exactly once, and after
+    the filter AQE can flip the remaining joins to broadcast. l_quantity
+    is integer-valued, so the double sum is exact (hash-gate safe).
+    """
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
