@@ -22,6 +22,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from newsflow.dedup import core, minhash  # noqa: E402
 from newsflow.session import get_spark  # noqa: E402
+from newsflow import curation  # noqa: E402
 from newsflow.sim.ivf import ivf_topk  # noqa: E402
 from newsflow.tables import load_table  # noqa: E402
 
@@ -38,6 +39,8 @@ def main() -> None:
         c = docs.select(
             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
             F.concat("text", F.lit(f" stresscopy{i}")).alias("text"),
+            "lang",
+            "source",
         )
         big_docs = c if big_docs is None else big_docs.union(c)
     big_docs = big_docs.cache()
@@ -54,6 +57,10 @@ def main() -> None:
         big_docs, n=3, threshold=0.8
     ).count()
     t_minhash = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_curated = curation.curate(big_docs, spark).count()
+    t_curate = time.perf_counter() - t0
 
     emb = load_table(spark, sf_dir, "embeddings")
     big_emb = None
@@ -81,6 +88,8 @@ def main() -> None:
                 "exact_dedup_sec": round(t_exact, 1),
                 "minhash_pairs": n_pairs,
                 "minhash_sec": round(t_minhash, 1),
+                "curated_docs": n_curated,
+                "curation_sec": round(t_curate, 1),
                 "n_vectors": n_vecs,
                 "ivf_topk_rows": n_knn,
                 "ivf_sec": round(t_ivf, 1),
