@@ -78,3 +78,101 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas form of the same operator.
+#
+# applyInPandasWithState (above) is the Spark 3.x arbitrary-state API; the
+# StatefulProcessor API is its Spark 4 successor and the one new pipelines
+# should target: typed named state slots (value/list/map) instead of one
+# tuple, built-in per-state TTL (the idle-key eviction the old API left to
+# hand-rolled timeouts), event-time timers, and a RocksDB-backed state
+# store. Both forms are kept: same semantics, verified against the same
+# batch twin in tests/test_streaming_stateful.py.
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import guard for older PySpark
+    from pyspark.sql.streaming import StatefulProcessor
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually execute.
+
+    Requires PySpark >= 4.0 AND the ``protobuf`` package — the TWS
+    Python worker speaks a protobuf protocol to the JVM state server and
+    crashes at stream start without it. The plan still BUILDS without
+    protobuf (failure is at runtime), so callers should check this
+    before starting the query.
+    """
+    if not _HAS_TWS:
+        return False
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, total) with optional state TTL.
+
+    State: one ValueState slot holding (n_events, total_value). With
+    ``ttl_ms`` set, a user idle longer than the TTL is evicted from the
+    store and restarts from zero on its next event — bounded state for
+    unbounded key spaces, declared instead of hand-implemented.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        prior = self._totals.get()
+        n, total = prior if prior is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """transformWithStateInPandas twin of `running_user_totals`.
+
+    Requires the RocksDB state store (set by the caller's session conf:
+    ``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``); emits one row per user per
+    micro-batch in update mode, exactly like the Spark 3 form.
+    """
+    if not _HAS_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas requires PySpark >= 4.0"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
