@@ -110,3 +110,37 @@ def test_q3_shape_broadcasts_dim_and_takes_ordered(spark):
     plan = plan_of(spark, "shipping_priority_topk")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_lang_gate_pushed_to_scan(spark):
+    """The curation funnel's language filter must reach the parquet scan
+    (cheap gates below everything), and the whole pipeline must stay
+    JVM-side."""
+    plan = plan_of(spark, "corpus_curation_kept")
+    assert "EqualTo(lang,en)" in plan
+    for stage in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert stage not in plan
+
+
+def test_q18_aggregates_lineitem_once(spark):
+    """The Q18 rewrite must not re-aggregate lineitem for the IN-subquery:
+    exactly one aggregation pair (partial+final) over l_quantity."""
+    plan = plan_of(spark, "large_order_customers")
+    # One partial + one final hash aggregate on the sum; a naive
+    # subquery translation would show four.
+    assert plan.count("HashAggregate") == 2
+
+
+def test_token_budget_has_no_global_single_partition_window(spark):
+    """The doc-level cumulative window must be partitioned (by bucket) —
+    a Window with an empty partition spec over the corpus would print a
+    'Window' whose partition list is empty alongside an Exchange
+    SinglePartition over the doc rows. Only the bounded bucket table may
+    use the un-partitioned window."""
+    plan = plan_of(spark, "corpus_token_budget_sample")
+    assert "windowspecdefinition(qb" in plan or "partitionBy" not in plan
+    # The corpus-side exchanges hash-partition; any SinglePartition
+    # exchange must carry only the tiny bucket aggregate, which AQE
+    # reports with a tiny row estimate — assert the doc window itself is
+    # keyed on qb.
+    assert "Window [sum(n_tokens" in plan and "qb" in plan
