@@ -198,17 +198,22 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash-1 over 3-gram shingles (a content
-    signature stable under reordering-free edits)."""
-    from newsflow.dedup.core import doc_shingles
+    signature stable under reordering-free edits).
+
+    Zero-shuffle form: the shingle set is already a per-row array
+    (`doc_shingle_arrays`), so the min-hash is `array_min(transform(...))`
+    and the set size is `size(...)` — a pure projection that runs at scan
+    speed, where the earlier explode + groupBy formulation shuffled every
+    (doc, shingle) pair just to re-group them by doc."""
+    from newsflow.dedup.core import doc_shingle_arrays
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        doc_shingles(docs, 3)
-        .groupBy("doc_id")
-        .agg(
-            F.min(F.md5("s")).alias("fingerprint"),
-            F.count(F.lit(1)).alias("n_shingles"),
-        )
+    return doc_shingle_arrays(docs, 3).select(
+        "doc_id",
+        F.array_min(
+            F.transform("shingles", lambda s: F.md5(s))
+        ).alias("fingerprint"),
+        F.size("shingles").alias("n_shingles"),
     )
 
 
