@@ -26,30 +26,41 @@ BAND_WIDTH = N_BITS // N_BANDS
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash BIGINT) — 64-bit SimHash over distinct tokens."""
-    tok = (
-        docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
-        .distinct()
-        .withColumn("h", F.xxhash64("tok"))
-    )
-    bits = tok.select(
+    """(doc_id, simhash BIGINT) — 64-bit SimHash over distinct tokens.
+
+    One shuffle, no row blowup: per-doc token dedup is row-local
+    (`array_distinct` before the explode — no `distinct` shuffle), and
+    the 64 per-bit vote sums run as 64 columnar partial aggregates in a
+    SINGLE hash aggregation keyed on doc_id (map-side combine, whole-
+    stage codegen). The signature then folds row-locally. The previous
+    formulation exploded |tokens| x 64 vote rows through TWO hash
+    aggregations — 64x the shuffle volume for the same math. (A fully
+    row-local nested higher-order-function form was measured 2.3x
+    slower than this: nested lambdas drop out of codegen into
+    interpreted evaluation.) `+bit votes > 0` is equivalent to
+    `2 x popcount(bit) > n_tokens`, the form computed here.
+    """
+    tok = docs.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BITS - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        # shiftright() only takes a literal shift in the DataFrame API; the
-        # SQL operator form accepts a column.
-        "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        F.explode(F.array_distinct(tokens_expr("text"))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(N_BITS)
+        ],
     )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    sig = None
+    for b in range(N_BITS):
+        # bit 63 is the sign bit: its weight in a signed 64-bit signature
+        # is -(2^63) (two's complement), matching shiftleft(1L, 63).
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(
+            2 * F.col(f"b{b}") > F.col("n"), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -73,7 +84,8 @@ def simhash_near_dup_pairs(
         F.expr(f"(simhash >> (band * {BAND_WIDTH})) & {(1 << BAND_WIDTH) - 1}"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -86,11 +98,14 @@ def simhash_near_dup_pairs(
             F.col("a.simhash").alias("sig_a"),
             F.col("b.simhash").alias("sig_b"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cands.withColumn("hamming", hamming)
+        # Hamming check BEFORE the pair dedup: the check is a pure
+        # function of the pair, so filter-then-distinct == distinct-then-
+        # filter — but the filter runs map-side in the join output, so
+        # the distinct shuffles only true near-dups instead of every
+        # band collision (15.8M collision rows vs a handful of pairs on
+        # the sf0.1 corpus — the distinct was the dominant cost).
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
