@@ -151,14 +151,17 @@ def corpus_curation_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT * FROM (
       SELECT '0_total' AS stage, count(*) AS docs,
-             sum(len({t})) AS tokens
+             CAST(sum(len({t})) AS BIGINT) AS tokens
       FROM documents
       UNION ALL
-      SELECT '1_quality_lang', count(*), sum(n_tokens) FROM filtered
+      SELECT '1_quality_lang', count(*), CAST(sum(n_tokens) AS BIGINT)
+      FROM filtered
       UNION ALL
-      SELECT '2_exact_dedup', count(*), sum(n_tokens) FROM kept
+      SELECT '2_exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT)
+      FROM kept
       UNION ALL
-      SELECT '3_near_dup', count(*), sum(n_tokens) FROM final)
+      SELECT '3_near_dup', count(*), CAST(sum(n_tokens) AS BIGINT)
+      FROM final)
     """.format(t=sql_tokens()),
     tags=("curation", "dedup", "text"),
 )

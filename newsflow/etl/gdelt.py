@@ -61,46 +61,23 @@ DEFAULT_LABEL_WINDOWS = (
     ("week_may", "2024-05-13", "2024-05-20"),
 )
 
-# Vendored public-suffix snapshot (deterministic stand-in for tldextract's
-# live PSL fetch, build_datasets.py:13-17). Two-level suffixes checked
-# before one-level. Curated for the domains that occur in news corpora;
-# extend the snapshot, never fetch at runtime.
-PUBLIC_SUFFIXES_2 = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
-    "com.au", "net.au", "org.au", "edu.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp",
-    "co.in", "net.in", "org.in", "co.nz", "org.nz",
-    "com.br", "com.cn", "com.mx", "com.sg", "com.hk", "com.tw",
-    "co.kr", "co.za", "com.tr", "com.ar", "co.id", "com.my",
-)
-PUBLIC_SUFFIXES_1 = (
-    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
-    "io", "ai", "co", "me", "tv", "news", "dev", "app", "blog", "site",
-    "uk", "de", "fr", "jp", "cn", "in", "au", "ca", "br", "ru", "it",
-    "nl", "es", "se", "no", "ch", "at", "be", "dk", "fi", "pl", "us",
-    "eu", "mx", "kr", "tw", "hk", "sg", "id", "tr", "ar", "za", "nz",
-)
+def registrable_domain(url: Column, include_private: bool = False) -> Column:
+    """eTLD+1 extraction by the full PSL algorithm (F3).
 
-
-def registrable_domain(url: Column) -> Column:
-    """eTLD+1 extraction against the vendored suffix snapshot (F3).
-
-    host = parse_url(url, 'HOST'); match the longest known public suffix,
-    keep one label before it; no recognized suffix → last label (matching
-    tldextract's ext.domain fallback). All branch logic is a single
-    when-chain over IN-lists — constant-folded by Catalyst, no UDF.
+    host = parse_url(url, 'HOST'), then the publicsuffix.org longest-match
+    algorithm (normal/wildcard/exception rules) over the vendored snapshot
+    in ``newsflow.etl.psl`` — tldextract parity including wildcard TLDs
+    (``*.ck``), exception hosts (``!city.kawasaki.jp``) and, with
+    ``include_private=True``, the PSL private-domains section
+    (``foo.github.io`` → ``foo.github.io``). Default excludes private
+    domains, matching the reference's default-config tldextract
+    (build_datasets.py:13-17). Compiled to one when-chain over InSet
+    probes — constant-folded by Catalyst, zero shuffle, no UDF.
     """
+    from newsflow.etl.psl import registrable_domain_psl
+
     host = F.lower(F.parse_url(url, F.lit("HOST")))
-    labels = F.split(host, "\\.")
-    n = F.size(labels)
-    last1 = F.get(labels, n - 1)
-    last2 = F.concat_ws(".", F.get(labels, n - 2), last1)
-    last3 = F.concat_ws(".", F.get(labels, n - 3), last2)
-    return (
-        F.when((n >= 3) & last2.isin(*PUBLIC_SUFFIXES_2), last3)
-        .when((n >= 2) & last1.isin(*PUBLIC_SUFFIXES_1), last2)
-        .otherwise(last1)
-    )
+    return registrable_domain_psl(host, include_private=include_private)
 
 
 def label_week_expr(

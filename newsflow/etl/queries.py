@@ -260,8 +260,10 @@ SELECT count(*) AS n_rows,
                 '%Y-%m-%d %H:%M:%S') AS min_date,
        strftime(max(strptime(date_str, '%Y-%m-%d %H:%M:%S')),
                 '%Y-%m-%d %H:%M:%S') AS max_date,
-       sum(CASE WHEN label_week = 'week_feb' THEN 1 ELSE 0 END) AS n_week_feb,
-       sum(CASE WHEN label_week = 'week_may' THEN 1 ELSE 0 END) AS n_week_may,
+       CAST(sum(CASE WHEN label_week = 'week_feb' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_week_feb,
+       CAST(sum(CASE WHEN label_week = 'week_may' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_week_may,
        (round(avg(CASE WHEN num_themes = 0 THEN 1.0 ELSE 0.0 END) * 100
               + 1e-9, 2) + 0.0) AS pct_missing_themes,
        (round(avg(CASE WHEN num_orgs = 0 THEN 1.0 ELSE 0.0 END) * 100

@@ -250,8 +250,9 @@ def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_token_totals",
     oracle=f"""
     SELECT source,
-           sum(len({sql_tokens()})) AS total_tokens,
-           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+           CAST(sum(len({sql_tokens()})) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(
+                  text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
              AS total_bpe_ish_tokens,
            count(*) AS n_docs
     FROM documents

@@ -63,8 +63,9 @@ _SQL_KIND = (
     SELECT doc_id AS media_id,
            {_SQL_KIND} AS kind,
            octet_length(encode(text)) AS n_bytes,
-           list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
-             * 100 // octet_length(encode(text)) AS mean_byte,
+           CAST(list_sum(list_transform(string_split(text, ''),
+                                        c -> ascii(c)))
+                * 100 // octet_length(encode(text)) AS BIGINT) AS mean_byte,
            CAST({_SQL_NFRAMES} AS INT) AS n_frames
     FROM documents
     """,

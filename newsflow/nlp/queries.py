@@ -146,7 +146,9 @@ def modality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang,
-           sum(v) AS n_video, sum(a) AS n_audio, sum(t) AS n_text,
+           CAST(sum(v) AS BIGINT) AS n_video,
+           CAST(sum(a) AS BIGINT) AS n_audio,
+           CAST(sum(t) AS BIGINT) AS n_text,
            {sql_dround("sum(v) / (sum(v) + sum(a) + sum(t))")} AS share_video,
            {sql_dround("sum(a) / (sum(v) + sum(a) + sum(t))")} AS share_audio,
            {sql_dround("sum(t) / (sum(v) + sum(a) + sum(t))")} AS share_text

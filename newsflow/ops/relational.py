@@ -514,8 +514,8 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     oracle=f"""
     SELECT o_orderstatus AS status,
            {", ".join(
-               "sum(CASE WHEN o_orderpriority = '" + p + "' THEN 1 ELSE 0 END)"
-               " AS " + c
+               "CAST(sum(CASE WHEN o_orderpriority = '" + p
+               + "' THEN 1 ELSE 0 END) AS BIGINT) AS " + c
                for p, c in zip(_PRIORITIES,
                                ["n_urgent", "n_high", "n_medium",
                                 "n_unspecified", "n_low"])

@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from newsflow.registry import register
@@ -107,6 +108,15 @@ def corpus_shuffle(
     offsets; `mapInPandas` adds offset + local index. Positions are a
     property of the global order alone, so the result is independent of
     partition boundaries and input layout.
+
+    The arranged frame is materialized ONCE (`localCheckpoint`) before
+    the counts pass: Spark's RangePartitioner samples boundaries with an
+    RDD-dependent seed, so re-executing the lazy plan for the second job
+    could place rows in different partitions than the counts saw, making
+    `shuffle_pos` silently wrong (not a permutation). Checkpointing pins
+    the partitioning both jobs read. The materialization is inherent to
+    any two-pass global-offset scheme — at cluster scale this is an
+    executor-storage-resident intermediate, same as TeraSort's.
     """
     spark = docs.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -115,6 +125,7 @@ def corpus_shuffle(
         keyed.repartitionByRange(n_parts, "h", "k")
         .sortWithinPartitions("h", "k")
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["pid"]: r["cnt"]
@@ -129,6 +140,18 @@ def corpus_shuffle(
         acc += counts[pid]
     b_off = spark.sparkContext.broadcast(offsets)
     n_shards = shards
+    # Output key column mirrors the input key's name and type — the
+    # schema is derived, not hardcoded, so non-default / non-integer
+    # keys (e.g. a string url key) round-trip correctly.
+    key_field = docs.schema[key]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_field.name, key_field.dataType, key_field.nullable),
+            T.StructField("shuffle_pos", T.LongType(), False),
+            T.StructField("shard", T.LongType(), False),
+        ]
+    )
+    key_name = key_field.name
 
     def add_pos(batches):
         local = 0
@@ -140,15 +163,13 @@ def corpus_shuffle(
             local += len(pdf)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["k"],
+                    key_name: pdf["k"],
                     "shuffle_pos": pos,
                     "shard": (pos - 1) % n_shards,
                 }
             )
 
-    return arranged.mapInPandas(
-        add_pos, schema="doc_id long, shuffle_pos long, shard long"
-    )
+    return arranged.mapInPandas(add_pos, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -269,7 +269,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            user_id,
            count(*) OVER w AS n_24h,
-           sum(CAST(value * 100 AS BIGINT)) OVER w AS cents_24h
+           CAST(sum(CAST(value * 100 AS BIGINT)) OVER w AS BIGINT) AS cents_24h
     FROM (
       SELECT event_id, user_id,
              epoch_ns(ts) // 1000000000 AS ts_s,

@@ -170,9 +170,11 @@ def running_user_totals_tws(
         raise NotImplementedError(
             "transformWithStateInPandas requires PySpark >= 4.0"
         )
+    # Spark 4 rejects state TTL under timeMode="none" — TTL needs a clock.
+    # Switch to processing time exactly when a TTL is requested.
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningTotalsProcessor(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="update",
-        timeMode="none",
+        timeMode="none" if ttl_ms is None else "processingTime",
     )

@@ -30,13 +30,27 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table; normalizes the events ns-timestamp."""
+    """Load one testdata table; normalizes the events timestamp column.
+
+    The driver has shipped ``events.ts`` as both TIMESTAMP(NANOS)
+    (readable only via ``nanosAsLong``) and plain TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Both forms normalize
+    to a µs TIMESTAMP_LTZ under the UTC session zone — identical
+    instants, and the type every downstream ``unix_micros``/watermark
+    path was written against.
+    """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs truncation, matching how DuckDB's TIMESTAMP_NS compares
-        # at second granularity in the oracle queries.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns → µs truncation, matching how DuckDB's TIMESTAMP_NS
+            # compares in the oracle queries (epoch_ns(ts)//1000).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Same wall-clock µs reinterpreted as UTC instants (session
+            # tz is pinned to UTC in RUNTIME_CONFS, so this is exact).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

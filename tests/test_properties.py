@@ -125,45 +125,49 @@ def test_keyword_flag_substring_matches_reference(spark, batch, keywords):
         assert row["k"] == _ref_flag(joined, keywords), (s, keywords)
 
 
-# --- F3: registrable-domain when-chain vs a Python transcription -----------
+# --- F3: PSL when-chain vs the pure-Python twin of the same algorithm ------
 
-from newsflow.etl.gdelt import (  # noqa: E402
-    PUBLIC_SUFFIXES_1,
-    PUBLIC_SUFFIXES_2,
-    registrable_domain,
+from newsflow.etl.gdelt import registrable_domain  # noqa: E402
+from newsflow.etl.psl import (  # noqa: E402
+    ICANN_RULES,
+    PRIVATE_RULES,
+    registrable_domain_py,
 )
 
-_label = st.sampled_from(["news", "blog9", "x", "sub", "verylonglabel"])
+# Sample suffixes from every rule SHAPE: normal 1/2/3-label, wildcard
+# families (any label under *.ck / *.kawasaki.jp), exception hosts, and
+# private-domain suffixes (exercised with include_private on AND off).
+_plain_suffixes = tuple(
+    r for r in ICANN_RULES + PRIVATE_RULES if not r.startswith(("*.", "!"))
+)
+_wild_parents = tuple(
+    r[2:] for r in ICANN_RULES if r.startswith("*.")
+)
+_label = st.sampled_from(["news", "blog9", "x", "sub", "city", "www"])
 _suffix = st.one_of(
-    st.sampled_from(PUBLIC_SUFFIXES_2),
-    st.sampled_from(PUBLIC_SUFFIXES_1),
+    st.sampled_from(_plain_suffixes),
+    st.builds(lambda lbl, p: f"{lbl}.{p}", _label,
+              st.sampled_from(_wild_parents)),
     st.just("unknowntld"),
 )
 _host = st.builds(
     lambda labels, suffix: ".".join(labels + [suffix]),
-    st.lists(_label, min_size=1, max_size=3),
+    st.lists(_label, min_size=0, max_size=3),
     _suffix,
 )
 
 
-def _ref_domain(host: str) -> str:
-    labels = host.lower().split(".")
-    n = len(labels)
-    last1 = labels[-1]
-    last2 = ".".join(labels[-2:])
-    if n >= 3 and last2 in PUBLIC_SUFFIXES_2:
-        return ".".join(labels[-3:])
-    if n >= 2 and last1 in PUBLIC_SUFFIXES_1:
-        return last2
-    return last1
-
-
 @SETTINGS
-@given(st.lists(_host, min_size=1, max_size=25))
-def test_registrable_domain_matches_reference(spark, batch):
+@given(st.lists(_host, min_size=1, max_size=25), st.booleans())
+def test_registrable_domain_matches_psl_twin(spark, batch, private):
     df = spark.createDataFrame(
         [(f"https://{h}/a/b?q=1",) for h in batch], "url string"
     )
-    got = df.select(registrable_domain(F.col("url")).alias("d")).collect()
+    got = df.select(
+        registrable_domain(F.col("url"), include_private=private).alias("d")
+    ).collect()
     for h, row in zip(batch, got):
-        assert row["d"] == _ref_domain(h), h
+        assert row["d"] == registrable_domain_py(h, include_private=private), (
+            h,
+            private,
+        )
