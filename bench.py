@@ -49,6 +49,9 @@ HEADLINE = [
     "session_window_stats",     # sessionization
     "doc_quality_scores",       # text analysis battery
     "corpus_curation_kept",     # end-to-end curation funnel composition
+    "corpus_token_budget_sample",  # two-pass bucket-histogram budget cut
+    "simhash_near_dup_pairs",   # SimHash near-dup (most shuffle-heavy plan)
+    "knn_cosine_lsh",           # hyperplane-LSH ANN (bucketed scale path)
 ]
 
 

@@ -80,6 +80,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# Integer-cents twin: state is (count, cents) — both integers, so the
+# accumulated total is independent of row order WITHIN and ACROSS
+# micro-batches (float accumulation order would drift bits and break the
+# value-hash contract of the oracled query `running_user_totals_stream`).
+
+CENTS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+CENTS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def _update_user_cents(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_cents": [cents],
+        }
+    )
+
+
+def running_user_cents(events: DataFrame) -> DataFrame:
+    """Per-user running (count, integer-cents total) over a stream with a
+    ``cents`` long column. Same state shape as ``running_user_totals``
+    but hash-deterministic — the form the driver-checked streaming query
+    executes."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_cents,
+        outputStructType=CENTS_OUTPUT_SCHEMA,
+        stateStructType=CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas form of the same operator.
 #

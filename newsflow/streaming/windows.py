@@ -30,12 +30,23 @@ def events_schema(spark: SparkSession, sf_dir: str):
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    path_glob_filter: str | None = None,
 ) -> DataFrame:
-    """readStream over parquet event files with the ns→µs normalization."""
+    """readStream over parquet event files with the ns→µs normalization.
+
+    ``path`` must be a directory (streaming file source constraint);
+    ``path_glob_filter`` selects files within it — the way to stream one
+    table's file out of a directory that holds several.
+    """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if path_glob_filter:
+        reader = reader.option("pathGlobFilter", path_glob_filter)
     df = reader.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
