@@ -114,9 +114,11 @@ def minhash_near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (64-bit) near-dup pairs within Hamming distance 7."""
+    """SimHash (64-bit) near-dup pairs within Hamming distance 3 — the
+    Manku et al. (WWW'07) operating point for web-scale near-dup
+    detection; banded 4×16-bit pigeonhole join, exact at this radius."""
     return simhash.simhash_near_dup_pairs(
-        spread(load_table(spark, sf_dir, "documents")), max_hamming=7
+        spread(load_table(spark, sf_dir, "documents")), max_hamming=3
     )
 
 

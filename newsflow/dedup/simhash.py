@@ -9,8 +9,9 @@ explode over 64 bit positions), so it scales as an ordinary aggregation:
 shuffle key (doc_id, bit) with map-side partial sums, then one row per doc.
 
 The banded Hamming join uses the pigeonhole principle: signatures within
-Hamming distance ≤ 7 must agree on at least one of 8 8-bit bands, so the
-self-join keys on (band_index, band_value) instead of comparing all pairs.
+Hamming distance < b must agree on at least one of b equal-width bands,
+so candidates group on (band_index, band_value) instead of comparing all
+pairs. The band count derives from the radius (radius 3 → 4×16-bit).
 """
 
 from __future__ import annotations
@@ -21,8 +22,6 @@ from pyspark.sql import DataFrame
 from newsflow.functions.text import tokens_expr
 
 N_BITS = 64
-N_BANDS = 8
-BAND_WIDTH = N_BITS // N_BANDS
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -63,49 +62,106 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def _n_bands(max_hamming: int) -> int:
+    """Smallest divisor of 64 strictly greater than the radius — the
+    pigeonhole needs > max_hamming bands for exactness, and FEWER, WIDER
+    bands mean exponentially fewer bucket collisions (16-bit bands have
+    65536 values vs 256 for 8-bit), so candidate volume drops sharply as
+    the radius tightens."""
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        if b > max_hamming:
+            return b
+    raise ValueError("max_hamming must be < 64")
+
+
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 7
+    docs: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with Hamming(simhash_a, simhash_b) ≤ radius.
 
-    max_hamming ≤ 7 guarantees the 8-band pigeonhole join loses no pairs.
+    Default radius 3 is the published operating point for 64-bit SimHash
+    near-dup detection on web corpora (Manku, Jain & Das Sarma, WWW'07,
+    "Detecting near-duplicates for web crawling"). The band count is
+    derived from the radius (radius 3 → 4×16-bit bands, radius 7 →
+    8×8-bit), keeping the pigeonhole guarantee exact for any setting.
+
+    Shape (3 small shuffles, signatures computed ONCE):
+    1. bucket-grouped pair expansion — group the banded signatures by
+       (band, band_val) and expand each >1-doc bucket's sorted member
+       array into (i < j) pairs with higher-order functions, instead of
+       a self-join that would re-evaluate the signature pipeline per
+       side and shuffle both.
+    2. the expansion is preceded by a tiny repartition of the bucket
+       rows: post-agg data is a few MB so AQE would coalesce to one
+       task, serializing the quadratic expansion; spreading |buckets|
+       rows buys full-core parallelism for the CPU-heavy stage (a no-op
+       cost at real scale, where bucket rows are already thousands of
+       splits — same rationale as tables.spread).
+    3. NO pair-dedup shuffle: a pair agreeing on several bands would
+       come out once per band, so the old form needed a distinct() over
+       every band collision. Instead each pair is kept only in its FIRST
+       matching band — a pure function of (sig_a XOR sig_b, band), so
+       the dedup is a row-local filter and the distinct disappears.
+
+    Skew bound: a degenerate band value (e.g. near-empty docs hashing to
+    band 0) concentrates its bucket on one task with quadratic output —
+    inherent to every LSH bucket scheme (same bound documented at
+    minhash.py); radius/band parameters control it, and buckets above a
+    size cap could be dropped as "too common" if a corpus ever hits it.
     """
-    if max_hamming >= N_BANDS:
-        raise ValueError(
-            f"banded join is exact only for max_hamming < {N_BANDS}"
-        )
+    n_bands = _n_bands(max_hamming)
+    band_width = N_BITS // n_bands
+    band_mask = (1 << band_width) - 1
     sig = simhash_signatures(docs)
     banded = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
     ).withColumn(
         "band_val",
-        F.expr(f"(simhash >> (band * {BAND_WIDTH})) & {(1 << BAND_WIDTH) - 1}"),
+        # A full-width band's mask does not fit a signed BIGINT literal;
+        # the single band is just the signature itself (radius 0).
+        F.col("simhash")
+        if band_width == N_BITS
+        else F.expr(f"(simhash >> (band * {band_width})) & {band_mask}"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    buckets = (
+        banded.groupBy("band", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
+        .filter(F.size("m") > 1)
+        .repartition(parallelism)
+    )
+    pairs = buckets.select(
+        "band",
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (x, i) -> "
+                "transform(slice(m, i + 2, size(m) - i - 1), "
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.simhash AS sig_a, y.simhash AS sig_b))))"
+            )
+        ).alias("p"),
+    ).select("band", "p.*")
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    # Keep each pair only in its FIRST matching band: band == k requires
+    # bands 0..k-1 to differ — a row-local predicate replacing distinct().
+    conds = []
+    for k in range(n_bands):
+        c = F.col("band") == k
+        for j in range(k):
+            c = c & (
+                F.expr(
+                    f"((sig_a >> {j * band_width}) & {band_mask})"
+                    f" != ((sig_b >> {j * band_width}) & {band_mask})"
+                )
+            )
+        conds.append(c)
+    keep_first = conds[0]
+    for c in conds[1:]:
+        keep_first = keep_first | c
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        # Hamming check BEFORE the pair dedup: the check is a pure
-        # function of the pair, so filter-then-distinct == distinct-then-
-        # filter — but the filter runs map-side in the join output, so
-        # the distinct shuffles only true near-dups instead of every
-        # band collision (15.8M collision rows vs a handful of pairs on
-        # the sf0.1 corpus — the distinct was the dominant cost).
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        pairs.withColumn("hamming", F.bit_count(xor))
+        .filter((F.col("hamming") <= max_hamming) & keep_first)
         .select("doc_a", "doc_b", "hamming")
-        .distinct()
     )
