@@ -31,8 +31,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from newsflow.dedup import minhash
-from newsflow.functions.scalars import dround
+from newsflow.functions.scalars import dround, sql_dround
 from newsflow.functions.text import (
+    shingles_expr,
+    sql_shingles_rel,
     sql_stopword_ratio,
     sql_tokens,
     stopword_ratio_expr,
@@ -309,6 +311,222 @@ def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_id", "n_tokens", F.col("qb").alias("quality_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-export operators: sequence packing, split assignment, source
+# mixture weights, benchmark decontamination. Beyond-reference surface —
+# the steps between "curated corpus" and "training batches".
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512
+N_PACK_SHARDS = 16
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len({sql_tokens()}) AS n_tokens,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_tokens, h,
+             CAST(ascii(substr(h, 1, 1)) % {N_PACK_SHARDS} AS BIGINT)
+               AS shard
+      FROM toks
+    ), off AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tok_off
+      FROM sharded
+    )
+    SELECT doc_id, shard,
+           tok_off // {SEQ_LEN} AS pack_id,
+           tok_off % {SEQ_LEN} AS pack_offset,
+           n_tokens
+    FROM off
+    """,
+    tags=("curation", "packing"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training export: concatenate documents in a
+    deterministic pseudo-random order into fixed {SEQ_LEN}-token windows,
+    reporting each document's (shard, pack, offset) placement.
+
+    Scale shape: a single global token stream would need a global cumsum
+    (one-partition window). Instead documents hash into
+    ``N_PACK_SHARDS`` independent streams (md5 prefix — deterministic,
+    engine-portable) and the cumulative offset windows are PARTITIONED
+    BY shard, so packing parallelizes with the shard count and each
+    training shard is an independently reproducible token stream. At
+    100 TB, raise the shard count to O(cluster cores); placement stays
+    deterministic for any setting.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = base.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return off.select(
+        "doc_id",
+        "shard",
+        F.expr(f"offset div {SEQ_LEN}").alias("pack_id"),
+        (F.col("offset") % SEQ_LEN).alias("pack_offset"),
+        "n_tokens",
+    )
+
+
+@register(
+    "corpus_train_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('d', 'e')
+                THEN 'val'
+                WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f'
+                THEN 'test'
+                ELSE 'train' END AS split,
+           len({sql_tokens()}) AS n_tokens
+    FROM documents
+    """,
+    tags=("curation", "sampling"),
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket (13/16
+    train, 2/16 val, 1/16 test ≈ 81/12.5/6.25%). Row-local, zero
+    shuffle, stable under any repartitioning/backfill — the property
+    `rand()`-based splits lack (see ops/sampling.py module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(b.isin("d", "e"), "val")
+        .when(b == "f", "test")
+        .otherwise("train")
+        .alias("split"),
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+    )
+
+
+MIX_ALPHA = 0.5  # temperature exponent: upweights low-resource sources
+
+
+@register(
+    "corpus_source_mixture",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len({sql_tokens()})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), sh AS (
+      SELECT source, n_docs, tokens,
+             tokens / sum(tokens) OVER () AS raw_share
+      FROM s
+    )
+    SELECT source, n_docs, tokens,
+           {sql_dround("raw_share", 6)} AS share,
+           {sql_dround("sqrt(raw_share) / sum(sqrt(raw_share)) OVER ()", 6)}
+             AS weight
+    FROM sh
+    """,
+    tags=("curation", "sampling"),
+)
+def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling weights: per-source token share and a
+    temperature-adjusted weight ∝ share^{MIX_ALPHA} (the standard
+    low-resource upweighting used when mixing training-corpus domains).
+
+    The un-partitioned normalization windows run over the per-SOURCE
+    aggregate — bounded cardinality, not corpus-proportional — so the
+    single-partition window is a few rows at any scale (same argument as
+    the bucket table in corpus_token_budget_sample).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr("text"))).cast("long").alias("tokens"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("tokens") / F.sum("tokens").over(full)
+    weight = F.sqrt(share) / F.sum(F.sqrt(share)).over(full)
+    return s.select(
+        "source",
+        "n_docs",
+        "tokens",
+        dround(share, 6).alias("share"),
+        dround(weight, 6).alias("weight"),
+    )
+
+
+CONTAM_NGRAM = 8
+PROBE_MOD = 97
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS ({sql_shingles_rel(n=CONTAM_NGRAM)}),
+    probes AS (
+      SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % {PROBE_MOD} = 0
+    )
+    SELECT d.doc_id, count(DISTINCT p.probe_id) AS n_probe_hits
+    FROM sh d JOIN probes p USING (s)
+    WHERE d.doc_id <> p.probe_id
+    GROUP BY d.doc_id
+    """,
+    tags=("curation", "dedup"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: documents sharing any
+    {CONTAM_NGRAM}-token shingle with a probe set (every {PROBE_MOD}th
+    document stands in for a held-out eval set), with the count of
+    distinct probes hit — the n-gram-overlap contamination check every
+    LLM training pipeline runs before export.
+
+    Scale shape: the probe shingle set is eval-benchmark-sized (small by
+    construction), so it BROADCASTS; the corpus side streams its
+    shingles through a map-side broadcast-hash join + partial-agg count.
+    No shuffle touches the corpus-proportional shingle stream except the
+    final per-doc count over matching rows only.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", tokens_expr("text").alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_expr("t", n=CONTAM_NGRAM))
+        ).alias("s"),
+    )
+    probes = (
+        sh.filter(F.col("doc_id") % PROBE_MOD == 0)
+        .select(F.col("doc_id").alias("probe_id"), "s")
+    )
+    return (
+        sh.join(F.broadcast(probes), "s")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("probe_id").alias("n_probe_hits"))
     )
 
 

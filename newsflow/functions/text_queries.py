@@ -312,3 +312,59 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(tokens_expr("text")).alias("n_ws_tokens"),
     )
+
+
+# PII patterns — conservative, alternation-free regexes that behave
+# identically under Java regex (Spark) and RE2 (DuckDB): no ambiguous
+# backtracking, character classes + bounded quantifiers only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 -]{6,}[0-9]"
+
+
+def _sql_pii(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+@register(
+    "pii_scrub_battery",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_sql_pii(PII_EMAIL)}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_sql_pii(PII_IPV4)}'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_sql_pii(PII_PHONE)}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_sql_pii(PII_EMAIL)}', '<EMAIL>', 'g'),
+               '{_sql_pii(PII_IPV4)}', '<IP>', 'g'),
+               '{_sql_pii(PII_PHONE)}', '<PHONE>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    tags=("text", "pii"),
+)
+def pii_scrub_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction battery: per-document counts of
+    email / IPv4 / phone-shaped spans and the md5 of the redacted text
+    (replacement order email -> ip -> phone, identical in the oracle).
+    Row-local regex work — scales at parquet-scan speed, zero shuffle;
+    the hash (rather than the redacted text itself) keeps the result
+    frame small and engine-comparable."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

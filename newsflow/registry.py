@@ -83,6 +83,15 @@ def _load_all_modules() -> None:
 # as a green CORRECTNESS row rather than falling outside the 50-slot window.
 _FRONT_PINNED = ("order_priority_pivot", "user_trailing_24h_stats")
 
+# Round-1 driver-GREEN queries rotated behind the not-yet-checked ones:
+# they keep full local parity coverage, and the freed window slots go to
+# queries that still need their first driver-green row.
+_BACK_ROTATED = (
+    "timestamp_roundtrip",
+    "semicolon_split_stats",
+    "csv_tone_parse",
+)
+
 
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, oracled queries first.
@@ -95,7 +104,16 @@ def all_specs() -> dict[str, QuerySpec]:
     ordered = {
         n: _REGISTRY[n] for n in _FRONT_PINNED if _REGISTRY.get(n)
     }
-    ordered.update({n: s for n, s in _REGISTRY.items() if s.oracle})
+    ordered.update(
+        {
+            n: s
+            for n, s in _REGISTRY.items()
+            if s.oracle and n not in _BACK_ROTATED
+        }
+    )
+    ordered.update(
+        {n: _REGISTRY[n] for n in _BACK_ROTATED if _REGISTRY.get(n)}
+    )
     ordered.update({n: s for n, s in _REGISTRY.items() if not s.oracle})
     return ordered
 
