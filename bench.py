@@ -51,7 +51,7 @@ HEADLINE = [
     "corpus_curation_kept",     # end-to-end curation funnel composition
     "corpus_token_budget_sample",  # two-pass bucket-histogram budget cut
     "simhash_near_dup_pairs",   # SimHash near-dup (most shuffle-heavy plan)
-    "knn_cosine_lsh",           # hyperplane-LSH ANN (bucketed scale path)
+    "knn_cosine_lsh_native",    # sign-LSH ANN (native bucketed scale path)
 ]
 
 

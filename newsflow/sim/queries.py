@@ -59,6 +59,27 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from newsflow.sim.hyperplane import (  # noqa: E402
+    hyperplane_topk,
+    hyperplane_topk_oracle_sql,
+)
+
+
+@register(
+    "knn_cosine_lsh_native",
+    oracle=hyperplane_topk_oracle_sql(k=5, dim=64, max_query_id=8),
+    tags=("similarity", "lsh"),
+)
+def knn_cosine_lsh_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native sign-LSH approximate cosine top-5 (Charikar hyperplane
+    sketch, md5-derived Rademacher planes): deterministic and
+    engine-portable, so unlike the MLlib tier it has an EXACT DuckDB
+    oracle — the full retrieve→dedup→re-rank pipeline is hash-checked,
+    not just recall-tested."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return hyperplane_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 @register(
     "embedding_label_centroids",
     oracle="""

@@ -26,6 +26,26 @@ def test_lsh_recall_against_brute_force(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
 
 
+def test_hyperplane_lsh_recall_and_determinism(spark):
+    from newsflow.sim.hyperplane import hyperplane_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.cosine_topk(emb, queries, k=5).collect()
+    }
+    run = lambda: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"])
+        for r in hyperplane_topk(emb, queries, k=5).collect()
+    }
+    approx = run()
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"sign-LSH recall {recall:.2f} < 0.85"
+    # Deterministic: identical pair set on re-execution (no RNG anywhere).
+    assert run() == approx
+
+
 def test_knn_topk_shape_and_selfexclusion(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings")
     res = knn.cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=5)
