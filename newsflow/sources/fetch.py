@@ -55,6 +55,64 @@ def urllib_fetcher(url: str, headers: dict[str, str]) -> tuple[int, bytes]:
         return 0, b""
 
 
+RETRYABLE_STATUSES = (0, 429, 500, 502, 503, 504)
+
+
+def resilient(
+    fetcher: Fetcher,
+    max_retries: int = 4,
+    backoff_s: float = 0.5,
+    retry_on: tuple[int, ...] = RETRYABLE_STATUSES,
+    max_rps: float | None = None,
+    _sleep: Callable[[float], None] | None = None,
+    _now: Callable[[], float] | None = None,
+) -> Fetcher:
+    """Retry / backoff / rate-limit decorator for any ``Fetcher`` — what
+    a real Common-Crawl or GDELT ingest needs around the raw HTTP call
+    (the reference's notebook loops die on the first 503;
+    common-crawl.ipynb cells 5-10 have no retry at all).
+
+    - Transient statuses (connection failure 0, 429, 5xx) retry up to
+      ``max_retries`` times with exponential backoff.
+    - Backoff carries a DETERMINISTIC per-URL jitter (crc32, not
+      random): when a fleet of executors hits one throttling endpoint,
+      their retries decorrelate, yet every run stays reproducible.
+    - ``max_rps`` throttles the PER-TASK request rate with a
+      monotonic-clock interval gate. Cluster-wide politeness = max_rps ×
+      concurrent fetch tasks — size it for the target service (e.g.
+      Common Crawl asks for ~1 req/s total: cap partitions × max_rps).
+
+    ``_sleep``/``_now`` are injectable for offline tests; production
+    uses the real clock. Compose as
+    ``fetch_urls(urls, fetcher=resilient(urllib_fetcher, max_rps=1))``.
+    """
+    import time
+    import zlib
+
+    sleep = _sleep or time.sleep
+    now = _now or time.monotonic
+    min_interval = (1.0 / max_rps) if max_rps else 0.0
+    state = {"next_ok": 0.0}
+
+    def wrapped(url: str, headers: dict[str, str]) -> tuple[int, bytes]:
+        status, body = 0, b""
+        for attempt in range(max_retries + 1):
+            if min_interval:
+                wait = state["next_ok"] - now()
+                if wait > 0:
+                    sleep(wait)
+                state["next_ok"] = now() + min_interval
+            status, body = fetcher(url, headers)
+            if status not in retry_on:
+                return status, body
+            if attempt < max_retries:
+                jitter = 1.0 + (zlib.crc32(url.encode()) % 1000) / 1000.0
+                sleep(backoff_s * (2**attempt) * jitter)
+        return status, body
+
+    return wrapped
+
+
 # --- S9: GDELT daily-dump URL generation + parallel fetch ------------------
 
 GDELT_GAL_TEMPLATE = (

@@ -117,3 +117,85 @@ def test_read_wholetext_recursive(spark, tmp_path):
     # wholetext: the multi-line file arrives as ONE row.
     assert rows[1]["value"] == "<p>two\nlines</p>"
     assert rows[0]["path"].endswith("a.html")
+
+
+# --- resilient(): retry / backoff / rate-limit around any fetcher ----------
+
+
+def test_resilient_retries_then_succeeds():
+    from newsflow.sources.fetch import resilient
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(url, headers):
+        calls["n"] += 1
+        return (503, b"") if calls["n"] <= 2 else (200, b"ok")
+
+    f = resilient(
+        flaky, max_retries=4, backoff_s=0.5, _sleep=sleeps.append
+    )
+    status, body = f("http://x/a", {})
+    assert (status, body) == (200, b"ok")
+    assert calls["n"] == 3
+    # Exponential backoff with deterministic per-URL jitter: two sleeps,
+    # second exactly double the first (same jitter factor).
+    assert len(sleeps) == 2
+    assert sleeps[1] == 2 * sleeps[0]
+    assert 0.5 <= sleeps[0] <= 1.0  # base x jitter in [1, 2)
+
+
+def test_resilient_gives_up_after_max_retries():
+    from newsflow.sources.fetch import resilient
+
+    calls = {"n": 0}
+
+    def down(url, headers):
+        calls["n"] += 1
+        return 0, b""
+
+    f = resilient(down, max_retries=3, _sleep=lambda s: None)
+    status, _ = f("http://x/b", {})
+    assert status == 0
+    assert calls["n"] == 4  # initial + 3 retries
+
+
+def test_resilient_rate_limits_per_task():
+    from newsflow.sources.fetch import resilient
+
+    clock = {"t": 0.0}
+    sleeps: list[float] = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    f = resilient(
+        lambda u, h: (200, b"x"),
+        max_rps=2.0,
+        _sleep=fake_sleep,
+        _now=lambda: clock["t"],
+    )
+    for _ in range(3):
+        f("http://x/c", {})
+    # 2 rps -> calls gated 0.5s apart: two waits of 0.5s.
+    assert sleeps == [0.5, 0.5]
+
+
+def test_resilient_composes_with_fetch_urls(spark):
+    from newsflow.sources.fetch import fetch_urls, resilient
+
+    attempts: dict[str, int] = {}
+
+    def flaky(url, headers):
+        attempts[url] = attempts.get(url, 0) + 1
+        return (503, b"") if attempts[url] == 1 else (200, url.encode())
+
+    urls = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(6)], "url string"
+    )
+    out = fetch_urls(
+        urls, fetcher=resilient(flaky, backoff_s=0.0, _sleep=lambda s: None)
+    ).collect()
+    assert len(out) == 6
+    assert all(r["status"] == 200 for r in out)
