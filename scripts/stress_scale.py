@@ -20,9 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-from newsflow.dedup import core, minhash  # noqa: E402
+from newsflow.dedup import core, minhash, simhash  # noqa: E402
 from newsflow.session import get_spark  # noqa: E402
 from newsflow import curation  # noqa: E402
+from newsflow.sim.hyperplane import hyperplane_topk  # noqa: E402
 from newsflow.sim.ivf import ivf_topk  # noqa: E402
 from newsflow.tables import load_table  # noqa: E402
 
@@ -62,6 +63,10 @@ def main() -> None:
     n_curated = curation.curate(big_docs, spark).count()
     t_curate = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    n_simhash = simhash.simhash_near_dup_pairs(big_docs).count()
+    t_simhash = time.perf_counter() - t0
+
     emb = load_table(spark, sf_dir, "embeddings")
     big_emb = None
     for i in range(copies):
@@ -79,6 +84,10 @@ def main() -> None:
     n_knn = ivf_topk(big_emb, queries, k=5, n_cells=16, n_probe=4).count()
     t_ivf = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    n_lsh = hyperplane_topk(big_emb, queries, k=5).count()
+    t_lsh = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -90,9 +99,13 @@ def main() -> None:
                 "minhash_sec": round(t_minhash, 1),
                 "curated_docs": n_curated,
                 "curation_sec": round(t_curate, 1),
+                "simhash_pairs": n_simhash,
+                "simhash_sec": round(t_simhash, 1),
                 "n_vectors": n_vecs,
                 "ivf_topk_rows": n_knn,
                 "ivf_sec": round(t_ivf, 1),
+                "hyperplane_lsh_rows": n_lsh,
+                "hyperplane_lsh_sec": round(t_lsh, 1),
             }
         )
     )
