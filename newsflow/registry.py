@@ -54,6 +54,9 @@ _QUERY_MODULES = (
     "newsflow.ops.windows",
     "newsflow.ops.subqueries",
     "newsflow.ops.sampling",
+    # Last on purpose: new-this-round queries queue BEHIND the driver's
+    # 50-slot window until the current never-green set rotates out.
+    "newsflow.quality",
 )
 
 
