@@ -1,0 +1,54 @@
+"""Stream-EXECUTED query variants: the same window aggregations the
+batch twins in ``streaming/queries.py`` declare, actually run through
+``readStream`` → Structured Streaming → a sink, then compared against
+the identical DuckDB oracle. Registered in a late module (see
+registry.py ordering note) so they queue behind the current driver
+check window.
+
+Together with ``running_user_totals_stream`` (applyInPandasWithState)
+this gives the streaming surface hard end-to-end signals for BOTH the
+built-in windowed-aggregation path and the arbitrary-state path.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.registry import register
+from newsflow.streaming import windows as W
+from newsflow.streaming.queries import TUMBLING_ORACLE
+from newsflow.tables import load_table
+
+
+@register(
+    "tumbling_window_counts_stream",
+    oracle=TUMBLING_ORACLE,
+    tags=("streaming", "window", "executed"),
+)
+def tumbling_window_counts_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-hour tumbling windows × event_type EXECUTED as a stream:
+    events replayed via readStream (pathGlobFilter over the sf dir),
+    aggregated by Structured Streaming in complete output mode, drained
+    with an availableNow trigger into a memory sink. The final sink
+    table equals the batch aggregate, so the batch oracle applies
+    verbatim. Complete mode is safe here because the key space (hours ×
+    event types) is horizon-bounded, not row-bounded."""
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = W.read_events_stream(
+        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+    )
+    sink = f"twc_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        W.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

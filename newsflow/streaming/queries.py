@@ -18,10 +18,9 @@ from newsflow.tables import load_table
 _HOUR_NS = 3_600_000_000_000
 _HALF_NS = 1_800_000_000_000
 
-
-@register(
-    "tumbling_window_counts",
-    oracle=f"""
+# Shared by the batch twin AND the stream-executed variant
+# (exec_queries.py) — identical result contract, one oracle.
+TUMBLING_ORACLE = f"""
     SELECT strftime(make_timestamp(
              CAST(epoch_ns(ts) // {_HOUR_NS} AS BIGINT) * 3600000000),
              '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -31,7 +30,12 @@ _HALF_NS = 1_800_000_000_000
              AS sum_value
     FROM events
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "tumbling_window_counts",
+    oracle=TUMBLING_ORACLE,
     tags=("streaming", "window"),
 )
 def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

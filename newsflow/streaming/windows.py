@@ -48,8 +48,13 @@ def read_events_stream(
     if path_glob_filter:
         reader = reader.option("pathGlobFilter", path_glob_filter)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Same µs instants under the pinned UTC session zone (mirrors
+        # tables.load_table's batch-side normalization).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
