@@ -20,10 +20,15 @@ SF_ORACLE = os.environ.get("NEWSFLOW_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    # Overridable so the parity suite can be replayed under DIFFERENT
+    # parallelism (the correctness driver runs its own session with
+    # other core/shuffle-partition counts — partitioning-dependent bugs
+    # hide if local tests only ever see one layout):
+    #   NEWSFLOW_TEST_MASTER=local[4] NEWSFLOW_TEST_SHUFFLE=200 pytest …
     spark = get_spark(
         app_name="newsflow-tests",
-        master="local[8]",
-        shuffle_partitions=8,
+        master=os.environ.get("NEWSFLOW_TEST_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("NEWSFLOW_TEST_SHUFFLE", "8")),
     )
     yield spark
     spark.stop()
