@@ -48,6 +48,7 @@ from newsflow.reports.markdown import (  # noqa: E402
     network_report,
     weekly_summary_report,
 )
+from newsflow.reports import charts  # noqa: E402
 from newsflow.session import get_spark  # noqa: E402
 from newsflow.sources.sinks import collect_report  # noqa: E402
 
@@ -138,6 +139,60 @@ def main(stop_session: bool = False) -> None:
             title="Entity Sentiment",
         )
     )
+
+    # --- graphs (the reference's Results/Graphs/*.png surface, as SVG) --
+    graphs = out / "Graphs"
+    graphs.mkdir(exist_ok=True)
+    top_frames = [
+        (name, sections[2 * i][1].rename(columns={"domain": "source"}))
+        for i, name in enumerate(COMPANIES)
+    ]
+    charts.save_svg(
+        charts.graph_top_sources(top_frames),
+        str(graphs / "graph_top_sources.svg"),
+    )
+    partner_frames = [
+        (
+            name,
+            sections[2 * i + 1][1].rename(columns={"n_co_mentions": "count"}),
+        )
+        for i, name in enumerate(COMPANIES)
+    ]
+    charts.save_svg(
+        charts.graph_partnerships(partner_frames),
+        str(graphs / "graph_partnerships.svg"),
+    )
+    ent_wide = (
+        ent.pivot(index="company", columns="label_week", values="avg_tone")
+        .reset_index()
+        .rename(columns={"company": "entity"})
+        .fillna(0.0)
+    )
+    charts.save_svg(
+        charts.graph_entity_sentiment(ent_wide),
+        str(graphs / "graph_entity_sentiment.svg"),
+    )
+    sov = stats[["label_week"] + [f"pct_{f}" for f in COMPANIES.values()]]
+    sov = sov.rename(
+        columns={"label_week": "week"}
+        | {f"pct_{f}": name for name, f in COMPANIES.items()}
+    )
+    charts.save_svg(
+        charts.graph_share_of_voice(sov),
+        str(graphs / "graph_share_of_voice.svg"),
+    )
+    themes_all = theme_sections[0][1].rename(columns={"n": "count"})
+    charts.save_svg(
+        charts.graph_dominant_themes(themes_all),
+        str(graphs / "graph_dominant_themes.svg"),
+    )
+    if coefs is not None:
+        charts.save_svg(
+            charts.graph_feature_importance(
+                coefs.rename(columns={"coef": "coefficient"})
+            ),
+            str(graphs / "graph_feature_importance.svg"),
+        )
 
     print(f"pipeline complete → {out}")
     if stop_session:

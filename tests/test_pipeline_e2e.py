@@ -47,6 +47,22 @@ def test_artifacts_exist(pipeline_out):
         assert (pipeline_out / name).exists(), name
 
 
+def test_graph_artifacts(pipeline_out):
+    graphs = pipeline_out / "Graphs"
+    expected = {
+        "graph_top_sources.svg",
+        "graph_partnerships.svg",
+        "graph_entity_sentiment.svg",
+        "graph_share_of_voice.svg",
+        "graph_dominant_themes.svg",
+    }
+    names = {p.name for p in graphs.iterdir()}
+    assert expected <= names, names
+    for n in expected:
+        body = (graphs / n).read_text()
+        assert body.startswith("<svg") and body.rstrip().endswith("</svg>")
+
+
 def test_core_partitioned_by_label_week(pipeline_out):
     parts = {
         p.name
