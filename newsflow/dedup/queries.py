@@ -156,12 +156,44 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({sql_shingles_rel(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(doc_id, comp) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.doc_id
+)
+SELECT doc_id, min(comp) AS keeper FROM reach GROUP BY doc_id
+"""
+
+
 @register(
     "near_dup_clusters",
-    # Iterative label propagation is not single-statement SQL; DuckDB
-    # can express it with a recursive CTE, but termination/dedup
-    # semantics differ — covered instead by tests/test_cluster.py
-    # against a Python union-find reference.
+    # The iterative label propagation's fixpoint IS the transitive
+    # closure's per-node min — expressible as a DuckDB recursive CTE
+    # (UNION-dedup guarantees termination), so the iterative DataFrame
+    # algorithm gets an exact SQL oracle. Convergence/union-find parity
+    # additionally covered in tests/test_cluster.py.
+    oracle=_CLUSTER_ORACLE,
     tags=("dedup", "cluster", "iterative"),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
