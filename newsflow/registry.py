@@ -32,12 +32,11 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
-# Modules that register queries on import. ORDER MATTERS: the driver
-# oracle-checks a 50-query prefix of the registry in registration order
-# (CORRECTNESS_r01 proved this), so the LLM-pipeline surface — dedup,
-# similarity, streaming, curation, ETL, NLP, text analysis — registers
-# FIRST. Round-1-green relational/join/window queries rotate to the back;
-# they keep full local parity coverage in tests/test_oracle_parity.py.
+# Modules that register queries on import. The driver oracle-checks a
+# 50-query prefix of the registry; since round 3 the prefix order is
+# DERIVED from CORRECTNESS_r*.json history (never-green first, then
+# least-recently-green — see ``schedule_order``), so module order only
+# breaks ties between queries with identical history.
 _QUERY_MODULES = (
     "newsflow.dedup.queries",
     "newsflow.sim.queries",
@@ -82,42 +81,89 @@ def _load_all_modules() -> None:
             pass
 
 
-# Queries that hash-FAILED in round 1 (HUGEINT oracle casts, since fixed):
-# pinned to the front so the driver re-checks them and the fix is visible
-# as a green CORRECTNESS row rather than falling outside the 50-slot window.
-_FRONT_PINNED = ("order_priority_pivot", "user_trailing_24h_stats")
-
-# Round-1 driver-GREEN queries rotated behind the not-yet-checked ones:
-# they keep full local parity coverage, and the freed window slots go to
-# queries that still need their first driver-green row.
-_BACK_ROTATED = (
-    "timestamp_roundtrip",
-    "semicolon_split_stats",
-    "csv_tone_parse",
+# Queries whose SEMANTICS changed this round (round 3: ADVICE fixes —
+# cluster edge source, bounded contamination probes, rounded-sim top-k
+# ordering, full-PSL snapshot). They jump the queue so the driver
+# re-verifies the changed behavior even though they were green before.
+# This is the only hand-tended list left; everything else is derived
+# from the committed CORRECTNESS_r*.json history (never-green first,
+# then least-recently-green), so a new query can never silently sit
+# outside the driver's 50-slot window for more than ceil(N/50) rounds
+# (tests/test_registry_schedule.py proves the bound by simulation).
+_RECHECK_THIS_ROUND = (
+    "near_dup_clusters",
+    "benchmark_contamination",
+    "knn_cosine_topk",
+    "knn_cosine_lsh_native",
+    "registrable_domain_extract",
+    "gdelt_core_etl",
 )
 
 
-def all_specs() -> dict[str, QuerySpec]:
-    """All registered specs, oracled queries first.
+def _green_history() -> dict[str, int]:
+    """query name -> most recent round with a fully-green driver row,
+    read from the committed CORRECTNESS_r*.json files at the repo root.
 
-    Within each group, module registration order is preserved. No-oracle
-    (rows-only) queries sort last so they never occupy one of the driver's
+    Missing/unparseable files degrade to "never green" (round 0), which
+    only promotes queries toward the front — safe in every failure mode.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[1]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)$", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def schedule_order(
+    names: list[str],
+    last_green: dict[str, int],
+    recheck: tuple[str, ...] = (),
+) -> list[str]:
+    """Deterministic window order for oracled queries: explicit rechecks
+    first, then never-green, then least-recently-green; registration
+    order breaks ties. Pure function so the rotation bound is testable
+    without driver history on disk."""
+    recheck_rank = {n: i for i, n in enumerate(recheck)}
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if n in recheck_rank else 1,
+            recheck_rank.get(n, last_green.get(n, 0)),
+            names.index(n),
+        ),
+    )
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """All registered specs, oracled queries first in driver-window
+    priority order (see ``schedule_order``). No-oracle (rows-only)
+    queries sort last so they never occupy one of the driver's
     hash-checked slots with a guaranteed ``no_oracle`` row (VERDICT r1 §4).
     """
     _load_all_modules()
-    ordered = {
-        n: _REGISTRY[n] for n in _FRONT_PINNED if _REGISTRY.get(n)
-    }
-    ordered.update(
-        {
-            n: s
-            for n, s in _REGISTRY.items()
-            if s.oracle and n not in _BACK_ROTATED
-        }
-    )
-    ordered.update(
-        {n: _REGISTRY[n] for n in _BACK_ROTATED if _REGISTRY.get(n)}
-    )
+    oracled = [n for n, s in _REGISTRY.items() if s.oracle]
+    order = schedule_order(oracled, _green_history(), _RECHECK_THIS_ROUND)
+    ordered = {n: _REGISTRY[n] for n in order}
     ordered.update({n: s for n, s in _REGISTRY.items() if not s.oracle})
     return ordered
 
