@@ -480,6 +480,14 @@ def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAM_NGRAM = 8
 PROBE_MOD = 97
+# Hard cap on the number of probe DOCUMENTS (doc_id < PROBE_MOD *
+# PROBE_MAX_DOCS, stepping by PROBE_MOD → at most PROBE_MAX_DOCS probe
+# docs at ANY corpus size). Without the cap the probe side is
+# corpus-proportional (n_docs / PROBE_MOD) and F.broadcast of it would
+# collect a linearly-growing frame to the driver at 100 TB (ADVICE r2).
+# A real decontamination run replaces this synthetic probe set with the
+# actual eval benchmarks, which are fixed-size by nature.
+PROBE_MAX_DOCS = 16
 
 
 @register(
@@ -487,7 +495,9 @@ PROBE_MOD = 97
     oracle=f"""
     WITH sh AS ({sql_shingles_rel(n=CONTAM_NGRAM)}),
     probes AS (
-      SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % {PROBE_MOD} = 0
+      SELECT doc_id AS probe_id, s FROM sh
+      WHERE doc_id % {PROBE_MOD} = 0
+        AND doc_id < {PROBE_MOD * PROBE_MAX_DOCS}
     )
     SELECT d.doc_id, count(DISTINCT p.probe_id) AS n_probe_hits
     FROM sh d JOIN probes p USING (s)
@@ -499,12 +509,13 @@ PROBE_MOD = 97
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination scan: documents sharing any
     {CONTAM_NGRAM}-token shingle with a probe set (every {PROBE_MOD}th
-    document stands in for a held-out eval set), with the count of
-    distinct probes hit — the n-gram-overlap contamination check every
-    LLM training pipeline runs before export.
+    document, capped at {PROBE_MAX_DOCS} docs, stands in for a held-out
+    eval set), with the count of distinct probes hit — the n-gram-overlap
+    contamination check every LLM training pipeline runs before export.
 
-    Scale shape: the probe shingle set is eval-benchmark-sized (small by
-    construction), so it BROADCASTS; the corpus side streams its
+    Scale shape: the probe set is BOUNDED (≤ {PROBE_MAX_DOCS} documents'
+    shingles regardless of corpus size — the cap is what makes the
+    broadcast legitimate), so it BROADCASTS; the corpus side streams its
     shingles through a map-side broadcast-hash join + partial-agg count.
     No shuffle touches the corpus-proportional shingle stream except the
     final per-doc count over matching rows only.
@@ -519,7 +530,10 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     probes = (
-        sh.filter(F.col("doc_id") % PROBE_MOD == 0)
+        sh.filter(
+            (F.col("doc_id") % PROBE_MOD == 0)
+            & (F.col("doc_id") < PROBE_MOD * PROBE_MAX_DOCS)
+        )
         .select(F.col("doc_id").alias("probe_id"), "s")
     )
     return (

@@ -71,9 +71,14 @@ def embedding_cosine_pairs(
     sim = dot_expr(F.col("vec_a"), F.col("vec_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
+    # Threshold the ROUNDED similarity: a pair whose raw cosine sits at
+    # the boundary within float noise must fall on the same side in
+    # Spark and the DuckDB oracle (summation association can differ
+    # between engines; the rounded value is what both emit).
     pairs = a.join(
         F.broadcast(b),
-        (F.col("id_a") < F.col("id_b")) & (sim >= F.lit(threshold)),
+        (F.col("id_a") < F.col("id_b"))
+        & (dround(sim, round_to) >= F.lit(threshold)),
     )
     return pairs.select(
         "id_a",
@@ -120,6 +125,6 @@ def embedding_cosine_pairs_lsh(
         F.col("euclid"),
     ).filter(F.col("id_a") < F.col("id_b"))
     sim = F.lit(1.0) - (F.col("euclid") * F.col("euclid")) / 2.0
-    return joined.filter(sim >= F.lit(threshold)).select(
+    return joined.filter(dround(sim, round_to) >= F.lit(threshold)).select(
         "id_a", "id_b", dround(sim, round_to).alias("cosine_sim")
     )

@@ -128,7 +128,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {sql_dround(_EMB_COS_SQL, 6)} AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_EMB_COS_SQL} >= 0.4
+    WHERE {sql_dround(_EMB_COS_SQL, 6)} >= 0.4
     """,
     tags=("dedup", "embedding"),
 )
@@ -191,15 +191,44 @@ SELECT doc_id, min(comp) AS keeper FROM reach GROUP BY doc_id
     # The iterative label propagation's fixpoint IS the transitive
     # closure's per-node min — expressible as a DuckDB recursive CTE
     # (UNION-dedup guarantees termination), so the iterative DataFrame
-    # algorithm gets an exact SQL oracle. Convergence/union-find parity
-    # additionally covered in tests/test_cluster.py.
+    # algorithm gets an exact SQL oracle. The edge set is the EXACT
+    # shingle-join pair graph (same as the oracle's), so the oracle is
+    # exact by construction — not "exact conditional on LSH recall = 1"
+    # (ADVICE r2: an LSH band miss would split a component and flip
+    # every keeper in it). Convergence/union-find parity additionally
+    # covered in tests/test_cluster.py.
     oracle=_CLUSTER_ORACLE,
     tags=("dedup", "cluster", "iterative"),
 )
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER assignments: connected components over the
-    MinHash-verified pair graph — O(edges) per iteration instead of the
-    quadratic-per-cluster pairwise listing."""
+    """Near-dup CLUSTER assignments: connected components over the exact
+    Jaccard pair graph — O(edges) per iteration instead of the
+    quadratic-per-cluster pairwise listing. (The clustering operator is
+    edge-source-agnostic; `near_dup_clusters_lsh` is the same component
+    algorithm fed by the banded-LSH candidate path used at scale.)"""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+
+    pairs = core.jaccard_pairs(
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    )
+    return _clusters(pairs)
+
+
+@register(
+    "near_dup_clusters_lsh",
+    # No oracle: the edge set comes from MinHash banding (16 hashes,
+    # r=2, b=8), whose recall is probabilistic — a true pair missing
+    # from every band (~(1-J^2)^8) would split a component, so an exact
+    # transitive-closure SQL cannot be a sound oracle for this edge
+    # source on arbitrary data. Covered by tests/test_cluster.py
+    # (LSH-fed components == exact-fed components on the test corpus)
+    # and by the minhash pair oracle upstream.
+    tags=("dedup", "cluster", "iterative", "lsh"),
+)
+def near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of near-dup clustering: connected components over
+    the banded-MinHash candidate pairs (verified by exact Jaccard on
+    candidates only) — no all-pairs shingle join anywhere in the plan."""
     from newsflow.dedup.cluster import near_dup_clusters as _clusters
 
     pairs = minhash.native_minhash_near_dup_pairs(

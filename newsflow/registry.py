@@ -95,6 +95,7 @@ _RECHECK_THIS_ROUND = (
     "benchmark_contamination",
     "knn_cosine_topk",
     "knn_cosine_lsh_native",
+    "embedding_cosine_near_dup",
     "registrable_domain_extract",
     "gdelt_core_etl",
 )

@@ -141,8 +141,10 @@ def hyperplane_topk(
     sim = dot / (
         F.sqrt(F.expr(nrm.format("v"))) * F.sqrt(F.expr(nrm.format("qv")))
     )
+    # Rank by the ROUNDED similarity so ties below float noise resolve
+    # identically in Spark and the oracle (see knn.cosine_topk).
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
+        F.desc(dround(F.col("sim"), round_to)), F.asc("neighbor_id")
     )
     return (
         pairs.withColumn("sim", sim)
@@ -194,7 +196,8 @@ def hyperplane_topk_oracle_sql(
            {sql_dround("sim", round_to)} AS cosine_sim
     FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        PARTITION BY query_id
+        ORDER BY {sql_dround("sim", round_to)} DESC, neighbor_id
       ) AS rn FROM sims
     ) WHERE rn <= {k}
     """

@@ -77,8 +77,14 @@ def cosine_topk(
         )
         .select("query_id", "neighbor_id", "sim")
     )
+    # Rank by the ROUNDED similarity (the same rounding both engines
+    # emit), not the raw double: two neighbors whose cosines differ only
+    # below float noise could otherwise order differently between Spark
+    # and the oracle (different summation association after codegen),
+    # flipping membership at the k boundary. Ties within rounding
+    # resolve on neighbor_id identically everywhere.
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
+        F.desc(dround(F.col("sim"), round_to)), F.asc("neighbor_id")
     )
     return (
         sims.withColumn("rn", F.row_number().over(w))

@@ -28,7 +28,8 @@ _COS_SQL = (
     SELECT query_id, neighbor_id, (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
     FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+        PARTITION BY query_id
+        ORDER BY (round(sim + 1e-9, 6) + 0.0) DESC, neighbor_id
       ) AS rn FROM sims
     ) WHERE rn <= 5
     """,

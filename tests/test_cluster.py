@@ -65,3 +65,22 @@ def test_iteration_lineage_is_truncated(spark):
     assert {r["component"] for r in comp.collect()} == {0}
     plan = comp._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, "lineage grew across iterations"
+
+
+def test_lsh_fed_components_match_exact_fed(spark):
+    # The registered `near_dup_clusters` (exact edges, oracled) and
+    # `near_dup_clusters_lsh` (banded-MinHash edges, rows-only) must
+    # agree on the test corpus — LSH recall is 1 here, so any split
+    # component would flag a banding bug.
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = core.jaccard_pairs(docs, n=3, threshold=0.8)
+    lsh = minhash.native_minhash_near_dup_pairs(docs, n=3, threshold=0.8)
+    comp_exact = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(exact).collect()
+    }
+    comp_lsh = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(lsh).collect()
+    }
+    assert comp_exact == comp_lsh
