@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Bench trend gate: fail if any shared headline query regresses more
+than REGRESSION_FACTOR vs the latest committed BENCH_r*.json.
+
+Usage:
+    python bench_check.py                 # runs bench.py, compares
+    python bench_check.py current.json    # compares a saved bench line
+
+Noise floor: regressions smaller than ABS_FLOOR_SEC absolute are
+ignored — at sf0.1 several headline queries run in ~0.2 s, where a
+1.5x "regression" is run-to-run jitter, not a plan change (the exact
+drift VERDICT r2 flagged on tumbling_window_counts).
+
+Exit status: 0 = no regression, 1 = regression, 2 = usage/IO error.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REGRESSION_FACTOR = 1.5
+ABS_FLOOR_SEC = 0.15
+
+ROOT = Path(__file__).resolve().parent
+
+
+def latest_committed_bench() -> tuple[str, dict] | None:
+    benches = sorted(
+        ROOT.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    if not benches:
+        return None
+    p = benches[-1]
+    data = json.loads(p.read_text())
+    # The driver wraps bench.py's JSON line under "parsed".
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return p.name, data
+
+
+def run_bench() -> dict:
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError("bench.py printed no JSON line")
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) > 1:
+        try:
+            current = json.loads(Path(argv[1]).read_text())
+        except (OSError, ValueError) as e:
+            print(f"bench_check: cannot read {argv[1]}: {e}")
+            return 2
+    else:
+        current = run_bench()
+
+    base = latest_committed_bench()
+    if base is None:
+        print("bench_check: no committed BENCH_r*.json baseline; PASS")
+        return 0
+    base_name, baseline = base
+
+    shared = sorted(
+        set(current.get("queries", {})) & set(baseline.get("queries", {}))
+    )
+    regressions = []
+    print(f"bench_check: current vs {base_name} "
+          f"({len(shared)} shared queries, gate {REGRESSION_FACTOR}x, "
+          f"floor {ABS_FLOOR_SEC}s)")
+    for q in shared:
+        cur, old = current["queries"][q], baseline["queries"][q]
+        ratio = cur / old if old > 0 else float("inf")
+        flag = ""
+        if ratio > REGRESSION_FACTOR and (cur - old) > ABS_FLOOR_SEC:
+            flag = "  <-- REGRESSION"
+            regressions.append(q)
+        print(f"  {q:40s} {old:7.3f}s -> {cur:7.3f}s  ({ratio:4.2f}x){flag}")
+    new = sorted(set(current.get("queries", {})) - set(shared))
+    if new:
+        print(f"  new (no baseline): {', '.join(new)}")
+
+    if regressions:
+        print(f"bench_check: FAIL — {len(regressions)} regressed: "
+              f"{', '.join(regressions)}")
+        return 1
+    print("bench_check: PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -61,7 +61,9 @@ DEFAULT_LABEL_WINDOWS = (
     ("week_may", "2024-05-13", "2024-05-20"),
 )
 
-def registrable_domain(url: Column, include_private: bool = False) -> Column:
+def registrable_domain(
+    url: Column | str, include_private: bool = False
+) -> Column:
     """eTLD+1 extraction by the full PSL algorithm (F3).
 
     host = parse_url(url, 'HOST'), then the publicsuffix.org longest-match
@@ -76,6 +78,13 @@ def registrable_domain(url: Column, include_private: bool = False) -> Column:
     """
     from newsflow.etl.psl import registrable_domain_psl
 
+    if isinstance(url, str):
+        # Fast path: the whole chain compiles as one cached SQL string
+        # (~10 ms) instead of ~9.5k py4j literal calls (see psl.py).
+        return registrable_domain_psl(
+            f"lower(parse_url({url}, 'HOST'))",
+            include_private=include_private,
+        )
     host = F.lower(F.parse_url(url, F.lit("HOST")))
     return registrable_domain_psl(host, include_private=include_private)
 
@@ -143,7 +152,7 @@ def build_core(
         .withColumn("day", F.to_date("date_ts"))
         .withColumn("label_week", label_week_expr(F.col("day"), label_windows))
         .withColumn("url", F.col("URL"))
-        .withColumn("domain", registrable_domain(F.col("url")))
+        .withColumn("domain", registrable_domain("url"))
         .withColumn("themes_arr", split_semicolon("Themes"))
         .withColumn("orgs_arr", split_semicolon("Organizations"))
     )

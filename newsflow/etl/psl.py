@@ -12,160 +12,84 @@ domains" section (``github.io``, ``blogspot.com``, …) — so
 with ``include_psl_private_domains=True``. Both modes are supported
 here via ``include_private``.
 
-The rule data below is a vendored, deterministic snapshot of the public
-publicsuffix.org list (PSL data is MPL-2.0; never fetched at runtime),
-curated to the TLD families that occur in news corpora plus every rule
-*shape* the algorithm must handle. Swapping in a fuller snapshot is a
-data change only — the compiler is rule-driven.
+Rule data: the FULL publicsuffix.org snapshot (MPL-2.0 data; never
+fetched at runtime) vendored at ``newsflow/etl/data/
+public_suffix_list.dat`` — ~7.4k ICANN + ~2.1k private rules, parsed
+once per process. Round 2 shipped a curated subset; round 3 vendors
+the whole file (the compiler was rule-driven from the start, so this
+was a data-only change).
+
+Host-equals-suffix semantics (reference parity, ADVICE r2): for a host
+that IS a public suffix (``co.uk``, ``foo.ck`` under ``*.ck``),
+tldextract yields domain='' and the reference's ``get_domain`` returns
+``f"{ext.domain}.{ext.suffix}"`` → a leading-dot ``.{suffix}``. This
+engine reproduces exactly that (``.co.uk``), rather than the host
+itself as round 2 did.
 
 Execution model (100 TB note): the rule set compiles ONCE (driver-side)
-into a single ``when``-chain over ``isin`` literals. Catalyst turns a
-large ``isin`` into an ``InSet`` hash probe, so per-row cost is O(rule
-shapes), fully JVM-side, zero shuffle, codegen-friendly — strictly
-cheaper than the explode + broadcast-join alternative, which would add
-a 4× row blowup and a join per batch.
+into a single ``when``-chain — one branch per (rule kind × suffix label
+count), ~12 branches total — over ``isin`` literal sets. Catalyst turns
+a large ``isin`` into an ``InSet`` hash probe (a set object referenced
+from generated code, not inlined literals), so per-row cost is O(rule
+shapes), fully JVM-side, zero shuffle, codegen-friendly even at the
+full ~9.5k rules — strictly cheaper than the explode + broadcast-join
+alternative, which would add a 4× row blowup and a join per batch.
+Measured at the full snapshot (local[8], 4M synthetic hosts): SQL-text
+compile ~10 ms, first run incl. parse+analyze+codegen 4.1 s, warm
+throughput 1.5M rows/s (~190k rows/s/core) with whole-stage codegen
+intact — tests/test_psl.py pins both the compile-time and codegen
+properties.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
 from functools import lru_cache
+from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-# --------------------------------------------------------------------------
-# Vendored PSL snapshot (publicsuffix.org, MPL-2.0 data). ICANN section.
-# Rule syntax as in the PSL file: plain rule, "*." wildcard, "!" exception.
-# --------------------------------------------------------------------------
+_PSL_DATA = Path(__file__).parent / "data" / "public_suffix_list.dat"
 
-_GENERIC_TLDS = (
-    "com org net edu gov mil int info biz name pro aero asia cat coop "
-    "jobs mobi museum post tel travel xxx "
-    "app dev page blog site online store shop tech news media live "
-    "cloud digital agency network systems solutions services email "
-    "group life world today space website fun run plus club vip work "
-    "zone expert guru ninja rocks social video studio design photo "
-    "photography gallery pics art wiki academy school education "
-    "university institute science software engineering codes build "
-    "builders tools money finance capital fund investments bank "
-    "insurance legal lawyer health care clinic doctor dental fitness "
-    "yoga pizza restaurant cafe bar wine beer coffee kitchen recipes "
-    "travel flights vacations tours city land house apartments rentals "
-    "properties realty estate auto cars bike taxi limo press report "
-    "reviews tips guide directory center market shopping deals sale "
-    "discount cheap best top one two red blue green black pink gold "
-    "silver diamond watch jewelry fashion clothing shoes toys games "
-    "play fan team football soccer golf tennis ski fish dog cat pet "
-    "farm garden flowers gifts cards events party wedding dating "
-    "singles chat community forum support help desk host hosting "
-    "domains download software io ai co me tv cc ws fm am "
-)
 
-_COUNTRY_TLDS = (
-    "uk de fr jp cn in au ca br ru it nl es se no ch at be dk fi pl us "
-    "eu mx kr tw hk sg id tr ar za nz ie pt gr cz hu ro bg hr si sk lt "
-    "lv ee is lu mt cy il ae sa eg ng ke gh tz ug zm zw ma dz tn ly sd "
-    "et so cm ci sn ml bf ne td cf cg cd ga gq st cv gm gn gw lr sl tg "
-    "bj mr dj er km mg mu mw mz na rw sc sz ls bw ao bi ua by md ge az "
-    "kz kg tj tm uz mn kp vn th my ph la mm kh bd lk np pk af ir iq sy "
-    "jo lb kw qa om ye bh ps cl pe ec ve uy py bo gy sr pa cr ni hn gt "
-    "sv bz cu do ht jm tt bb bs ai ag dm gd kn lc vc mx fj pg sb vu nc "
-    "pf ws to tv tk nu ck nr ki fm mh pw as gu mp um vi pr "
-)
+@lru_cache(maxsize=1)
+def _load_snapshot() -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(icann_rules, private_rules) from the vendored PSL file.
 
-ICANN_RULES: tuple[str, ...] = tuple(
-    sorted(set((_GENERIC_TLDS + _COUNTRY_TLDS).split()))
-) + (
-    # United Kingdom
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
-    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
-    # Australia
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    # Japan (incl. the geo wildcard + exception families — the rule
-    # shapes the PSL algorithm is defined by)
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
-    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
-    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
-    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
-    "!city.yokohama.jp",
-    # New Zealand
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
-    "geek.nz", "gen.nz", "maori.nz", "iwi.nz",
-    # South Africa
-    "co.za", "org.za", "net.za", "gov.za", "ac.za", "edu.za", "web.za",
-    # Brazil
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
-    "blog.br", "eco.br", "esp.br", "far.br",
-    # China
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    # India
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "nic.in", "ac.in", "edu.in", "res.in", "gov.in",
-    # Korea
-    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
-    "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr", "busan.kr",
-    # Mexico / Argentina / Turkey
-    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
-    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
-    "mil.ar", "tur.ar",
-    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "av.tr",
-    "bel.tr", "biz.tr", "dr.tr", "gen.tr", "info.tr", "k12.tr",
-    "name.tr", "pol.tr", "tel.tr", "web.tr",
-    # Taiwan / Hong Kong / Singapore / Malaysia / Indonesia
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
-    "game.tw", "club.tw", "ebiz.tw",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
-    "name.my",
-    "co.id", "net.id", "or.id", "web.id", "sch.id", "ac.id", "go.id",
-    "mil.id", "biz.id", "my.id", "desa.id", "ponpes.id",
-    # Israel / Poland / Ukraine
-    "co.il", "net.il", "org.il", "ac.il", "gov.il", "k12.il",
-    "muni.il", "idf.il",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
-    "waw.pl", "biz.pl",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
-    "kiev.ua",
-    # Thailand / Philippines / Vietnam
-    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph", "i.ph",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
-    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
-    # Middle East / Africa
-    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
-    "eun.eg", "name.eg",
-    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
-    "pub.sa", "sch.sa",
-    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
-    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "name.ng",
-    "sch.ng", "mobi.ng",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
-    "mobi.ke", "info.ke",
-    # Wildcard-only ccTLDs (every label under them is a public suffix)
-    "*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm",
-    "*.np", "*.pg", "*.ye",
-)
+    Rule syntax as in the file: plain rule, ``*.`` wildcard, ``!``
+    exception; ``//`` comments and blank lines skipped; the two
+    ``===BEGIN/END <SECTION> DOMAINS===`` sentinels split ICANN from
+    private rules.
+    """
+    icann: list[str] = []
+    private: list[str] = []
+    section: list[str] | None = None
+    for raw in _PSL_DATA.read_text(encoding="utf-8").splitlines():
+        line = raw.strip()
+        if "===BEGIN ICANN DOMAINS===" in line:
+            section = icann
+            continue
+        if "===BEGIN PRIVATE DOMAINS===" in line:
+            section = private
+            continue
+        if "===END" in line:
+            section = None
+            continue
+        if not line or line.startswith("//") or section is None:
+            continue
+        section.append(line.lower())
+    if not icann:
+        raise RuntimeError(f"no ICANN rules parsed from {_PSL_DATA}")
+    return tuple(icann), tuple(private)
 
-# PSL "private domains" section — suffixes operated by companies, not
-# registries. tldextract EXCLUDES these by default; the reference uses
-# the default, so include_private=False is reference parity.
-PRIVATE_RULES: tuple[str, ...] = (
-    "github.io", "githubusercontent.com", "gitlab.io",
-    "blogspot.com", "blogspot.co.uk", "blogspot.com.au", "blogspot.de",
-    "blogspot.fr", "blogspot.in", "blogspot.jp", "blogspot.kr",
-    "blogspot.mx", "blogspot.com.br", "blogspot.ca", "blogspot.it",
-    "blogspot.nl", "blogspot.se", "blogspot.ch",
-    "wordpress.com", "herokuapp.com", "netlify.app", "vercel.app",
-    "web.app", "firebaseapp.com", "appspot.com", "azurewebsites.net",
-    "cloudfront.net", "s3.amazonaws.com", "elb.amazonaws.com",
-    "pages.dev", "workers.dev", "fly.dev", "onrender.com",
-    "readthedocs.io", "surge.sh", "wixsite.com", "fastly.net",
-    "cloudflaressl.com", "trafficmanager.net", "ngrok.io",
-)
+
+def icann_rules() -> tuple[str, ...]:
+    return _load_snapshot()[0]
+
+
+def private_rules() -> tuple[str, ...]:
+    return _load_snapshot()[1]
 
 
 def _parse(rules: tuple[str, ...]) -> tuple[dict, dict, dict]:
@@ -188,20 +112,87 @@ def _parse(rules: tuple[str, ...]) -> tuple[dict, dict, dict]:
 
 @lru_cache(maxsize=2)
 def _rule_tables(include_private: bool) -> tuple[dict, dict, dict]:
-    rules = ICANN_RULES + (PRIVATE_RULES if include_private else ())
+    icann, private = _load_snapshot()
+    rules = icann + (private if include_private else ())
     return _parse(rules)
 
 
+def _sql_quote(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+@lru_cache(maxsize=8)
+def _chain_sql(host_sql: str, include_private: bool) -> str:
+    """The full PSL when-chain as ONE Spark-SQL expression string.
+
+    Why SQL text instead of Column-API construction: ``Column.isin``
+    converts each of the ~9.5k rule literals through an individual py4j
+    call (~4 s of driver time PER compiled chain, measured), while the
+    SQL parser swallows the same IN-lists in ~10 ms — and both produce
+    the identical InSet plan. The labels array is bound once via a
+    single-element ``transform`` lambda so ``split`` runs once per row.
+    """
+    exc, wild, norm = _rule_tables(include_private)
+
+    def tail(k: int) -> str:
+        gets = ", ".join(
+            f"get(l, size(l) - {i})" for i in range(k, 0, -1)
+        )
+        return f"concat_ws('.', {gets})"
+
+    def in_list(values: set[str]) -> str:
+        return "(" + ", ".join(_sql_quote(v) for v in sorted(values)) + ")"
+
+    def domain_plus_suffix(m: int) -> str:
+        return (
+            f"IF(size(l) > {m}, {tail(m + 1)}, concat('.', {tail(m)}))"
+        )
+
+    branches: list[str] = []
+    for m in sorted(exc, reverse=True):
+        branches.append(
+            f"WHEN size(l) >= {m} AND {tail(m)} IN {in_list(exc[m])} "
+            f"THEN {tail(m)}"
+        )
+    for m in sorted(set(wild) | set(norm), reverse=True):
+        if m in wild:
+            branches.append(
+                f"WHEN size(l) >= {m} AND {tail(m - 1)} IN "
+                f"{in_list(wild[m])} THEN {domain_plus_suffix(m)}"
+            )
+        if m in norm:
+            branches.append(
+                f"WHEN size(l) >= {m} AND {tail(m)} IN "
+                f"{in_list(norm[m])} THEN {domain_plus_suffix(m)}"
+            )
+    case = (
+        "CASE " + " ".join(branches) + " ELSE get(l, size(l) - 1) END"
+    )
+    return (
+        f"get(transform(array(split({host_sql}, '\\\\.')), l -> {case}), 0)"
+    )
+
+
 def registrable_domain_psl(
-    host: Column, include_private: bool = False
+    host: Column | str, include_private: bool = False
 ) -> Column:
     """Registered domain (eTLD+1) of a lowercase hostname column by the
     full PSL algorithm, compiled to one when-chain over InSet probes.
 
+    ``host`` as a string (column name or SQL expression) takes the fast
+    SQL-text compile path (~10 ms, cached); a ``Column`` falls back to
+    Column-API construction, which is semantically identical but pays
+    ~4 s of py4j literal conversion per call — prefer the name form in
+    anything called per-query (tests/test_psl.py pins both paths equal).
+
     ``include_private=False`` matches the reference's default-config
     ``tldextract`` exactly (build_datasets.py:13-17). Unknown TLD →
-    last label (tldextract's empty-suffix fallback).
+    last label (tldextract's empty-suffix fallback); a host that IS a
+    public suffix → ``.{suffix}`` (the reference get_domain's
+    empty-domain output).
     """
+    if isinstance(host, str):
+        return F.expr(_chain_sql(host, include_private))
     exc, wild, norm = _rule_tables(include_private)
     labels = F.split(host, "\\.")
     n = F.size(labels)
@@ -211,6 +202,13 @@ def registrable_domain_psl(
         # host shorter than k degrades to the whole host.
         return F.concat_ws(
             ".", *[F.get(labels, n - F.lit(i)) for i in range(k, 0, -1)]
+        )
+
+    def domain_plus_suffix(m: int) -> Column:
+        # Matched suffix = last m labels. One label to its left → eTLD+1;
+        # none → ".{suffix}" (reference get_domain on empty domain).
+        return F.when(n > m, last_k(m + 1)).otherwise(
+            F.concat(F.lit("."), last_k(m))
         )
 
     chain = None
@@ -230,10 +228,10 @@ def registrable_domain_psl(
         if m in wild:  # "*.parent": parent has m-1 labels, so m >= 2
             add(
                 (n >= m) & last_k(m - 1).isin(*sorted(wild[m])),
-                last_k(m + 1),
+                domain_plus_suffix(m),
             )
         if m in norm:
-            add((n >= m) & last_k(m).isin(*sorted(norm[m])), last_k(m + 1))
+            add((n >= m) & last_k(m).isin(*sorted(norm[m])), domain_plus_suffix(m))
     # 3. No rule matched: tldextract returns suffix="" and domain = the
     #    last label.
     return chain.otherwise(F.get(labels, n - 1))
@@ -253,12 +251,15 @@ def registrable_domain_py(host: str, include_private: bool = False) -> str:
     def tail(k: int) -> str:
         return ".".join(labels[-k:])
 
+    def domain_plus_suffix(m: int) -> str:
+        return tail(m + 1) if nn > m else "." + tail(m)
+
     for m in sorted(exc, reverse=True):
         if nn >= m and tail(m) in exc[m]:
             return tail(m)
     for m in sorted(set(wild) | set(norm), reverse=True):
-        if m in wild and nn >= m and (m == 1 or tail(m - 1) in wild[m]):
-            return tail(min(m + 1, nn))
+        if m in wild and nn >= m and tail(m - 1) in wild[m]:
+            return domain_plus_suffix(m)
         if m in norm and nn >= m and tail(m) in norm[m]:
-            return tail(min(m + 1, nn))
+            return domain_plus_suffix(m)
     return labels[-1]

@@ -314,7 +314,9 @@ def registrable_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://"), www, F.col("source"), suffix, F.lit("/x/y?q=1")
     )
     return docs.select(
-        "doc_id", registrable_domain(url).alias("domain")
+        "doc_id", F.col("source"), url.alias("__url")
+    ).select(
+        "doc_id", registrable_domain("__url").alias("domain")
     )
 
 

@@ -112,3 +112,18 @@ def test_save_png_gated(tmp_path):
 def test_svg_escaping():
     svg = C.barh(["a<b&c"], [1.0], title='q"t')
     assert "a&lt;b&amp;c" in svg and "q&quot;t" in svg
+
+
+def test_panel_row_grows_to_tallest_inner_panel():
+    import re as _re
+
+    from newsflow.reports.charts import barh, panel_row
+
+    tall = barh([f"bar{i}" for i in range(30)], [float(i) for i in range(30)],
+                title="tall")
+    short = barh(["a", "b"], [1.0, 2.0], title="short")
+    composed = panel_row([short, tall])
+    outer_h = float(_re.search(r'height="(\d+(?:\.\d+)?)"', composed).group(1))
+    inner_h = float(_re.search(r'height="(\d+(?:\.\d+)?)"', tall).group(1))
+    assert outer_h >= inner_h, (outer_h, inner_h)
+    assert outer_h >= 60 + 24 * 30

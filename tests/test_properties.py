@@ -129,19 +129,24 @@ def test_keyword_flag_substring_matches_reference(spark, batch, keywords):
 
 from newsflow.etl.gdelt import registrable_domain  # noqa: E402
 from newsflow.etl.psl import (  # noqa: E402
-    ICANN_RULES,
-    PRIVATE_RULES,
+    icann_rules,
+    private_rules,
     registrable_domain_py,
 )
 
 # Sample suffixes from every rule SHAPE: normal 1/2/3-label, wildcard
 # families (any label under *.ck / *.kawasaki.jp), exception hosts, and
 # private-domain suffixes (exercised with include_private on AND off).
+# ASCII-only: hypothesis hosts go through parse_url, which is exercised
+# on the (ascii) URL grammar; unicode rules are covered by the snapshot
+# loader test.
 _plain_suffixes = tuple(
-    r for r in ICANN_RULES + PRIVATE_RULES if not r.startswith(("*.", "!"))
+    r
+    for r in icann_rules() + private_rules()
+    if not r.startswith(("*.", "!")) and r.isascii()
 )
 _wild_parents = tuple(
-    r[2:] for r in ICANN_RULES if r.startswith("*.")
+    r[2:] for r in icann_rules() if r.startswith("*.") and r.isascii()
 )
 _label = st.sampled_from(["news", "blog9", "x", "sub", "city", "www"])
 _suffix = st.one_of(
@@ -163,8 +168,12 @@ def test_registrable_domain_matches_psl_twin(spark, batch, private):
     df = spark.createDataFrame(
         [(f"https://{h}/a/b?q=1",) for h in batch], "url string"
     )
+    # Name-based fast path: the Column path would recompile ~9.5k rule
+    # literals per hypothesis example (~4 s each); the SQL-text compile
+    # is cached across examples. Path equivalence is pinned separately
+    # in tests/test_psl.py::test_sql_fast_path_equals_column_path.
     got = df.select(
-        registrable_domain(F.col("url"), include_private=private).alias("d")
+        registrable_domain("url", include_private=private).alias("d")
     ).collect()
     for h, row in zip(batch, got):
         assert row["d"] == registrable_domain_py(h, include_private=private), (
