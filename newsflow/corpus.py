@@ -1,0 +1,262 @@
+"""Corpus-maintenance operators: the ingestion-time counterparts of the
+curation funnel (newsflow/curation.py) — source quotas, incremental-batch
+dedup, training/RAG chunk export, and boilerplate n-gram signals.
+
+Beyond-reference surface (the reference pipeline ingests one GDELT
+extract at a time; a 100 TB training-data pipeline ingests continuously
+and must cap, diff, chunk, and de-boilerplate as it goes). Every query
+here has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from newsflow.functions.scalars import dround
+from newsflow.functions.text import sql_shingles_rel, sql_tokens, tokens_expr
+from newsflow.registry import register
+from newsflow.tables import load_table, spread
+
+# --------------------------------------------------------------------------
+# Source capping (per-domain quotas)
+# --------------------------------------------------------------------------
+
+SOURCE_CAP = 10
+
+
+@register(
+    "source_capped_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {SOURCE_CAP}
+    """,
+    tags=("corpus", "curation"),
+)
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep the first {SOURCE_CAP} documents
+    (by doc_id) of every source — the "no single domain dominates the
+    mixture" guard every pretraining pipeline applies before export.
+
+    Scale shape: one shuffle on source; row_number is rank-limited so
+    AQE's window-group-limit pushdown prunes per partition before the
+    sort completes. A skewed mega-source costs one hot partition of at
+    most its own rows — no global sort, no collect.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= SOURCE_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("rank_in_source").cast("long").alias("rank_in_source"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental-batch dedup (new snapshot vs existing corpus)
+# --------------------------------------------------------------------------
+
+EXISTING_MAX_DOC_ID = 250
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle=f"""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents
+      WHERE doc_id < {EXISTING_MAX_DOC_ID}
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS text_hash FROM documents
+      WHERE doc_id >= {EXISTING_MAX_DOC_ID}
+    )
+    SELECT text_hash, min(doc_id) AS doc_id,
+           count(*) AS batch_dup_count
+    FROM batch
+    WHERE text_hash NOT IN (SELECT text_hash FROM existing)
+    GROUP BY text_hash
+    """,
+    tags=("corpus", "dedup", "incremental"),
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: from a new batch (doc_id >=
+    {EXISTING_MAX_DOC_ID}), keep one doc per distinct text that does NOT
+    already exist in the indexed corpus (doc_id < {EXISTING_MAX_DOC_ID})
+    — the snapshot-over-snapshot diff a continuously-ingesting pipeline
+    runs instead of re-deduplicating 100 TB from scratch.
+
+    Scale shape: both sides reduce to 16-byte md5 keys before any join;
+    the anti join and the min_by groupBy share the same hash key, so
+    AQE plans one shuffle per side and no row text ever moves. At real
+    scale the "existing" side is a pre-hashed index table, not a scan.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    existing = (
+        docs.filter(F.col("doc_id") < EXISTING_MAX_DOC_ID)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= EXISTING_MAX_DOC_ID).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    return (
+        batch.join(existing, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("batch_dup_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-window chunking (training / RAG export)
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(i / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(t[i + 1 : i + {CHUNK_SIZE}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(t[i + 1 : i + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM toks, UNNEST(range(0, greatest(len(t), 1), {CHUNK_STRIDE})) AS u(i)
+    WHERE len(t) > 0
+    """,
+    tags=("corpus", "export"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({CHUNK_SIZE}-token chunks,
+    stride {CHUNK_STRIDE} → 16-token overlap): the document → context-
+    window export step for RAG indexing and fixed-length pretraining
+    sequences. One row per (doc, chunk) with its index, length, and text.
+
+    Scale shape: pure row-local explode (sequence → transform → slice),
+    zero shuffles, stays in whole-stage codegen; output rows ≈ rows ×
+    len/stride, the same blow-up the downstream tokenizer would pay
+    anyway. Complements `corpus_pack_sequences` (which packs whole docs
+    into budgeted sequences; this slices single docs into windows).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    starts = F.expr(f"sequence(0, size(t) - 1, {CHUNK_STRIDE})")
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            (F.col("i") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.expr(f"slice(t, i + 1, {CHUNK_SIZE})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram signal
+# --------------------------------------------------------------------------
+
+BOILER_NGRAM = 5
+BOILER_MIN_DOCS = 2
+
+
+@register(
+    "doc_boilerplate_ratio",
+    oracle=f"""
+    WITH sh AS ({sql_shingles_rel(n=BOILER_NGRAM)}),
+    freq AS (
+      SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boilerplate
+      FROM sh JOIN freq f USING (s)
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_boilerplate,
+           (round(n_boilerplate / n_shingles + 1e-9, 6) + 0.0)
+             AS boilerplate_ratio
+    FROM per_doc
+    """,
+    tags=("corpus", "quality"),
+)
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate share per document: the fraction of a doc's distinct
+    {BOILER_NGRAM}-gram shingles that occur in >= {BOILER_MIN_DOCS}
+    distinct documents — the cross-document repetition signal (CCNet /
+    RefinedWeb-style) that catches templated pages exact dedup misses.
+
+    Scale shape: two shuffles, one scan — the per-shingle document count
+    is a count() window over the DISTINCT (doc, shingle) stream (the
+    stream is distinct per doc by construction, so plain count == count
+    of docs), then one re-aggregation per doc. No self-join, so the
+    shingle stream is never computed twice. Skew note: a boilerplate
+    shingle's partition holds one row per containing doc — bounded by
+    doc count, same bound the groupBy-join form would have. Complements
+    `doc_repetition_scores` (within-doc repetition) with the across-doc
+    signal.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        docs.select("doc_id", tokens_expr("text").alias("t"))
+        # Guard BEFORE the sequence: Spark's sequence(1, stop) runs
+        # DESCENDING when stop < 1, so a short doc would emit bogus
+        # sub-n-gram shingles instead of none.
+        .filter(F.size("t") >= BOILER_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {BOILER_NGRAM - 1}),"
+                        f" i -> array_join(slice(t, i, {BOILER_NGRAM}), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    per_doc = (
+        sh.withColumn("nd", nd)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("nd") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_boilerplate"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boilerplate",
+        dround(
+            F.col("n_boilerplate") / F.col("n_shingles"), 6
+        ).alias("boilerplate_ratio"),
+    )

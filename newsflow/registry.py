@@ -39,6 +39,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # breaks ties between queries with identical history.
 _QUERY_MODULES = (
     "newsflow.dedup.queries",
+    "newsflow.corpus",
     "newsflow.sim.queries",
     "newsflow.streaming.queries",
     "newsflow.curation",
