@@ -115,3 +115,40 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=4
     )
+
+
+from newsflow.sim.kmeans import kmeans_assign, kmeans_oracle_sql  # noqa: E402
+
+
+@register(
+    "kmeans_assignments",
+    oracle=kmeans_oracle_sql(),
+    tags=("similarity", "ml", "iterative"),
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (8 data-seeded centroids, 2 Lloyd
+    iterations) over the embeddings table — the iterative clustering
+    operator with an EXACT end-to-end oracle (sim/kmeans.py: rounded-
+    argmin assignment + decimal-exact centroid means make every stage
+    engine-independent; MLlib's RNG-initialized KMeans stays the
+    rows-only tier inside knn_cosine_ivf)."""
+    return kmeans_assign(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+@register(
+    "kmeans_cluster_sizes",
+    oracle=f"""
+    WITH assign AS ({kmeans_oracle_sql()})
+    SELECT cluster, count(*) AS n_vectors
+    FROM assign GROUP BY cluster
+    """,
+    tags=("similarity", "ml", "iterative", "agg"),
+)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-population summary of `kmeans_assignments` — the balance
+    diagnostic that decides whether an IVF index needs re-seeding."""
+    return (
+        kmeans_assign(spread(load_table(spark, sf_dir, "embeddings")))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

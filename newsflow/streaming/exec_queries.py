@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.registry import register
 from newsflow.streaming import windows as W
-from newsflow.streaming.queries import TUMBLING_ORACLE
+from newsflow.streaming.queries import SESSION_ORACLE, TUMBLING_ORACLE
 from newsflow.tables import load_table
 
 
@@ -44,6 +44,40 @@ def tumbling_window_counts_stream(
     sink = f"twc_stream_{uuid.uuid4().hex[:8]}"
     q = (
         W.tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "session_window_stats_stream",
+    oracle=SESSION_ORACLE,
+    tags=("streaming", "session", "executed"),
+)
+def session_window_stats_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-based sessionization (30-min gap, per user) EXECUTED as a
+    stream — the MERGING-window stateful operator, where a late-arriving
+    event can fuse two open sessions; a strictly harder state shape than
+    the fixed tumbling windows above. Replayed via readStream, complete
+    output mode, availableNow trigger, memory sink; the final table
+    equals the batch sessionization, so the gaps-and-islands oracle
+    applies verbatim. Complete mode is the bounded-replay form; a
+    production stream would run append mode with a watermark and let
+    closed sessions emit incrementally (state evicted at watermark)."""
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = W.read_events_stream(
+        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+    )
+    sink = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        W.session_stats(stream)
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")

@@ -67,9 +67,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sliding_counts(load_table(spark, sf_dir, "events"))
 
 
-@register(
-    "session_window_stats",
-    oracle="""
+SESSION_ORACLE = """
     WITH seq AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -92,7 +90,12 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events
     FROM islands
     GROUP BY user_id, session_id
-    """,
+    """
+
+
+@register(
+    "session_window_stats",
+    oracle=SESSION_ORACLE,
     tags=("streaming", "session"),
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
