@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from newsflow.functions.scalars import dround
-from newsflow.functions.text import sql_shingles_rel, sql_tokens, tokens_expr
+from newsflow.functions.text import (
+    sql_shingles_rel,
+    sql_stopword_ratio,
+    sql_tokens,
+    tokens_expr,
+)
 from newsflow.registry import register
 from newsflow.tables import load_table, spread
 
@@ -259,4 +264,133 @@ def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             F.col("n_boilerplate") / F.col("n_shingles"), 6
         ).alias("boilerplate_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Global-percentile quality gate
+# --------------------------------------------------------------------------
+
+QUALITY_PCT = 0.75
+
+
+@register(
+    "doc_quality_percentile_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             (round(
+                0.4 * least(len(t) / 100.0, 1.0)
+              + 0.3 * (1.0 - {sql_stopword_ratio('t')})
+              + 0.3 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1))
+              + 1e-9, 4) + 0.0) AS quality_score
+      FROM (SELECT doc_id, {sql_tokens()} AS t FROM documents)
+    ),
+    thr AS (
+      SELECT (round(quantile_cont(quality_score, {QUALITY_PCT}) + 1e-9, 6)
+              + 0.0) AS p_threshold
+      FROM scored
+    )
+    SELECT s.doc_id, s.quality_score, thr.p_threshold
+    FROM scored s, thr
+    WHERE s.quality_score >= thr.p_threshold
+    """,
+    tags=("corpus", "quality", "curation"),
+)
+def doc_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate: keep the top (1 - {QUALITY_PCT}) quantile
+    of documents by heuristic quality score — the "keep the best X%"
+    curation form used when an absolute threshold is unknown for a new
+    source.
+
+    Scale note: the percentile is EXACT yet scale-safe *because* scores
+    are rounded to 4 dp first — Spark's percentile aggregate builds a
+    value->count histogram, so its state is bounded by the ≤10k distinct
+    rounded scores, not by corpus rows (with unrounded doubles you'd
+    swap in approx_percentile). The 1-row threshold then broadcasts:
+    scan → 1-row agg → broadcast nested-loop filter, one pass over the
+    corpus, no sort.
+    """
+    from newsflow.curation import _scored
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = _scored(docs).select(
+        "doc_id", dround(F.col("q"), 4).alias("quality_score")
+    )
+    thr = scored.agg(
+        dround(
+            F.percentile(F.col("quality_score"), F.lit(QUALITY_PCT)), 6
+        ).alias("p_threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("p_threshold"))
+        .select("doc_id", "quality_score", "p_threshold")
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# --------------------------------------------------------------------------
+
+VOCAB_TOP_K = 20
+
+
+@register(
+    "doc_oov_rate",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(t) AS tok
+      FROM (SELECT doc_id, {sql_tokens()} AS t FROM documents)
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM occ GROUP BY tok
+      ) ORDER BY n DESC, tok LIMIT {VOCAB_TOP_K}
+    )
+    SELECT o.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           (round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  / count(*) + 1e-9, 6) + 0.0) AS oov_rate
+    FROM occ o LEFT JOIN vocab v USING (tok)
+    GROUP BY o.doc_id
+    """,
+    tags=("corpus", "text"),
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage scan: build the corpus top-{VOCAB_TOP_K}
+    token vocabulary (freq desc, token asc — deterministic), then score
+    every document's out-of-vocabulary token share — the tokenizer-fit /
+    gibberish signal computed before committing to a tokenizer.
+
+    Scale shape: token frequencies partial-aggregate map-side (one
+    shuffle bounded by DISTINCT vocabulary, not corpus rows); the top-K
+    cut is TakeOrdered (no single-partition sort); the K-row vocab
+    broadcasts into the per-occurrence left join, and the final per-doc
+    count is the only corpus-sized shuffle.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("tok")
+    )
+    vocab = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(VOCAB_TOP_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    )
+    return (
+        occ.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            dround(oov / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
     )
