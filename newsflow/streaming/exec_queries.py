@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.registry import register
 from newsflow.streaming import windows as W
-from newsflow.streaming.queries import SESSION_ORACLE, TUMBLING_ORACLE
+from newsflow.streaming.queries import (
+    SESSION_ORACLE,
+    SLIDING_ORACLE,
+    TUMBLING_ORACLE,
+)
 from newsflow.tables import load_table
 
 
@@ -78,6 +82,39 @@ def session_window_stats_stream(
     sink = f"sess_stream_{uuid.uuid4().hex[:8]}"
     q = (
         W.session_stats(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@register(
+    "sliding_window_counts_stream",
+    oracle=SLIDING_ORACLE,
+    tags=("streaming", "window", "executed"),
+)
+def sliding_window_counts_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-hour windows sliding every 30 minutes EXECUTED as a stream —
+    the overlapping-assignment window operator (each event updates two
+    window states). Same replay harness as the tumbling/session
+    variants: readStream, complete mode, availableNow, memory sink; the
+    drained table equals the batch twin so SLIDING_ORACLE applies
+    verbatim. With tumbling + sliding + session + applyInPandasWithState
+    + the stream-stream interval join, every Structured Streaming state
+    shape the engine ships is execution-verified, not just batch-twinned."""
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = W.read_events_stream(
+        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+    )
+    sink = f"swc_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        W.sliding_counts(stream)
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")

@@ -44,9 +44,7 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.tumbling_counts(load_table(spark, sf_dir, "events"))
 
 
-@register(
-    "sliding_window_counts",
-    oracle=f"""
+SLIDING_ORACLE = f"""
     SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S')
              AS window_start,
            count(*) AS n_events
@@ -58,7 +56,12 @@ def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "sliding_window_counts",
+    oracle=SLIDING_ORACLE,
     tags=("streaming", "window"),
 )
 def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
