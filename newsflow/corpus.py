@@ -394,3 +394,57 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(oov / F.count(F.lit(1)), 6).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics)
+# --------------------------------------------------------------------------
+
+PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_struct(c: str):
+    return F.struct(
+        F.lit(c).alias("col_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count(F.col(c))).alias("n_nulls"),
+        F.countDistinct(F.col(c)).alias("n_distinct"),
+        F.min(F.col(c)).cast("string").alias("min_value"),
+        F.max(F.col(c)).cast("string").alias("max_value"),
+    )
+
+
+@register(
+    "documents_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM documents
+        """
+        for c in PROFILE_COLS
+    ),
+    tags=("corpus", "profile", "agg"),
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table: one row per
+    column with row/null/exact-distinct counts and min/max (stringified
+    with the NUMERIC ordering applied before the cast) — the stats pass
+    a catalog or data-quality monitor runs per ingest batch.
+
+    Scale shape: ONE scan — all columns profile in a single aggregation
+    (the oracle's UNION ALL re-scans per column; Spark plans one pass
+    with grouping-expand for the per-column exact distincts). At 100 TB
+    swap countDistinct for approx_count_distinct and the expand
+    disappears; exact is kept here because the oracle gate hash-checks
+    the distinct counts.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    profiled = docs.agg(
+        F.array(*[_profile_struct(c) for c in PROFILE_COLS]).alias("p")
+    )
+    return profiled.select(F.inline("p"))

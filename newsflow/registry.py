@@ -82,15 +82,19 @@ def _load_all_modules() -> None:
             pass
 
 
-# Queries whose SEMANTICS changed this round (round 3: ADVICE fixes —
-# cluster edge source, bounded contamination probes, rounded-sim top-k
-# ordering, full-PSL snapshot). They jump the queue so the driver
-# re-verifies the changed behavior even though they were green before.
+# Queries whose SEMANTICS changed in _RECHECK_DECLARED_ROUND (round 3:
+# ADVICE fixes — cluster edge source, bounded contamination probes,
+# rounded-sim top-k ordering, full-PSL snapshot). They jump the queue so
+# the driver re-verifies the changed behavior even though they were
+# green before — and AUTO-EXPIRE: once a query has a green row in a
+# round >= the declared round, the fix is driver-verified and it falls
+# back to normal least-recently-green rotation, freeing its window slot.
 # This is the only hand-tended list left; everything else is derived
 # from the committed CORRECTNESS_r*.json history (never-green first,
 # then least-recently-green), so a new query can never silently sit
 # outside the driver's 50-slot window for more than ceil(N/50) rounds
 # (tests/test_registry_schedule.py proves the bound by simulation).
+_RECHECK_DECLARED_ROUND = 3
 _RECHECK_THIS_ROUND = (
     "near_dup_clusters",
     "benchmark_contamination",
@@ -164,7 +168,13 @@ def all_specs() -> dict[str, QuerySpec]:
     """
     _load_all_modules()
     oracled = [n for n, s in _REGISTRY.items() if s.oracle]
-    order = schedule_order(oracled, _green_history(), _RECHECK_THIS_ROUND)
+    history = _green_history()
+    recheck = tuple(
+        n
+        for n in _RECHECK_THIS_ROUND
+        if history.get(n, 0) < _RECHECK_DECLARED_ROUND
+    )
+    order = schedule_order(oracled, history, recheck)
     ordered = {n: _REGISTRY[n] for n in order}
     ordered.update({n: s for n, s in _REGISTRY.items() if not s.oracle})
     return ordered

@@ -79,3 +79,22 @@ def test_live_registry_puts_round2_advice_rechecks_first():
     # Oracled queries strictly precede rows-only queries.
     oracled_flags = [bool(s.oracle) for s in specs.values()]
     assert oracled_flags == sorted(oracled_flags, reverse=True)
+
+
+def test_recheck_expires_once_green_in_declared_round():
+    # Simulate the registry's expiry rule directly: a recheck query that
+    # gets its green row in the declared round must NOT retain front
+    # priority afterwards.
+    from newsflow.registry import _RECHECK_DECLARED_ROUND
+
+    names = ["a", "b", "c"]
+    history = {"a": _RECHECK_DECLARED_ROUND, "b": 1}
+    live = tuple(
+        n for n in ("a", "b")
+        if history.get(n, 0) < _RECHECK_DECLARED_ROUND
+    )
+    assert live == ("b",)
+    order = schedule_order(names, history, live)
+    assert order[0] == "b"          # still-unverified recheck leads
+    assert order[1] == "c"          # never-green next
+    assert order[2] == "a"          # verified fix rotates normally
