@@ -52,6 +52,11 @@ HEADLINE = [
     "corpus_token_budget_sample",  # two-pass bucket-histogram budget cut
     "simhash_near_dup_pairs",   # SimHash near-dup (most shuffle-heavy plan)
     "knn_cosine_lsh_native",    # sign-LSH ANN (native bucketed scale path)
+    # Round-3 additions:
+    "doc_chunking",             # zero-shuffle token-window explode (export)
+    "doc_boilerplate_ratio",    # cross-doc n-gram repetition (window form)
+    "incremental_dedup_new_docs",  # batch-vs-index dedup diff
+    "kmeans_assignments",       # iterative Lloyd (2 rounds, codegen assign)
 ]
 
 
