@@ -448,3 +448,75 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[_profile_struct(c) for c in PROFILE_COLS]).alias("p")
     )
     return profiled.select(F.inline("p"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic mixture down-sampling
+# --------------------------------------------------------------------------
+
+_U32 = 4294967296.0
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT source, n, n::DOUBLE / sum(n) OVER () AS share FROM counts
+    ),
+    weights AS (
+      SELECT source, share,
+             sqrt(share) / sum(sqrt(share)) OVER () AS wt
+      FROM shares
+    ),
+    rates AS (
+      SELECT source,
+             (round((wt / share) / max(wt / share) OVER () + 1e-9, 6)
+              + 0.0) AS rate
+      FROM weights
+    )
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+          / {_U32} < r.rate
+    """,
+    tags=("corpus", "curation", "sampling"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample the corpus TO its target mixture: each source keeps
+    documents at rate ∝ (target weight / current share), scaled so the
+    most-upweighted source keeps everything — the materialization step
+    after `corpus_source_mixture` computes the share^0.5-smoothed
+    weights. Inclusion is decided by a per-document md5-derived uniform,
+    so the sample is deterministic, partition-independent, and stable
+    across reruns (no rand(), no reservoir state).
+
+    Scale shape: rates are a per-source aggregate (rows = |sources|) —
+    window functions over that tiny frame, then a broadcast join back;
+    the corpus-side pass is scan → hash-probe → row-local md5 filter.
+    The rounded rate makes the u < rate comparison bit-identical across
+    engines (u is exact integer arithmetic; the rate is a 6-dp double).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    full = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(full)
+    wt = F.sqrt(share) / F.sum(F.sqrt(share)).over(full)
+    ratio = wt / share
+    rates = counts.select(
+        "source",
+        dround(ratio / F.max(ratio).over(full), 6).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(_U32)
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )
