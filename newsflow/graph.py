@@ -1,0 +1,174 @@
+"""Graph analytics over the co-mention network — weighted PageRank with
+a fixed, oracle-exact iteration schedule.
+
+The reference's network_analysis.py builds org partnership graphs and
+ranks partners by raw co-mention counts; PageRank is the canonical
+next step (influence, not just degree). Like sim/kmeans.py, the
+operator is engineered so the ITERATIVE computation has an exact
+unrolled DuckDB oracle: edge probabilities are exact integer ratios,
+both engines use the same damping literals (``1 - 0.85`` and ``0.15``
+are DIFFERENT doubles — the literal text is shared instead), and each
+iteration's scores pass through the shared epsilon-rounding so
+cross-engine float-summation noise cannot accumulate.
+
+Scale shape (the standard DataFrame PageRank step): out-degree
+normalization is one groupBy + join on src; each iteration is one
+shuffle (contributions grouped by dst) joined back to the node spine —
+O(edges) per round, no driver state beyond the 1-row node count, which
+broadcasts. A fixed iteration count keeps the lineage bounded; an
+open-ended convergence loop would add `localCheckpoint` truncation
+exactly as dedup/cluster.py does.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.functions.scalars import dround
+from newsflow.registry import register
+
+PR_ITERS = 3
+PR_DAMP = "0.85"  # literal TEXT shared by both engines (see module doc)
+PR_BASE = "0.15"
+PR_ROUND = 8
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(src, dst, w) weighted directed edges → (org, pr) after ``iters``
+    damped iterations from the uniform start. Nodes are the distinct
+    edge sources (a symmetric graph has no dangling nodes; for directed
+    inputs, sinks redistribute nothing — documented, matching the
+    oracle)."""
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    probs = edges.join(wdeg, "src").select(
+        "src", "dst", (F.col("w") / F.col("wdeg")).alias("p")
+    )
+    nodes = edges.select(F.col("src").alias("org")).distinct()
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    damp = F.expr(PR_DAMP)
+    base = F.expr(PR_BASE) / F.col("n")
+    ranks = nodes.crossJoin(n_row).select(
+        "org", "n", dround(F.lit(1.0) / F.col("n"), PR_ROUND).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            probs.join(
+                ranks.select(F.col("org").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("c"))
+            .select(F.col("dst").alias("org"), "c")
+        )
+        ranks = (
+            ranks.select("org", "n")
+            .join(contrib, "org", "left")
+            .select(
+                "org",
+                "n",
+                dround(
+                    base + damp * F.coalesce(F.col("c"), F.lit(0.0)),
+                    PR_ROUND,
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("org", "pr")
+
+
+def pagerank_oracle_sql(edges_rel: str, iters: int = PR_ITERS) -> str:
+    """DuckDB twin over a relation producing (src, dst, w)."""
+    prev = "r0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+      SELECT n.org, n.n,
+             (round({PR_BASE} / n.n
+                    + {PR_DAMP} * coalesce(s.c, 0.0) + 1e-9, {PR_ROUND})
+              + 0.0) AS pr
+      FROM nodes_n n LEFT JOIN (
+        SELECT e.dst, sum({prev}.pr * e.p) AS c
+        FROM probs e JOIN {prev} ON {prev}.org = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = n.org
+    )"""
+        )
+        prev = f"r{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    edges AS ({edges_rel}),
+    wdeg AS (SELECT src, sum(w) AS wdeg FROM edges GROUP BY src),
+    probs AS (
+      SELECT e.src, e.dst, e.w / d.wdeg AS p
+      FROM edges e JOIN wdeg d USING (src)
+    ),
+    nodes AS (SELECT DISTINCT src AS org FROM edges),
+    nodes_n AS (
+      SELECT org, (SELECT count(*) FROM nodes) AS n FROM nodes
+    ),
+    r0 AS (
+      SELECT org, n, (round(1.0 / n + 1e-9, {PR_ROUND}) + 0.0) AS pr
+      FROM nodes_n
+    ),
+    {chain}
+    SELECT org, pr FROM {prev}
+    """
+
+
+# --------------------------------------------------------------------------
+# Registered query: PageRank over the gdelt org co-mention graph
+# --------------------------------------------------------------------------
+
+
+def _co_edges(core: DataFrame) -> DataFrame:
+    """Symmetric weighted org-org edges: orgs co-mentioned in the same
+    article, counted across articles. Pair expansion is a row-local
+    higher-order function (no per-article self-join)."""
+    pairs = core.filter(F.size("orgs_arr") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(orgs_arr, x -> "
+                "transform(filter(orgs_arr, y -> y != x), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    )
+    return pairs.select("e.src", "e.dst").groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+
+
+_SQL_CO_EDGES = """
+      SELECT e['src'] AS src, e['dst'] AS dst, count(*) AS w FROM (
+        SELECT unnest(flatten(list_transform(o, x ->
+                 list_transform(list_filter(o, y -> y <> x),
+                                y -> {'src': x, 'dst': y})))) AS e
+        FROM (
+          SELECT list_filter(string_split(orgs_str, ';'), x -> x <> '') AS o
+          FROM core
+        )
+        WHERE len(o) >= 2
+      )
+      GROUP BY 1, 2
+"""
+
+
+def _org_pagerank_oracle() -> str:
+    from newsflow.etl.queries import _SQL_WITH_CORE
+
+    return f"{_SQL_WITH_CORE},\n{pagerank_oracle_sql(_SQL_CO_EDGES)}"
+
+
+@register(
+    "org_pagerank",
+    oracle=_org_pagerank_oracle(),
+    tags=("graph", "iterative", "reference-replay"),
+)
+def org_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the org co-mention graph of the
+    synthesized gdelt core (network_analysis.py:56-68 ranks partners by
+    raw degree; this ranks by influence) — {PR_ITERS} damped iterations,
+    exact unrolled oracle."""
+    from newsflow.etl.queries import _core_df
+
+    return pagerank(_co_edges(_core_df(spark, sf_dir)))

@@ -40,6 +40,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = (
     "newsflow.dedup.queries",
     "newsflow.corpus",
+    "newsflow.graph",
     "newsflow.sim.queries",
     "newsflow.streaming.queries",
     "newsflow.curation",
