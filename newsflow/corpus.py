@@ -1,6 +1,8 @@
 """Corpus-maintenance operators: the ingestion-time counterparts of the
 curation funnel (newsflow/curation.py) — source quotas, incremental-batch
-dedup, training/RAG chunk export, and boilerplate n-gram signals.
+dedup, training/RAG chunk export, boilerplate n-gram signals, the
+percentile quality gate, vocabulary/OOV coverage, ANALYZE-style table
+profiling, and deterministic mixture down-sampling.
 
 Beyond-reference surface (the reference pipeline ingests one GDELT
 extract at a time; a 100 TB training-data pipeline ingests continuously

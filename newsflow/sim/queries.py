@@ -152,3 +152,30 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+@register(
+    "embedding_cluster_keepers",
+    oracle=f"""
+    WITH assign AS ({kmeans_oracle_sql()})
+    SELECT cluster, min(vec_id) AS keeper_vec_id,
+           count(*) AS n_members
+    FROM assign GROUP BY cluster
+    """,
+    tags=("similarity", "ml", "dedup"),
+)
+def embedding_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic diversity subsampling (SemDeDup-style): one
+    representative per k-means cluster of the embedding space — the
+    embedding-level counterpart of the text dedup keepers, used to thin
+    semantically redundant regions of a corpus before training. Keeper
+    choice (min vec_id) is deterministic; swap in min_by(vec_id,
+    distance-to-centroid) for medoid selection."""
+    return (
+        kmeans_assign(spread(load_table(spark, sf_dir, "embeddings")))
+        .groupBy("cluster")
+        .agg(
+            F.min("vec_id").alias("keeper_vec_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

@@ -67,6 +67,21 @@ def main() -> None:
     n_simhash = simhash.simhash_near_dup_pairs(big_docs).count()
     t_simhash = time.perf_counter() - t0
 
+    # Round-3 corpus-maintenance ops on the same 10x corpus.
+    from newsflow.corpus import CHUNK_SIZE, CHUNK_STRIDE  # noqa: F401
+    from newsflow.functions.text import tokens_expr
+
+    t0 = time.perf_counter()
+    toks = big_docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    starts = F.expr(f"sequence(0, size(t) - 1, {CHUNK_STRIDE})")
+    n_chunks = (
+        toks.select("doc_id", F.explode(starts).alias("i"))
+        .count()
+    )
+    t_chunk = time.perf_counter() - t0
+
     emb = load_table(spark, sf_dir, "embeddings")
     big_emb = None
     for i in range(copies):
@@ -88,6 +103,12 @@ def main() -> None:
     n_lsh = hyperplane_topk(big_emb, queries, k=5).count()
     t_lsh = time.perf_counter() - t0
 
+    from newsflow.sim.kmeans import kmeans_assign
+
+    t0 = time.perf_counter()
+    n_km = kmeans_assign(big_emb).count()
+    t_kmeans = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -106,6 +127,10 @@ def main() -> None:
                 "ivf_sec": round(t_ivf, 1),
                 "hyperplane_lsh_rows": n_lsh,
                 "hyperplane_lsh_sec": round(t_lsh, 1),
+                "chunk_rows": n_chunks,
+                "chunking_sec": round(t_chunk, 1),
+                "kmeans_rows": n_km,
+                "kmeans_sec": round(t_kmeans, 1),
             }
         )
     )
