@@ -90,7 +90,12 @@ EXISTING_MAX_DOC_ID = 250
     SELECT text_hash, min(doc_id) AS doc_id,
            count(*) AS batch_dup_count
     FROM batch
-    WHERE text_hash NOT IN (SELECT text_hash FROM existing)
+    -- NOT EXISTS, not NOT IN: a NULL hash (null text) must behave like
+    -- Spark's left_anti (null key matches nothing -> row kept); NOT IN
+    -- over a set containing NULL would silently drop every row.
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e WHERE e.text_hash = batch.text_hash
+    )
     GROUP BY text_hash
     """,
     tags=("corpus", "dedup", "incremental"),
