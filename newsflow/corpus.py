@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from newsflow.functions.scalars import dround
+from newsflow.functions.scalars import davg, dround, sql_davg
 from newsflow.functions.text import (
     sql_shingles_rel,
     sql_stopword_ratio,
@@ -526,4 +526,73 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rates), "source")
         .filter(u < F.col("rate"))
         .select("doc_id", "source", "rate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust statistics: winsorized event values
+# --------------------------------------------------------------------------
+
+WINSOR_LO = "0.01"
+WINSOR_HI = "0.99"
+
+
+@register(
+    "events_value_winsorized",
+    oracle=f"""
+    WITH vals AS (
+      SELECT (round(value + 1e-9, 2) + 0.0) AS vr FROM events
+    ),
+    thr AS (
+      SELECT (round(quantile_cont(vr, {WINSOR_LO}) + 1e-9, 6) + 0.0) AS p01,
+             (round(quantile_cont(vr, {WINSOR_HI}) + 1e-9, 6) + 0.0) AS p99
+      FROM vals
+    )
+    SELECT p01, p99,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN vr < p01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN vr > p99 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           {sql_davg("least(greatest(vr, p01), p99)", out=4)}
+             AS winsorized_mean
+    FROM vals, thr
+    GROUP BY p01, p99
+    """,
+    tags=("corpus", "quality", "agg"),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized summary of the event value stream: clip at the
+    [P{WINSOR_LO}, P{WINSOR_HI}] percentiles and report the robust mean
+    plus clip counts — the outlier-handling pass metric pipelines run
+    before aggregating money-like measures.
+
+    Scale shape: same exact-percentile-on-rounded-values trick as
+    `doc_quality_percentile_gate` (2-dp rounding bounds the percentile
+    aggregate's histogram by the value RANGE, not row count), one
+    corpus pass for the thresholds, broadcast of the 1-row thresholds,
+    one clipped pass with a decimal-exact mean.
+    """
+    ev = spread(load_table(spark, sf_dir, "events"))
+    vals = ev.select(dround(F.col("value"), 2).alias("vr"))
+    thr = vals.agg(
+        dround(F.percentile(F.col("vr"), F.lit(float(WINSOR_LO))), 6)
+        .alias("p01"),
+        dround(F.percentile(F.col("vr"), F.lit(float(WINSOR_HI))), 6)
+        .alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("vr"), F.col("p01")), F.col("p99"))
+    return (
+        vals.crossJoin(F.broadcast(thr))
+        .groupBy("p01", "p99")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("vr") < F.col("p01"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("vr") > F.col("p99"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            davg(clipped, out=4).alias("winsorized_mean"),
+        )
     )
