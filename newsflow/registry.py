@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "newsflow.quality",
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
+    "newsflow.sim.health",
 )
 
 
