@@ -76,6 +76,46 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.9
+) -> DataFrame:
+    """Directed shingle-containment pairs: C(a→b) = |S_a ∩ S_b| / |S_a|.
+
+    The asymmetric twin of Jaccard — it catches a short document copied
+    INTO a longer one (quote inflation, boilerplate wrapping), which
+    symmetric Jaccard under-scores because the union is dominated by the
+    longer side. Same shuffle profile as ``jaccard_pairs`` (shingle-keyed
+    self-join + pair groupBy); directed output, both directions scored.
+    Exact and quadratic per shared shingle — at 100 TB this is the
+    verification stage behind an LSH candidate generator, same layering
+    as minhash.
+    """
+    arrays = doc_shingle_arrays(docs, n)
+    sh = arrays.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    cont = F.col("n_common") / F.col("n_a")
+    return (
+        common.join(sa, "doc_a")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment")
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:

@@ -74,6 +74,30 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS ({sql_shingles_rel(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       n_common::DOUBLE / sa.n_sh AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+WHERE n_common::DOUBLE / sa.n_sh >= 0.9
+"""
+
+
+@register("containment_dup_pairs", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram containment pairs (threshold 0.9) — catches short
+    documents absorbed into longer ones, which symmetric Jaccard misses."""
+    return core.containment_pairs(
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.9
+    )
+
+
 @register(
     "minhash_near_dup_pairs",
     # MinHash candidates are verified with EXACT Jaccard, and at

@@ -172,3 +172,81 @@ def org_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsflow.etl.queries import _core_df
 
     return pagerank(_co_edges(_core_df(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# Registered query: per-node triangle counts (clustering structure)
+# --------------------------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(src, dst, w) symmetric edges → (org, n_triangles) per node.
+
+    Standard distributed triangle enumeration: orient every undirected
+    edge low→high (each triangle a<b<c is then built exactly once from
+    (a,b)+(b,c) closed by (a,c)), two joins keyed on a node id, then one
+    explode+groupBy to attribute each triangle to its three corners.
+    The orientation step also caps join skew: a hub node's edge list is
+    split between its lower and higher neighbors. At 100 TB the further
+    refinement is degree-ordering (orient by (degree, id)) so hubs
+    always sit on the low-fanout side — noted, not needed at this graph
+    size.
+    """
+    und = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        und.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("org")
+    )
+    return corners.groupBy("org").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def triangle_oracle_sql(edges_rel: str) -> str:
+    return f"""
+    edges AS ({edges_rel}),
+    und AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst),
+    tris AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT org, count(*) AS n_triangles FROM (
+      SELECT a AS org FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    ) GROUP BY org
+    """
+
+
+def _org_triangles_oracle() -> str:
+    from newsflow.etl.queries import _SQL_WITH_CORE
+
+    return f"{_SQL_WITH_CORE},\n{triangle_oracle_sql(_SQL_CO_EDGES)}"
+
+
+@register(
+    "org_triangle_counts",
+    oracle=_org_triangles_oracle(),
+    tags=("graph", "reference-replay"),
+)
+def org_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-org triangle participation in the co-mention graph — the
+    local-clustering signal behind community detection (the reference's
+    network_analysis.py reports raw partner degree; triangles separate
+    genuine cliques from hub noise)."""
+    from newsflow.etl.queries import _core_df
+
+    return triangle_counts(_co_edges(_core_df(spark, sf_dir)))
