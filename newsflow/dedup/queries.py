@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.dedup import core, embedding, minhash, simhash
@@ -71,6 +72,49 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.8)."""
     return core.jaccard_pairs(
         spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    )
+
+
+@register(
+    "neardup_embedding_disagreement",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE})
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           {sql_dround(_EMB_COS_SQL, 6)} AS cosine_sim
+    FROM pairs p
+    JOIN embeddings a ON a.vec_id = p.doc_a
+    JOIN embeddings b ON b.vec_id = p.doc_b
+    WHERE {sql_dround(_EMB_COS_SQL, 6)} < 0.9
+    """,
+    tags=("dedup", "embedding", "quality"),
+)
+def neardup_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit: text pairs that are near-duplicates
+    by 3-gram Jaccard (≥ 0.8) whose embeddings nonetheless disagree
+    (cosine < 0.9) — each hit is an embedding-pipeline defect (stale
+    vector, wrong row alignment, encoder drift). The near-dup pair set
+    is tiny relative to the corpus, so the embedding join is two hash
+    joins on the pair ids, not a vector self-join."""
+    from newsflow.sim.knn import as_double_array, dot_expr, norm_expr
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = core.jaccard_pairs(docs, n=3, threshold=0.8)
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    ea = embs.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    eb = embs.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (
+        norm_expr(F.col("va")) * norm_expr(F.col("vb"))
+    )
+    from newsflow.functions.scalars import dround
+
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn("cosine_sim", dround(cos, 6))
+        .filter(F.col("cosine_sim") < 0.9)
+        .select("doc_a", "doc_b", "jaccard", "cosine_sim")
     )
 
 
