@@ -57,6 +57,11 @@ HEADLINE = [
     "doc_boilerplate_ratio",    # cross-doc n-gram repetition (window form)
     "incremental_dedup_new_docs",  # batch-vs-index dedup diff
     "kmeans_assignments",       # iterative Lloyd (2 rounds, codegen assign)
+    # Round-3 retrieval/health additions:
+    "bm25_topk",                # lexical search (1-row stats broadcast)
+    "doc_unigram_nll",          # unigram-LM surprisal (perplexity proxy)
+    "embedding_int8_quant_error",  # posexplode + per-dim scale broadcast
+    "org_triangle_counts",      # 2-join triangle enumeration on graph
 ]
 
 
