@@ -144,3 +144,44 @@ def test_token_budget_has_no_global_single_partition_window(spark):
     # reports with a tiny row estimate — assert the doc window itself is
     # keyed on qb.
     assert "Window [sum(n_tokens" in plan and "qb" in plan
+
+
+def test_bm25_stats_broadcast_and_udf_free(spark):
+    """BM25's corpus-stats crossJoin must broadcast the 1-row aggregate
+    (BroadcastNestedLoopJoin), and the whole scoring path stays native."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_df_side_broadcasts(spark):
+    """The vocabulary-bounded df table must broadcast into the tf side —
+    a SortMergeJoin keyed on the term would shuffle the corpus twice."""
+    plan = plan_of(spark, "doc_tfidf_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_unigram_lm_broadcasts(spark):
+    plan = plan_of(spark, "doc_unigram_nll")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_embedding_health_udf_free_and_broadcast(spark):
+    for name in (
+        "embedding_dim_stats",
+        "embedding_int8_quant_error",
+        "embedding_norm_profile",
+    ):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name
+    # the 64-row per-dim scale table joins broadcast
+    assert "BroadcastHashJoin" in plan_of(spark, "embedding_int8_quant_error")
+
+
+def test_triangle_join_is_hash_not_cartesian(spark):
+    plan = plan_of(spark, "org_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
