@@ -123,3 +123,42 @@ def sliding_window_counts_stream(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "exact_dedup_stream",
+    oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    tags=("streaming", "dedup", "executed"),
+)
+def exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup EXECUTED as a stream: documents replayed via
+    readStream, reduced to md5 keys row-locally, deduplicated with the
+    streaming ``dropDuplicates`` state store, appended to a memory sink.
+    The drained sink holds exactly the distinct hash set, so the batch
+    DISTINCT oracle applies verbatim. Only the 16-byte hash enters
+    state — the streaming twin of ``dedup_exact_keep_min``'s scale
+    argument. Bounded replay keeps unlimited state safe here; the
+    production form is ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` so keys age out (documented,
+    same operator surface)."""
+    import pyspark.sql.functions as F
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hashes = stream.select(F.md5("text").alias("text_hash")).dropDuplicates(
+        ["text_hash"]
+    )
+    sink = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        hashes.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
