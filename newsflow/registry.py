@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
     "newsflow.sim.health",
+    "newsflow.sim.mmr",
 )
 
 

@@ -139,3 +139,21 @@ def test_norm_profile_consistent(spark):
     for r in rows:
         assert r.min_norm <= r.avg_norm <= r.max_norm
         assert r.n_near_zero <= r.n_vecs
+
+
+def test_mmr_diversifies_and_is_well_formed(spark):
+    from newsflow.sim.mmr import MMR_K, MMR_QUERY_ID, mmr_diversified_topk
+
+    rows = sorted(
+        mmr_diversified_topk(spark, SF_SMOKE).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, MMR_K + 1))
+    assert MMR_QUERY_ID not in {r.vec_id for r in rows}
+    assert len({r.vec_id for r in rows}) == MMR_K  # no repeats
+    # rank 1 is the pure-relevance argmax; later scores never exceed it
+    assert rows[0].relevance == max(r.relevance for r in rows)
+    assert all(r.mmr_score <= rows[0].mmr_score for r in rows)
+    # the greedy trade-off actually bites somewhere: MMR ordering is not
+    # just relevance ordering on this data
+    rels = [r.relevance for r in rows]
+    assert rels != sorted(rels, reverse=True)
