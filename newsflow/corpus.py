@@ -596,3 +596,108 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(clipped, out=4).alias("winsorized_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Water-filling token-budget allocation across sources
+# --------------------------------------------------------------------------
+
+WATERFILL_BUDGET = 26_000  # tokens — mixed regime at the check SF: small sources fit whole, large ones cap
+
+
+@register(
+    "source_budget_waterfill",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM (SELECT source, unnest({sql_tokens()}) AS t FROM documents)
+      GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             CAST(row_number() OVER w AS BIGINT) AS rk,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS prefix,
+             CAST(count(*) OVER () AS BIGINT) AS n_src
+      FROM sizes
+      WINDOW w AS (ORDER BY n_tokens, source)
+    ),
+    cut AS (
+      SELECT CAST(coalesce(max(rk), 0) AS BIGINT) AS c,
+             CAST(coalesce(max(prefix + n_tokens), 0) AS BIGINT) AS full_sum
+      FROM ranked
+      WHERE n_tokens * (n_src - rk + 1) + prefix <= {WATERFILL_BUDGET}
+    )
+    SELECT source, n_tokens,
+           CASE WHEN rk <= c THEN n_tokens
+                ELSE least(n_tokens,
+                           ({WATERFILL_BUDGET} - full_sum) // (n_src - c))
+           END AS allocated,
+           rk > c AS is_capped
+    FROM ranked, cut
+    """,
+    tags=("corpus", "training-export"),
+)
+def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a {WATERFILL_BUDGET}-token budget
+    across sources: small sources keep everything, large sources are
+    capped at the common water level that exactly exhausts the budget —
+    the standard max-min-fair mixture allocator (the closed-form twin of
+    iteratively raising the level).
+
+    Entirely integer arithmetic (sizes, prefix sums, floor division), so
+    the oracle is exact with no rounding machinery. The corpus-sized
+    work is one explode+groupBy per-source count; the waterfill itself
+    runs window functions over the BOUNDED per-source frame (#sources
+    rows — same justification as the tokenizer-vocab ranking), plus one
+    1-row cutoff aggregate broadcast back.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = sizes.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prefix"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n_src"),
+    )
+    cut = ranked.filter(
+        F.col("n_tokens") * (F.col("n_src") - F.col("rk") + 1)
+        + F.col("prefix")
+        <= WATERFILL_BUDGET
+    ).agg(
+        F.coalesce(F.max("rk"), F.lit(0)).cast("bigint").alias("c"),
+        F.coalesce(F.max(F.col("prefix") + F.col("n_tokens")), F.lit(0))
+        .cast("bigint")
+        .alias("full_sum"),
+    )
+    alloc = F.when(F.col("rk") <= F.col("c"), F.col("n_tokens")).otherwise(
+        F.least(
+            F.col("n_tokens"),
+            F.expr(
+                f"CAST(({WATERFILL_BUDGET} - full_sum)"
+                " DIV (n_src - c) AS BIGINT)"
+            ),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        "source",
+        "n_tokens",
+        alloc.alias("allocated"),
+        (F.col("rk") > F.col("c")).alias("is_capped"),
+    )

@@ -171,3 +171,44 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
         n, k = n_per_source[s], kept_per_source.get(s, 0)
         sigma = math.sqrt(n * rate * (1 - rate))
         assert abs(k - n * rate) <= 4 * sigma + 1, (s, k, n, rate)
+
+
+def test_waterfill_invariants(spark):
+    from newsflow.corpus import WATERFILL_BUDGET, source_budget_waterfill
+
+    rows = source_budget_waterfill(spark, "/root/testdata/sf0.01").collect()
+    total = sum(r.n_tokens for r in rows)
+    alloc = sum(r.allocated for r in rows)
+    if total <= WATERFILL_BUDGET:
+        assert alloc == total and not any(r.is_capped for r in rows)
+    else:
+        # budget exhausted up to the floor-division remainder
+        assert WATERFILL_BUDGET - len(rows) < alloc <= WATERFILL_BUDGET
+        caps = {r.allocated for r in rows if r.is_capped}
+        assert len(caps) == 1  # common water level
+        level = caps.pop()
+        # capped sources exceed the level; uncapped keep everything and
+        # never exceed it (max-min fairness)
+        assert all(r.n_tokens > level for r in rows if r.is_capped)
+        assert all(
+            r.allocated == r.n_tokens and r.n_tokens <= level
+            for r in rows
+            if not r.is_capped
+        )
+        # at sf0.01 the budget genuinely lands in the mixed regime
+        assert any(r.is_capped for r in rows)
+        assert any(not r.is_capped for r in rows)
+
+
+def test_waterfill_all_fit_under_big_budget(spark):
+    from newsflow import corpus
+
+    # Same operator, budget above the corpus total: nothing capped.
+    rows = corpus.source_budget_waterfill(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.n_tokens for r in rows)
+    if total <= corpus.WATERFILL_BUDGET:
+        assert all(r.allocated == r.n_tokens for r in rows)
+    else:
+        assert sum(r.allocated for r in rows) <= corpus.WATERFILL_BUDGET
