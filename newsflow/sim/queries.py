@@ -179,3 +179,80 @@ def embedding_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ANN index-quality evaluation: LSH recall vs the exact baseline
+# --------------------------------------------------------------------------
+
+_EXACT_TOPK_SQL = f"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY (round({_COS_SQL} + 1e-9, 6) + 0.0) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+    ) WHERE rn <= 5
+"""
+
+
+@register(
+    "knn_lsh_recall_eval",
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS ({hyperplane_topk_oracle_sql(k=5, dim=64, max_query_id=8)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS k,
+           (round(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "lsh", "evaluation"),
+)
+def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the native sign-LSH tier against the exact
+    brute-force baseline — the index-quality evaluation a pipeline runs
+    before trusting an ANN tier for dedup or retrieval, as a QUERY (not
+    a test), so the measurement itself ships with the engine.
+
+    Both sides are deterministic (rounded-sim ranking, md5-derived
+    planes), so the whole evaluation has an exact composed oracle. Scale
+    shape: the expensive inputs are the two top-k pipelines themselves;
+    the recall join touches only 8×5 result rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = hyperplane_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )
