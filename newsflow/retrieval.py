@@ -120,7 +120,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tie-break, so the top-k set is engine-independent. At 100 TB
     the global top-k is TakeOrderedAndProject — no full sort.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk_df(load_table(spark, sf_dir, "documents"))
+
+
+def bm25_topk_df(docs: DataFrame) -> DataFrame:
     per = docs.select(
         "doc_id", tokens_expr("text").alias("toks")
     ).select(
@@ -324,7 +327,10 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. At 100 TB the LM table is top-N + OOV-smoothed; the corpus
     side never collects.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return unigram_nll_df(load_table(spark, sf_dir, "documents"))
+
+
+def unigram_nll_df(docs: DataFrame) -> DataFrame:
     tk = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
     tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     lm = tk.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))

@@ -37,7 +37,10 @@ _SQL_EXPLODED = """
 
 
 def _exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    embs = spread(load_table(spark, sf_dir, "embeddings"))
+    return exploded_df(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def exploded_df(embs: DataFrame) -> DataFrame:
     return embs.select(
         "vec_id",
         F.posexplode(as_double_array(F.col("embedding"))).alias("dim", "x"),
@@ -137,7 +140,10 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     is IEEE-exact (no transcendentals), so the only cross-engine hazard
     — summation order — is closed by the decimal sum.
     """
-    ex = _exploded(spark, sf_dir)
+    return int8_quant_error_df(_exploded(spark, sf_dir))
+
+
+def int8_quant_error_df(ex: DataFrame) -> DataFrame:
     scales = ex.groupBy("dim").agg(
         (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
     )

@@ -109,6 +109,22 @@ def main() -> None:
     n_km = kmeans_assign(big_emb).count()
     t_kmeans = time.perf_counter() - t0
 
+    # Round-3 second wave: retrieval / LM / embedding-health tiers.
+    from newsflow.retrieval import bm25_topk_df, unigram_nll_df
+    from newsflow.sim.health import exploded_df, int8_quant_error_df
+
+    t0 = time.perf_counter()
+    n_bm25 = bm25_topk_df(big_docs).count()
+    t_bm25 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_nll = unigram_nll_df(big_docs).count()
+    t_nll = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_quant = int8_quant_error_df(exploded_df(big_emb)).count()
+    t_quant = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -131,6 +147,12 @@ def main() -> None:
                 "chunking_sec": round(t_chunk, 1),
                 "kmeans_rows": n_km,
                 "kmeans_sec": round(t_kmeans, 1),
+                "bm25_rows": n_bm25,
+                "bm25_sec": round(t_bm25, 1),
+                "unigram_nll_rows": n_nll,
+                "unigram_nll_sec": round(t_nll, 1),
+                "int8_quant_rows": n_quant,
+                "int8_quant_sec": round(t_quant, 1),
             }
         )
     )
