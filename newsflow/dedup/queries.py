@@ -190,6 +190,24 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from newsflow.dedup import simhash_md5  # noqa: E402
+
+
+@register(
+    "simhash_md5_near_dup_pairs",
+    oracle=simhash_md5.oracle_sql(),
+    tags=("dedup", "simhash"),
+)
+def simhash_md5_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verified SimHash twin: identical voting/banding/pigeonhole
+    math to `simhash_near_dup_pairs` with md5-derived bits, so the whole
+    algorithm is hash-checked against DuckDB (the xxhash64 tier remains
+    the scale path; its bits aren't reproducible in SQL)."""
+    return simhash_md5.near_dup_pairs(
+        spread(load_table(spark, sf_dir, "documents"))
+    )
+
+
 @register(
     "embedding_cosine_near_dup",
     oracle=f"""

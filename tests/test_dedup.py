@@ -133,3 +133,43 @@ def test_embedding_cosine_lsh_precision_and_recall(spark):
     assert approx <= exact, f"false positives: {approx - exact}"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall} below floor"
+
+
+def test_simhash_md5_twin_agrees_with_xxhash_tier(spark):
+    """Different hash bits move the radius BOUNDARY, but any pair with
+    IDENTICAL distinct-token sets votes identically under every hash, so
+    such pairs must be Hamming-0 in both the md5 twin and the xxhash64
+    scale tier."""
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup import simhash, simhash_md5
+    from newsflow.functions.text import tokens_expr
+    from newsflow.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    sets = docs.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(tokens_expr("text"))).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    same = {
+        tuple(sorted(p))
+        for r in sets.groupBy("ts")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+        for i, a in enumerate(r.ids)
+        for b in r.ids[i + 1 :]
+        for p in [(a, b)]
+    }
+    assert same, "fixture should contain identical-token-set near-dups"
+    md5_zero = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_md5.near_dup_pairs(docs).collect()
+        if r.hamming == 0
+    }
+    xx_zero = {
+        (r.doc_a, r.doc_b)
+        for r in simhash.simhash_near_dup_pairs(docs, max_hamming=0).collect()
+    }
+    assert same <= md5_zero
+    assert same <= xx_zero
