@@ -148,7 +148,10 @@ _LANG_CASE_SQL = (
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-lexicon language-ID heuristic: per-lexicon hit counts +
     deterministic argmax (lexicographic tie-break)."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _lang_scored(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_scored(docs: DataFrame) -> DataFrame:
     t = F.array_distinct(tokens_expr("text"))
     scored = docs.select(
         "doc_id",
@@ -184,6 +187,62 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_english",
         "score_commerce",
         "score_engine",
+    )
+
+
+@register(
+    "lang_label_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, {_LANG_CASE_SQL} AS lang_pred
+      FROM (
+        SELECT doc_id, {_LANG_SCORES_SQL}
+        FROM (SELECT doc_id, {sql_tokens()} AS t FROM documents)
+      )
+    ),
+    cm AS (
+      SELECT d.lang, p.lang_pred, count(*) AS n
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM cm GROUP BY 1)
+    SELECT lang, lang_pred, n, n_lang,
+           (round(n::DOUBLE / n_lang + 1e-9, 4) + 0.0) AS share
+    FROM cm JOIN tot USING (lang)
+    """,
+    tags=("text", "langid", "quality"),
+)
+def lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-label vs heuristic-prediction confusion matrix — the
+    label-quality audit run before trusting either side for filtering
+    (a language cell whose rows scatter across predictions is mislabeled
+    or code-mixed). One scan computes predictions row-locally; the
+    matrix is a (|langs| x |preds|)-bounded groupBy, shares derived from
+    exact integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = _lang_scored(docs).select("doc_id", "lang_pred")
+    cm = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    return (
+        cm.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            "n_lang",
+            (
+                F.round(
+                    F.col("n").cast("double") / F.col("n_lang") + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("share"),
+        )
     )
 
 
