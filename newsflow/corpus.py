@@ -701,3 +701,64 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.alias("allocated"),
         (F.col("rk") > F.col("c")).alias("is_capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (corpus version reconciliation)
+# --------------------------------------------------------------------------
+
+SNAP_OLD_MAX = 300  # old snapshot: doc_id < 300, keyed by doc_id
+SNAP_NEW_MIN = 200  # new snapshot: doc_id >= 200, keyed by doc_id - 200
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH old AS (
+      SELECT doc_id AS key, md5(text) AS h FROM documents
+      WHERE doc_id < {SNAP_OLD_MAX}
+    ),
+    new AS (
+      SELECT doc_id - {SNAP_NEW_MIN} AS key, md5(text) AS h
+      FROM documents WHERE doc_id >= {SNAP_NEW_MIN}
+    )
+    SELECT coalesce(o.key, n.key) AS key,
+           CASE WHEN o.key IS NULL THEN 'added'
+                WHEN n.key IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.key = n.key
+    """,
+    tags=("corpus", "incremental"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot reconciliation: classify every document key
+    as added / removed / changed / unchanged between two corpus versions
+    (simulated here as two overlapping doc_id windows of the same table)
+    — the diff a continuously-refreshed corpus publishes with each
+    release so downstream consumers re-embed only what moved.
+
+    Scale shape: both sides reduce to (key, 16-byte md5) projections
+    before the full-outer join — one shuffle per side on the key, no
+    text movement; the classification is row-local. Same hash-first
+    discipline as `incremental_dedup_new_docs`.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") < SNAP_OLD_MAX).select(
+        F.col("doc_id").alias("okey"), F.md5("text").alias("oh")
+    )
+    new = docs.filter(F.col("doc_id") >= SNAP_NEW_MIN).select(
+        (F.col("doc_id") - SNAP_NEW_MIN).alias("nkey"),
+        F.md5("text").alias("nh"),
+    )
+    joined = old.join(new, old.okey == new.nkey, "full_outer")
+    status = (
+        F.when(F.col("okey").isNull(), F.lit("added"))
+        .when(F.col("nkey").isNull(), F.lit("removed"))
+        .when(F.col("oh") == F.col("nh"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("okey"), F.col("nkey")).alias("key"),
+        status.alias("status"),
+    )
