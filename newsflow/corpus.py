@@ -707,8 +707,13 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Snapshot diff (corpus version reconciliation)
 # --------------------------------------------------------------------------
 
-SNAP_OLD_MAX = 300  # old snapshot: doc_id < 300, keyed by doc_id
-SNAP_NEW_MIN = 200  # new snapshot: doc_id >= 200, keyed by doc_id - 200
+# Two overlapping snapshots of the same corpus: the old release holds
+# doc_id < 300, the new one doc_id >= 100 with every 10th document
+# edited — so the diff exercises all four statuses (removed: 0..99,
+# unchanged / changed: 100..299, added: 300+).
+SNAP_OLD_MAX = 300
+SNAP_NEW_MIN = 100
+SNAP_EDIT_EVERY = 10
 
 
 @register(
@@ -719,7 +724,9 @@ SNAP_NEW_MIN = 200  # new snapshot: doc_id >= 200, keyed by doc_id - 200
       WHERE doc_id < {SNAP_OLD_MAX}
     ),
     new AS (
-      SELECT doc_id - {SNAP_NEW_MIN} AS key, md5(text) AS h
+      SELECT doc_id AS key,
+             md5(CASE WHEN doc_id % {SNAP_EDIT_EVERY} = 0
+                      THEN text || ' v2' ELSE text END) AS h
       FROM documents WHERE doc_id >= {SNAP_NEW_MIN}
     )
     SELECT coalesce(o.key, n.key) AS key,
@@ -747,9 +754,12 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") < SNAP_OLD_MAX).select(
         F.col("doc_id").alias("okey"), F.md5("text").alias("oh")
     )
+    edited = F.when(
+        F.col("doc_id") % SNAP_EDIT_EVERY == 0,
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
     new = docs.filter(F.col("doc_id") >= SNAP_NEW_MIN).select(
-        (F.col("doc_id") - SNAP_NEW_MIN).alias("nkey"),
-        F.md5("text").alias("nh"),
+        F.col("doc_id").alias("nkey"), F.md5(edited).alias("nh")
     )
     joined = old.join(new, old.okey == new.nkey, "full_outer")
     status = (
