@@ -256,3 +256,68 @@ def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             (round({_COS_SQL} + 1e-9, 6) + 0.0) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY (round({_COS_SQL} + 1e-9, 6) + 0.0) DESC, e.vec_id
+             ) AS rank
+      FROM embeddings q, embeddings e
+      WHERE q.vec_id < 8 AND e.label <> q.label
+        AND (round({_COS_SQL} + 1e-9, 6) + 0.0) < 0.95
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity", "training-export"),
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-3 most-similar embeddings with a DIFFERENT label (capped
+    below 0.95 cosine so probable mislabeled near-dups are excluded) —
+    the pair-construction step behind embedding-model finetuning.
+
+    Same scale shape as `knn_cosine_topk` (the label predicate prunes
+    before ranking; per-query top-k is a rank-limited window, and at
+    corpus scale the LSH/IVF tiers generate the candidates instead of
+    the brute-force product). Rounded-sim + id ranking keeps the mined
+    set engine-exact."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    from newsflow.functions.scalars import dround
+    from newsflow.sim.knn import as_double_array, dot_expr, norm_expr
+
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ev"),
+        F.col("label").alias("neighbor_label"),
+    )
+    qa = as_double_array(F.col("qv"))
+    ea = as_double_array(F.col("ev"))
+    cos = dround(dot_expr(qa, ea) / (norm_expr(qa) * norm_expr(ea)), 6)
+    from pyspark.sql.window import Window
+
+    scored = (
+        q.join(e, F.col("qlabel") != F.col("neighbor_label"))
+        .withColumn("cosine_sim", cos)
+        .filter(F.col("cosine_sim") < 0.95)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank"
+        )
+    )
