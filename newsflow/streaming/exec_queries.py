@@ -162,3 +162,45 @@ def exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "user_event_keys_stream_watermarked",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "executed", "watermark"),
+)
+def user_event_keys_stream_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-AGED streaming dedup EXECUTED: readStream →
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` on (user_id,
+    event_type) → append memory sink — the production form of streaming
+    dedup, where key state is evicted once the watermark passes instead
+    of growing forever (the state shape `exact_dedup_stream`'s plain
+    dropDuplicates documents as unbounded).
+
+    Only the KEY columns are emitted, which makes the operator
+    deterministic under bounded replay (which concrete first row wins is
+    engine-internal, the surviving key set is not): the availableNow
+    drain sees every event before the watermark advances past it, so the
+    sink equals the batch DISTINCT key set and the oracle is exact."""
+    from newsflow.streaming.dedup import dedup_events_within_watermark
+    from newsflow.streaming.windows import read_events_stream
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = read_events_stream(
+        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+    )
+    keys = dedup_events_within_watermark(
+        stream, ["user_id", "event_type"], watermark="2 hours"
+    ).select("user_id", "event_type")
+    sink = f"wmdedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        keys.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
