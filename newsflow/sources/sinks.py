@@ -64,3 +64,22 @@ def write_orc(
 
 def read_orc(spark, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """Distributed JSON-lines export — the interchange format training
+    pipelines hand to tokenizer/inspection tooling. One JSON object per
+    line per row; optional codec (e.g. ``gzip``) for cold storage."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """Schema-explicit JSONL read-back (inference is a full extra pass at
+    scale — callers pass the schema they wrote)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -91,3 +91,21 @@ def test_orc_roundtrip_preserves_rows_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_jsonl_roundtrip_plain_and_gzip(spark, tmp_path):
+    from newsflow.sources.sinks import read_jsonl, write_jsonl
+    from newsflow.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    for comp, sub in ((None, "plain"), ("gzip", "gz")):
+        path = str(tmp_path / f"docs_{sub}")
+        write_jsonl(docs, path, compression=comp)
+        back = read_jsonl(spark, path, schema=docs.schema)
+        assert back.count() == docs.count()
+        a = {r.doc_id: r.text for r in docs.collect()}
+        b = {r.doc_id: r.text for r in back.collect()}
+        assert a == b
