@@ -557,3 +557,79 @@ def curate_exact_stage(filtered: DataFrame) -> DataFrame:
         .agg(F.min_by(row, F.col("doc_id")).alias("r"))
         .select("r.*")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end training export: curate -> split -> pack -> JSONL shards
+# --------------------------------------------------------------------------
+
+
+def export_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, int]:
+    """The terminal pipeline stage: run the curation funnel, assign the
+    deterministic md5 train/val/test split, attach each kept document's
+    (shard, pack, offset) packing placement, and write
+    split-partitioned gzip JSONL shards — the artifact a tokenizer /
+    trainer consumes.
+
+    One lazy plan end-to-end: curation gates push to the scan, the
+    split/pack columns are row-local + shard-partitioned windows, and
+    the write is a distributed ``partitionBy(split)`` JSONL export (no
+    driver collect anywhere). Returns per-split document counts read
+    back from the written artifact, so the count doubles as a write
+    verification.
+    """
+    import pyspark.sql.functions as F  # local alias for clarity
+
+    from newsflow.sources.sinks import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate(docs, spark).select("doc_id", "source", "n_tokens")
+    # curate() projects text away (only survivors' text is re-read, and
+    # only here at the export boundary)
+    with_text = kept.join(docs.select("doc_id", "text"), "doc_id")
+    split_b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(split_b.isin("d", "e"), "val")
+        .when(split_b == "f", "test")
+        .otherwise("train")
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = with_text.select(
+        "doc_id",
+        "text",
+        "source",
+        split.alias("split"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        h.alias("h"),
+        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("split", "shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = base.withColumn(
+        "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    out = off.select(
+        "doc_id",
+        "text",
+        "source",
+        "split",
+        "n_tokens",
+        "shard",
+        F.expr(f"offset div {SEQ_LEN}").alias("pack_id"),
+        (F.col("offset") % SEQ_LEN).alias("pack_offset"),
+    )
+    out.write.mode("overwrite").partitionBy("split").option(
+        "compression", "gzip"
+    ).json(out_dir)
+    back = read_jsonl(spark, out_dir)
+    return {
+        r.split: r.n
+        for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

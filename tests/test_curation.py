@@ -85,3 +85,20 @@ def test_token_budget_equals_global_sort_prefix(spark):
     ref = ref[ref["n_tokens"].cumsum() <= budget]
     assert got == set(ref["doc_id"])
     assert len(got) > 0
+
+
+def test_export_training_shards_roundtrip(spark, tmp_path):
+    from newsflow.curation import export_training_shards
+    from newsflow.tables import load_table
+    from newsflow import curation
+    from tests.conftest import SF_ORACLE
+
+    counts = export_training_shards(spark, SF_ORACLE, str(tmp_path / "shards"))
+    kept = curation.curate(
+        load_table(spark, SF_ORACLE, "documents"), spark
+    ).count()
+    assert sum(counts.values()) == kept
+    assert counts.get("train", 0) > counts.get("val", 0) >= 0
+    # written artifact is hive-partitioned by split
+    subdirs = {p.name for p in (tmp_path / "shards").iterdir() if p.is_dir()}
+    assert {f"split={s}" for s in counts} <= subdirs
