@@ -479,7 +479,7 @@ def corpus_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONTAM_NGRAM = 8
-PROBE_MOD = 97
+PROBE_MOD = 49
 # Hard cap on the number of probe DOCUMENTS (doc_id < PROBE_MOD *
 # PROBE_MAX_DOCS, stepping by PROBE_MOD → at most PROBE_MAX_DOCS probe
 # docs at ANY corpus size). Without the cap the probe side is

@@ -118,16 +118,28 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
     GROUP BY c_mktsegment
     """,
     tags=("join", "anti"),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — NOT EXISTS / NOT-IN at scale (replaces the
-    reference's literal exclusion list, network_analysis.py:62,71-73)."""
+    reference's literal exclusion list, network_analysis.py:62,71-73).
+    Dormant-customer form: no orders since 2000-01-01 (every customer in
+    the fixture has SOME order, so the undated form was permanently
+    empty — a matching-but-weak signal; the date predicate pushes to the
+    orders scan and the anti join actually fires: 135 rows at sf0.01)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -291,8 +303,8 @@ def events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '2024-06-01'
-      AND l.l_shipdate > DATE '2024-06-01'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > DATE '1998-06-01'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, l.l_orderkey
     LIMIT 10
@@ -315,12 +327,12 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") < "2024-06-01")
+        .filter(F.col("o_orderdate") < "1998-06-01")
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     )
     li = (
         load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_shipdate") > F.lit("2024-06-01").cast("date"))
+        .filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("date"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (

@@ -107,6 +107,12 @@ _RECHECK_THIS_ROUND = (
     "embedding_cosine_near_dup",
     "registrable_domain_extract",
     "gdelt_core_etl",
+    # Late round-3: previously green-but-EMPTY queries re-constanted so
+    # they actually fire (Q3's 2024 dates vs 1995-2001 fixture dates;
+    # the undated anti join; PROBE_MOD missing every 8-gram-sharing
+    # doc). Semantics changed -> driver must re-verify.
+    "shipping_priority_topk",
+    "customers_without_orders",
 )
 
 
