@@ -75,7 +75,7 @@ def _n_bands(max_hamming: int) -> int:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 1000
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with Hamming(simhash_a, simhash_b) ≤ radius.
 
@@ -103,11 +103,18 @@ def simhash_near_dup_pairs(
        matching band — a pure function of (sig_a XOR sig_b, band), so
        the dedup is a row-local filter and the distinct disappears.
 
-    Skew bound: a degenerate band value (e.g. near-empty docs hashing to
-    band 0) concentrates its bucket on one task with quadratic output —
-    inherent to every LSH bucket scheme (same bound documented at
-    minhash.py); radius/band parameters control it, and buckets above a
-    size cap could be dropped as "too common" if a corpus ever hits it.
+    Skew bound — ENFORCED: a degenerate band value (e.g. near-empty docs
+    hashing to band 0) concentrates its bucket on one task whose pair
+    expansion materializes |bucket|²/2 structs inside a single row —
+    quadratic memory, inherent to every LSH bucket scheme (same bound
+    documented at minhash.py). Buckets larger than ``max_bucket`` are
+    dropped as "too common to be discriminative" (Manku et al. §4's
+    practice; a band value shared by thousands of documents carries no
+    near-dup signal — real near-dup cliques that large surface through
+    their OTHER bands or the exact-dedup tier first). A 20x stress
+    corpus OOM'd an 8 GB heap without the cap; with it the stage is
+    bounded at max_bucket²/2 structs per row. Pass ``max_bucket=None``
+    for the uncapped exact pigeonhole.
     """
     n_bands = _n_bands(max_hamming)
     band_width = N_BITS // n_bands
@@ -130,8 +137,10 @@ def simhash_near_dup_pairs(
         banded.groupBy("band", "band_val")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
         .filter(F.size("m") > 1)
-        .repartition(parallelism)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("m") <= max_bucket)
+    buckets = buckets.repartition(parallelism)
     pairs = buckets.select(
         "band",
         F.explode(
