@@ -137,7 +137,10 @@ def minhash_near_dup_pairs(
 
 
 def native_minhash_candidates(
-    arrays: DataFrame, num_hashes: int = 16, rows_per_band: int = 2
+    arrays: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via NATIVE minhash signatures — no MLlib, no
     vectors: banded LSH over per-document min-hash signatures, as a
@@ -206,6 +209,15 @@ def native_minhash_candidates(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        # Degenerate-bucket cap (same bound as simhash.py): a bucket of k
+        # members expands k(k-1)/2 structs inside ONE row, so a band key
+        # shared by tens of thousands of docs is a per-task OOM. Dropping
+        # over-cap buckets trades recall on "everything matches
+        # everything" keys for bounded memory — default None because the
+        # registered query's oracle asserts recall 1 (no bucket at the
+        # check SF comes near any sane cap); pass a cap at real scale.
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pair_expr = F.flatten(
         F.transform(
             "ids",
@@ -228,11 +240,14 @@ def native_minhash_near_dup_pairs(
     threshold: float = 0.8,
     num_hashes: int = 16,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Native-expression MinHash near-dup pairs: identical output
     contract (and, given recall 1, identical output) to
     `minhash_near_dup_pairs`, at a fraction of the cost — no vector
     construction, no Python/MLlib model, every stage codegen'd."""
     arrays = doc_shingle_arrays(docs, n).cache()
-    cands = native_minhash_candidates(arrays, num_hashes, rows_per_band)
+    cands = native_minhash_candidates(
+        arrays, num_hashes, rows_per_band, max_bucket
+    )
     return _verify_pairs(arrays, cands, threshold)
