@@ -1,0 +1,112 @@
+"""Spark 4 Python DataSource connector for parallel HTTP archive
+ingest — the idiomatic `spark.read.format(...)` packaging of the same
+injectable-fetcher seam `sources/fetch.py` exposes as mapInPandas
+operators.
+
+Why both forms exist: the mapInPandas operators compose mid-pipeline
+(URLs arrive as a DataFrame column); the DataSource is the CONNECTOR
+form — `spark.dataSource.register(HttpArchiveDataSource);
+spark.read.format("newsflow_http").option("urls", ...)` — which makes
+the fetch a real scan node: one InputPartition per URL, so a 100k-URL
+crawl fans out as 100k tasks with locality-free scheduling, and the
+reader participates in column pruning like any other source.
+
+Network is injected by IMPORT PATH (`fetcher_path` option) because a
+DataSource is pickled to executors — a callable option wouldn't
+serialize portably. Default is the stdlib `urllib_fetcher`; tests point
+it at the deterministic in-repo fake (no sockets touched).
+
+Reference: the boto3/requests download loops in
+gdelt/processing/fetch_data.py — single-process there, a distributed
+scan here.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+HTTP_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+DEFAULT_FETCHER = "newsflow.sources.fetch.urllib_fetcher"
+
+
+def _load_fetcher(path: str):
+    mod, _, attr = path.rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
+class _UrlPartition(InputPartition):
+    def __init__(self, urls: Sequence[str]) -> None:
+        self.urls = list(urls)
+
+
+class HttpArchiveReader(DataSourceReader):
+    def __init__(self, options: dict[str, str]) -> None:
+        raw = options.get("urls", "")
+        self.urls = [u for u in raw.split(";") if u]
+        self.fetcher_path = options.get("fetcher_path", DEFAULT_FETCHER)
+        self.urls_per_task = int(options.get("urls_per_task", "1"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        n = max(self.urls_per_task, 1)
+        return [
+            _UrlPartition(self.urls[i : i + n])
+            for i in range(0, len(self.urls), n)
+        ] or [_UrlPartition([])]
+
+    def read(self, partition: _UrlPartition) -> Iterator[tuple]:
+        fetcher = _load_fetcher(self.fetcher_path)
+        for url in partition.urls:
+            status, body = fetcher(url, {})
+            yield (url, int(status), len(body), bytes(body))
+
+
+class HttpArchiveDataSource(DataSource):
+    """`spark.read.format("newsflow_http")` — options:
+
+    - ``urls``: ``;``-separated URL list (the scan's work list)
+    - ``fetcher_path``: import path of a ``fetcher(url, headers) ->
+      (status, bytes)`` callable (default stdlib urllib)
+    - ``urls_per_task``: batch size per InputPartition (default 1 —
+      maximum fan-out; raise it when per-URL latency is small relative
+      to task overhead)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "newsflow_http"
+
+    def schema(self) -> StructType:
+        return HTTP_SCHEMA
+
+    def reader(self, schema: StructType) -> HttpArchiveReader:
+        return HttpArchiveReader(self.options)
+
+
+def deterministic_fake_fetcher(
+    url: str, headers: dict[str, str]
+) -> tuple[int, bytes]:
+    """Import-path-addressable offline fetcher for tests/demos: status
+    derives from the URL (404 for paths containing 'missing'), payload
+    is the URL text repeated — no sockets, fully reproducible."""
+    if "missing" in url:
+        return 404, b""
+    return 200, (url + "\n").encode() * 3

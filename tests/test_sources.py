@@ -199,3 +199,48 @@ def test_resilient_composes_with_fetch_urls(spark):
     ).collect()
     assert len(out) == 6
     assert all(r["status"] == 200 for r in out)
+
+
+def test_http_datasource_parallel_fetch(spark):
+    from newsflow.sources.http_datasource import HttpArchiveDataSource
+
+    spark.dataSource.register(HttpArchiveDataSource)
+    urls = [f"http://example.test/day{i}.zip" for i in range(6)] + [
+        "http://example.test/missing.zip"
+    ]
+    df = (
+        spark.read.format("newsflow_http")
+        .option("urls", ";".join(urls))
+        .option(
+            "fetcher_path",
+            "newsflow.sources.http_datasource.deterministic_fake_fetcher",
+        )
+        .load()
+    )
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == set(urls)
+    assert rows["http://example.test/missing.zip"].status == 404
+    ok = rows["http://example.test/day0.zip"]
+    assert ok.status == 200
+    assert ok.n_bytes == len(ok.payload) > 0
+    # one InputPartition per URL -> full fan-out
+    assert df.rdd.getNumPartitions() == len(urls)
+
+
+def test_http_datasource_batched_partitions(spark):
+    from newsflow.sources.http_datasource import HttpArchiveDataSource
+
+    spark.dataSource.register(HttpArchiveDataSource)
+    urls = ";".join(f"http://example.test/u{i}" for i in range(10))
+    df = (
+        spark.read.format("newsflow_http")
+        .option("urls", urls)
+        .option("urls_per_task", "4")
+        .option(
+            "fetcher_path",
+            "newsflow.sources.http_datasource.deterministic_fake_fetcher",
+        )
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(10/4)
+    assert df.count() == 10
