@@ -26,7 +26,12 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -110,3 +115,70 @@ def deterministic_fake_fetcher(
     if "missing" in url:
         return 404, b""
     return 200, (url + "\n").encode() * 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming counterpart: deterministic synthetic-events stream source
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", LongType()),
+    ]
+)
+
+_EVENT_TYPES = ("view", "click", "purchase", "refund")
+
+
+def synthetic_event(i: int) -> tuple:
+    """Row ``i`` of the deterministic event sequence — pure function of
+    the index, so any offset range is exactly replayable (the property
+    that makes the source's checkpoint/recovery contract testable)."""
+    return (
+        i,
+        (i * 2654435761) % 997,
+        _EVENT_TYPES[(i * 40503) % len(_EVENT_TYPES)],
+        (i * 48271) % 10_000,
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict[str, str]) -> None:
+        self.rows_per_batch = int(options.get("rows_per_batch", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["next"])
+        hi = lo + self.rows_per_batch
+        return iter([synthetic_event(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Exact replay for recovery: the sequence is a pure function of
+        # the index, so any committed range reproduces bit-identically.
+        return iter(
+            [synthetic_event(i) for i in range(int(start["next"]), int(end["next"]))]
+        )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """`spark.readStream.format("newsflow_events")` — a deterministic
+    rate-like event stream whose offsets are row indices; every batch
+    and every recovery replay is a pure function of the offset range.
+    Options: ``rows_per_batch`` (default 100)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "newsflow_events"
+
+    def schema(self) -> StructType:
+        return EVENTS_STREAM_SCHEMA
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
