@@ -332,3 +332,40 @@ def test_synthetic_events_stream_recovers_from_checkpoint(spark, tmp_path):
     # output is a gap-free, duplicate-free prefix of the sequence.
     assert len(ids) > first
     assert ids == list(range(len(ids)))
+
+
+def test_webhook_sink_posts_batched_json(spark, tmp_path):
+    import json
+
+    from newsflow.sources.http_datasource import WebhookDataSource
+    from newsflow.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    spark.dataSource.register(WebhookDataSource)
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "n_chars")
+        .limit(25)
+        .repartition(3)
+    )
+    spool = tmp_path / "spool"
+    (
+        docs.write.format("newsflow_webhook")
+        .option("endpoint", f"spool://{spool}")
+        .option("batch_size", "4")
+        .option(
+            "poster_path",
+            "newsflow.sources.http_datasource.spooling_fake_poster",
+        )
+        .mode("append")
+        .save()
+    )
+    payloads = [
+        json.loads(p.read_bytes()) for p in spool.glob("req_*.json")
+    ]
+    rows = [r for batch in payloads for r in batch]
+    assert len(rows) == 25
+    assert {r["doc_id"] for r in rows} == {
+        r.doc_id for r in docs.collect()
+    }
+    assert all(len(batch) <= 4 for batch in payloads)
