@@ -72,6 +72,21 @@ class HttpArchiveReader(DataSourceReader):
         self.fetcher_path = options.get("fetcher_path", DEFAULT_FETCHER)
         self.urls_per_task = int(options.get("urls_per_task", "1"))
 
+    def pushFilters(self, filters):
+        """Filter pushdown INTO the work list: `url = '...'` / `url IN
+        (...)` predicates prune partitions before any fetch happens —
+        the Python-DataSource equivalent of parquet partition pruning
+        (a 100k-URL scan filtered to one URL does ONE fetch, not 100k
+        followed by a Spark-side filter). Other predicates are returned
+        for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("url",):
+                self.urls = [u for u in self.urls if u == f.value]
+            else:
+                yield f
+
     def partitions(self) -> Sequence[InputPartition]:
         n = max(self.urls_per_task, 1)
         return [
@@ -281,3 +296,19 @@ def spooling_fake_poster(endpoint: str, payload: bytes) -> tuple[int, bytes]:
     with open(os.path.join(d, f"req_{_uuid.uuid4().hex}.json"), "wb") as f:
         f.write(payload)
     return 200, b""
+
+
+def spooling_fake_fetcher(
+    url: str, headers: dict[str, str]
+) -> tuple[int, bytes]:
+    """Offline fetcher that RECORDS each request (one file per fetch in
+    the spool:// directory) — lets tests assert how many fetches a scan
+    actually performed (e.g. that filter pushdown pruned the rest)."""
+    import os
+    import uuid as _uuid
+
+    d = os.path.dirname(url.removeprefix("spool://"))
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"fetch_{_uuid.uuid4().hex}.txt"), "w") as f:
+        f.write(url)
+    return 200, url.encode()

@@ -369,3 +369,32 @@ def test_webhook_sink_posts_batched_json(spark, tmp_path):
         r.doc_id for r in docs.collect()
     }
     assert all(len(batch) <= 4 for batch in payloads)
+
+
+def test_http_datasource_filter_pushdown_prunes_fetches(spark, tmp_path):
+    """A url-equality predicate must prune the work list BEFORE any
+    fetch: with the spooling fetcher, exactly one request is recorded."""
+    from newsflow.sources.http_datasource import HttpArchiveDataSource
+
+    spark.dataSource.register(HttpArchiveDataSource)
+    spark.conf.set(
+        "spark.sql.python.filterPushdown.enabled", "true"
+    )
+    try:
+        urls = [f"spool://{tmp_path}/u{i}" for i in range(8)]
+        df = (
+            spark.read.format("newsflow_http")
+            .option("urls", ";".join(urls))
+            .option(
+                "fetcher_path",
+                "newsflow.sources.http_datasource.spooling_fake_fetcher",
+            )
+            .load()
+            .filter(f"url = 'spool://{tmp_path}/u3'")
+        )
+        rows = df.collect()
+        assert [r.url for r in rows] == [f"spool://{tmp_path}/u3"]
+        fetched = list(tmp_path.glob("fetch_*.txt"))
+        assert len(fetched) == 1, f"pushdown failed: {len(fetched)} fetches"
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
