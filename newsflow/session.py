@@ -26,6 +26,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # Adaptive execution: runtime partition coalescing, skew-join splitting,
     # and join-strategy re-planning — essential at 100 TB where static
     # estimates are wrong.
+    # Python DataSource filter pushdown (sources/http_datasource.py
+    # implements pushFilters; Spark requires this conf once a reader does).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -377,24 +377,21 @@ def test_http_datasource_filter_pushdown_prunes_fetches(spark, tmp_path):
     from newsflow.sources.http_datasource import HttpArchiveDataSource
 
     spark.dataSource.register(HttpArchiveDataSource)
-    spark.conf.set(
-        "spark.sql.python.filterPushdown.enabled", "true"
-    )
-    try:
-        urls = [f"spool://{tmp_path}/u{i}" for i in range(8)]
-        df = (
-            spark.read.format("newsflow_http")
-            .option("urls", ";".join(urls))
-            .option(
-                "fetcher_path",
-                "newsflow.sources.http_datasource.spooling_fake_fetcher",
-            )
-            .load()
-            .filter(f"url = 'spool://{tmp_path}/u3'")
+    # spark.sql.python.filterPushdown.enabled is an engine default
+    # (session.py BUILD_CONFS) — required once a reader implements
+    # pushFilters.
+    urls = [f"spool://{tmp_path}/u{i}" for i in range(8)]
+    df = (
+        spark.read.format("newsflow_http")
+        .option("urls", ";".join(urls))
+        .option(
+            "fetcher_path",
+            "newsflow.sources.http_datasource.spooling_fake_fetcher",
         )
-        rows = df.collect()
-        assert [r.url for r in rows] == [f"spool://{tmp_path}/u3"]
-        fetched = list(tmp_path.glob("fetch_*.txt"))
-        assert len(fetched) == 1, f"pushdown failed: {len(fetched)} fetches"
-    finally:
-        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        .load()
+        .filter(f"url = 'spool://{tmp_path}/u3'")
+    )
+    rows = df.collect()
+    assert [r.url for r in rows] == [f"spool://{tmp_path}/u3"]
+    fetched = list(tmp_path.glob("fetch_*.txt"))
+    assert len(fetched) == 1, f"pushdown failed: {len(fetched)} fetches"
