@@ -29,6 +29,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -249,6 +250,25 @@ class WebhookWriter(DataSourceWriter):
         return None
 
 
+class WebhookStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of WebhookWriter: every micro-batch's partitions
+    POST independently; per-batch commit is a no-op (each POST is its
+    own delivery unit — webhook endpoints are expected to dedup on an
+    idempotency key carried in the payload when exactly-once matters)."""
+
+    def __init__(self, options: dict[str, str]) -> None:
+        self._delegate = WebhookWriter(options)
+
+    def write(self, iterator) -> _WebhookCommit:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        return None
+
+    def abort(self, messages, batchId: int) -> None:
+        return None
+
+
 class WebhookDataSource(DataSource):
     """`df.write.format("newsflow_webhook")` — POST rows as JSON arrays
     to an endpoint, ``batch_size`` rows per request, poster injected by
@@ -266,6 +286,11 @@ class WebhookDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> WebhookWriter:
         return WebhookWriter(self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "WebhookStreamWriter":
+        return WebhookStreamWriter(self.options)
 
 
 DEFAULT_POSTER = "newsflow.sources.http_datasource.urllib_poster"

@@ -395,3 +395,50 @@ def test_http_datasource_filter_pushdown_prunes_fetches(spark, tmp_path):
     assert [r.url for r in rows] == [f"spool://{tmp_path}/u3"]
     fetched = list(tmp_path.glob("fetch_*.txt"))
     assert len(fetched) == 1, f"pushdown failed: {len(fetched)} fetches"
+
+
+def test_webhook_stream_sink_end_to_end(spark, tmp_path):
+    """The full connector loop: the synthetic event stream source feeds
+    the webhook stream sink — readStream format(newsflow_events) →
+    writeStream format(newsflow_webhook) — with every batch spooled as
+    JSON and the union a gap-free prefix of the deterministic sequence."""
+    import json
+    import time
+
+    from newsflow.sources.http_datasource import (
+        SyntheticEventsDataSource,
+        WebhookDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(WebhookDataSource)
+    spool = tmp_path / "spool"
+    q = (
+        spark.readStream.format("newsflow_events")
+        .option("rows_per_batch", "30")
+        .load()
+        .writeStream.format("newsflow_webhook")
+        .option("endpoint", f"spool://{spool}")
+        .option("batch_size", "10")
+        .option(
+            "poster_path",
+            "newsflow.sources.http_datasource.spooling_fake_poster",
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(list(spool.glob("req_*.json"))) < 6:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = [
+        r
+        for p in spool.glob("req_*.json")
+        for r in json.loads(p.read_bytes())
+    ]
+    assert len(rows) >= 60
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(len(ids)))
