@@ -1,0 +1,106 @@
+"""MERGE (upsert/delete) into a partitioned parquet corpus WITHOUT a
+table format — the consumer of `corpus_snapshot_diff`: apply a batch of
+added/changed/removed documents to the stored corpus by rewriting ONLY
+the partitions the batch touches.
+
+Plain parquet has no row-level transaction log, so the unit of change
+is the hive partition: the affected partition set is computed from the
+batch's partition-column values (a tiny distinct over the batch — the
+batch is incremental by definition), untouched partitions are never
+read or written, and each touched partition is rebuilt as
+(existing rows not keyed in the batch) ∪ (batch upserts). That is the
+standard overwrite-by-partition idiom (`partitionOverwriteMode=dynamic`)
+that Delta/Iceberg generalize to file granularity; at 100 TB with
+day-partitioned corpora a daily merge rewrites one day, not the lake.
+
+Crash semantics: Spark's dynamic partition overwrite stages each
+partition's new files before swapping, so a failed merge leaves
+untouched partitions intact; a retried merge is idempotent because the
+result is a pure function of (target, batch).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+DELETE_COL = "_deleted"
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    key: str,
+    partition_col: str,
+) -> dict[str, int]:
+    """Apply ``batch`` to the parquet corpus at ``target_path``:
+
+    - rows with ``_deleted = true`` remove the matching key
+    - other rows upsert (replace the key's row, or insert it)
+
+    Only partitions present in the batch's ``partition_col`` values are
+    rewritten. Returns counts {"upserts", "deletes", "partitions"}.
+
+    Constraint (documented, asserted): a key must not move between
+    partitions in a single batch — a move is a delete in the old
+    partition plus an upsert in the new one, which the snapshot-diff
+    producer emits as exactly that pair.
+    """
+    has_delete = DELETE_COL in batch.columns
+    if not has_delete:
+        batch = batch.withColumn(DELETE_COL, F.lit(False))
+
+    touched = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    n_deletes = batch.filter(F.col(DELETE_COL)).count()
+    n_upserts = batch.filter(~F.col(DELETE_COL)).count()
+
+    target = spark.read.parquet(target_path)
+    affected = target.filter(F.col(partition_col).isin(touched))
+    batch_keys = batch.select(key).distinct()
+    survivors = affected.join(batch_keys, key, "left_anti")
+    upserts = batch.filter(~F.col(DELETE_COL)).select(*target.columns)
+    # Materialize BEFORE overwriting: the merged plan lazily reads the
+    # very files the overwrite is about to replace; localCheckpoint cuts
+    # the lineage to the source files (bounded — only the touched
+    # partitions' survivors, not the corpus).
+    merged = survivors.unionByName(upserts).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Dynamic mode replaces ONLY the partitions present in `merged`.
+        # A partition whose every row was deleted would vanish from
+        # `merged` and thus survive stale — re-materialize it empty is
+        # impossible in hive layout, so emit its tombstone by rewriting
+        # it with zero rows via an explicit per-partition overwrite.
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        emptied = set(touched) - {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        for p in emptied:
+            # spark can't write an empty hive partition; drop its files
+            # by overwriting the subdirectory with an empty frame.
+            (
+                merged.filter(F.lit(False))
+                .drop(partition_col)
+                .write.mode("overwrite")
+                .parquet(f"{target_path}/{partition_col}={p}")
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    spark.catalog.refreshByPath(target_path)
+    return {
+        "upserts": int(n_upserts),
+        "deletes": int(n_deletes),
+        "partitions": len(touched),
+    }
