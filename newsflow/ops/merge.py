@@ -104,3 +104,54 @@ def merge_upsert(
         "deletes": int(n_deletes),
         "partitions": len(touched),
     }
+
+
+def compact_partitions(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Small-file compaction — the maintenance pass a merge-heavy corpus
+    needs: every incremental ``merge_upsert`` writes its touched
+    partitions with task-count granularity, so a hot partition
+    accumulates files far smaller than a scan-efficient row group.
+
+    Per partition with ≥ ``min_files`` files: rewrite to
+    ceil(bytes / target_bytes) files via coalesce (a narrow, shuffle-free
+    repack). Partitions already compact are not read or written — the
+    same partition-pruning discipline as the merge itself. Returns
+    {"partitions_compacted", "files_before", "files_after"}.
+    """
+    import math
+    from pathlib import Path
+
+    root = Path(target_path)
+    work: list[tuple[str, int, int]] = []  # (partition value, files, bytes)
+    for pdir in root.glob(f"{partition_col}=*"):
+        files = list(pdir.glob("*.parquet"))
+        if len(files) >= min_files:
+            work.append(
+                (
+                    pdir.name.split("=", 1)[1],
+                    len(files),
+                    sum(f.stat().st_size for f in files),
+                )
+            )
+    files_before = sum(n for _, n, _ in work)
+    files_after = 0
+    for value, _, nbytes in work:
+        n_out = max(1, math.ceil(nbytes / target_bytes))
+        part_path = f"{target_path}/{partition_col}={value}"
+        df = spark.read.parquet(part_path).coalesce(n_out).localCheckpoint(
+            eager=True
+        )
+        df.write.mode("overwrite").parquet(part_path)
+        files_after += n_out
+    spark.catalog.refreshByPath(target_path)
+    return {
+        "partitions_compacted": len(work),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -104,3 +104,48 @@ def test_merge_deleting_entire_partition(spark, tmp_path):
     merge_upsert(spark, path, batch, key="doc_id", partition_col="day")
     got = sorted(r.doc_id for r in spark.read.parquet(path).collect())
     assert got == [0, 2, 4]
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from newsflow.ops.merge import compact_partitions
+
+    path = str(tmp_path / "corpus")
+    rows = [(i, f"t{i}", "day0") for i in range(40)]
+    # force fragmentation: 8 tasks -> 8 files in one partition
+    spark.createDataFrame(
+        rows, "doc_id long, text string, day string"
+    ).repartition(8).write.mode("overwrite").partitionBy("day").parquet(path)
+    n_before = len(list((tmp_path / "corpus" / "day=day0").glob("*.parquet")))
+    assert n_before >= 8
+    before_rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+    )
+    stats = compact_partitions(spark, path, "day")
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] == 1  # tiny bytes, one target file
+    n_after = len(list((tmp_path / "corpus" / "day=day0").glob("*.parquet")))
+    assert n_after == 1
+    after_rows = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_compaction_skips_already_compact_partitions(spark, tmp_path):
+    from newsflow.ops.merge import compact_partitions
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "a", "day0")], "doc_id long, text string, day string"
+    ).coalesce(1).write.mode("overwrite").partitionBy("day").parquet(path)
+    sig_before = {
+        p.name: p.stat().st_mtime
+        for p in (tmp_path / "corpus" / "day=day0").glob("*.parquet")
+    }
+    stats = compact_partitions(spark, path, "day")
+    assert stats["partitions_compacted"] == 0
+    sig_after = {
+        p.name: p.stat().st_mtime
+        for p in (tmp_path / "corpus" / "day=day0").glob("*.parquet")
+    }
+    assert sig_after == sig_before
