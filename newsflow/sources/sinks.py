@@ -16,11 +16,27 @@ from pyspark.sql import DataFrame
 
 
 def write_parquet(
-    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    cluster_by: tuple[str, ...] = (),
+    options: dict[str, str] | None = None,
 ) -> None:
     """S5 — distributed parquet write, optionally hive-partitioned so
-    per-partition predicates become pruned scans at 100 TB."""
+    per-partition predicates become pruned scans at 100 TB.
+
+    ``cluster_by`` sorts rows WITHIN each write task before encoding
+    (``sortWithinPartitions`` — narrow, no shuffle): row groups then
+    carry tight min/max statistics on the clustered columns, so point
+    and range predicates skip whole row groups at scan time — the
+    sub-partition pruning level (what table formats market as
+    clustering/Z-ordering, in its single-column Spark-native form).
+    """
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
     w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

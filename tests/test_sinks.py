@@ -109,3 +109,56 @@ def test_jsonl_roundtrip_plain_and_gzip(spark, tmp_path):
         a = {r.doc_id: r.text for r in docs.collect()}
         b = {r.doc_id: r.text for r in back.collect()}
         assert a == b
+
+
+def test_clustered_write_tightens_row_group_stats(spark, tmp_path):
+    """cluster_by must yield near-disjoint per-row-group min/max ranges
+    on the clustered column (the stats that let scans skip row groups),
+    while the unclustered write's row groups all span ~the full range."""
+    import pyarrow.parquet as pq
+
+    from newsflow.sources.sinks import write_parquet
+    from newsflow.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    orders = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(2)
+    )
+    # small row groups so each file holds several
+    opts = {"parquet.block.size": str(16 * 1024)}
+    plain = str(tmp_path / "plain")
+    clustered = str(tmp_path / "clustered")
+    write_parquet(orders, plain, options=opts)
+    write_parquet(orders, clustered, cluster_by=("o_orderkey",), options=opts)
+
+    def ranges(root):
+        out = []
+        for f in Path(root).glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            idx = meta.schema.names.index("o_orderkey")
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    from pathlib import Path
+
+    cl = ranges(clustered)
+    assert len(cl) >= 3, "need several row groups for the test to bite"
+    # clustered: within a file, consecutive row groups don't overlap;
+    # measure global overlap fraction instead (files may interleave):
+    def overlap_fraction(rs):
+        n = len(rs)
+        overlapping = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if rs[i][0] <= rs[j][1] and rs[j][0] <= rs[i][1]
+        )
+        return overlapping / max(n * (n - 1) / 2, 1)
+
+    pl = ranges(plain)
+    assert overlap_fraction(cl) < overlap_fraction(pl)
+    assert overlap_fraction(cl) < 0.5
