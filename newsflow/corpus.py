@@ -772,3 +772,132 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("okey"), F.col("nkey")).alias("key"),
         status.alias("status"),
     )
+
+
+# --------------------------------------------------------------------------
+# Declarative data-quality expectations (Deequ-style validation report)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "documents_expectations",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             length(text) AS true_len
+      FROM documents
+    )
+    SELECT check_name, n_violations, n_rows,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'doc_id_not_null' AS check_name,
+             CAST(count_if(doc_id IS NULL) AS BIGINT) AS n_violations,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM base
+      UNION ALL
+      SELECT 'doc_id_unique',
+             CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'text_not_empty',
+             CAST(count_if(text IS NULL OR length(text) = 0) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'n_chars_matches_text',
+             CAST(count_if(n_chars <> true_len) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'lang_in_domain',
+             CAST(count_if(lang NOT IN ('en','de','fr','es','it')
+                           OR lang IS NULL) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'source_format',
+             CAST(count_if(source IS NULL
+                           OR NOT regexp_matches(source, '^src[0-9]+$'))
+                  AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM base
+    )
+    """,
+    tags=("corpus", "quality", "expectations"),
+)
+def documents_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over the documents table — the
+    Deequ/Great-Expectations-style validation report a pipeline gates
+    ingestion on: completeness (non-null), uniqueness, emptiness,
+    derived-column consistency (n_chars == length(text)), domain
+    membership, and format (regex) checks, one row per check with its
+    violation count.
+
+    Scale shape: every check is a conditional aggregate, so the whole
+    suite is ONE scan + one partial+final aggregation pass (the UNION
+    ALL branches share the cached base projection; Spark computes all
+    counters in a single Aggregate when expressed as one row —
+    implemented here as a 6-counter aggregate exploded to rows, which
+    keeps it one scan regardless of how many checks are added). The
+    uniqueness check is the only one needing a distinct (one shuffle on
+    the 8-byte key).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").alias("true_len"),
+    )
+    langs = ("en", "de", "fr", "es", "it")
+    one = base.agg(
+        F.count_if(F.col("doc_id").isNull()).alias("doc_id_not_null"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias(
+            "doc_id_unique"
+        ),
+        F.count_if(
+            F.col("text").isNull() | (F.length("text") == 0)
+        ).alias("text_not_empty"),
+        F.count_if(F.col("n_chars") != F.col("true_len")).alias(
+            "n_chars_matches_text"
+        ),
+        F.count_if(
+            ~F.col("lang").isin(*langs) | F.col("lang").isNull()
+        ).alias("lang_in_domain"),
+        F.count_if(
+            F.col("source").isNull()
+            | ~F.col("source").rlike("^src[0-9]+$")
+        ).alias("source_format"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    checks = (
+        "doc_id_not_null",
+        "doc_id_unique",
+        "text_not_empty",
+        "n_chars_matches_text",
+        "lang_in_domain",
+        "source_format",
+    )
+    exploded = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("check_name"),
+                        F.col(c).cast("long").alias("n_violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("c"),
+        F.col("_n").cast("long").alias("n_rows"),
+    )
+    return exploded.select(
+        "c.check_name",
+        "c.n_violations",
+        "n_rows",
+        (F.col("c.n_violations") == 0).alias("passed"),
+    )
