@@ -1,0 +1,64 @@
+"""One-command local gate — everything the external driver will check,
+in dependency order, fail-fast:
+
+  1. driver contract on a VANILLA session (entry / queries / oracle_sql)
+  2. oracle parity suite at sf0.01 (the actual gate rehearsal),
+     including the permanently-empty-oracle check
+  3. bench trend gate vs the latest committed BENCH_r*.json
+
+Usage: python scripts/preflight.py [--fast]
+  --fast skips the bench gate (parity only) for inner-loop use.
+
+Exit 0 = ship it; non-zero = the first failing stage's status.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def stage(name: str, argv: list[str]) -> None:
+    print(f"\n=== preflight: {name} ===", flush=True)
+    rc = subprocess.call(argv, cwd=ROOT)
+    if rc != 0:
+        print(f"preflight FAILED at {name} (rc={rc})", flush=True)
+        sys.exit(rc)
+
+
+def contract() -> None:
+    code = (
+        "from pyspark.sql import SparkSession\n"
+        f"import sys; sys.path.insert(0, {ROOT!r})\n"
+        "spark = (SparkSession.builder.master('local[8]')\n"
+        "         .config('spark.ui.enabled','false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "import __spark_entry__ as e\n"
+        "n = e.entry(spark).count()\n"
+        "assert n > 0, 'entry() returned no rows'\n"
+        "qs, osql = e.queries(), e.oracle_sql()\n"
+        "assert set(osql) <= set(qs)\n"
+        "print(f'contract OK: entry rows={n}, "
+        "{len(qs)} queries, {len(osql)} oracles')\n"
+    )
+    stage("driver contract (vanilla session)", [sys.executable, "-c", code])
+
+
+def main() -> None:
+    fast = "--fast" in sys.argv
+    contract()
+    stage(
+        "oracle parity @ sf0.01",
+        [sys.executable, "-m", "pytest", "tests/test_oracle_parity.py", "-q", "-x"],
+    )
+    if not fast:
+        stage("bench trend gate", [sys.executable, "bench_check.py"])
+    print("\npreflight PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()
