@@ -102,3 +102,24 @@ def test_export_training_shards_roundtrip(spark, tmp_path):
     # written artifact is hive-partitioned by split
     subdirs = {p.name for p in (tmp_path / "shards").iterdir() if p.is_dir()}
     assert {f"split={s}" for s in counts} <= subdirs
+
+
+def test_export_training_shards_deterministic(spark, tmp_path):
+    """Two exports of the same corpus are logically identical — the
+    reproducibility contract a training run depends on (md5 split/shard
+    assignment, hash-ordered packing, no rand() anywhere)."""
+    from newsflow.curation import export_training_shards
+    from newsflow.sources.sinks import read_jsonl
+    from tests.conftest import SF_SMOKE
+
+    a = export_training_shards(spark, SF_SMOKE, str(tmp_path / "a"))
+    b = export_training_shards(spark, SF_SMOKE, str(tmp_path / "b"))
+    assert a == b
+
+    def logical(path):
+        return sorted(
+            (r.doc_id, r.split, r.shard, r.pack_id, r.pack_offset)
+            for r in read_jsonl(spark, path).collect()
+        )
+
+    assert logical(str(tmp_path / "a")) == logical(str(tmp_path / "b"))
