@@ -74,17 +74,27 @@ class HttpArchiveReader(DataSourceReader):
         self.urls_per_task = int(options.get("urls_per_task", "1"))
 
     def pushFilters(self, filters):
-        """Filter pushdown INTO the work list: `url = '...'` / `url IN
-        (...)` predicates prune partitions before any fetch happens —
-        the Python-DataSource equivalent of parquet partition pruning
-        (a 100k-URL scan filtered to one URL does ONE fetch, not 100k
-        followed by a Spark-side filter). Other predicates are returned
-        for Spark to evaluate post-scan."""
-        from pyspark.sql.datasource import EqualTo
+        """Filter pushdown INTO the work list: `url = '...'`, `url IN
+        (...)`, and `url LIKE 'prefix%'` predicates prune partitions
+        before any fetch happens — the Python-DataSource equivalent of
+        parquet partition pruning (a 100k-URL scan filtered to one URL
+        does ONE fetch, not 100k followed by a Spark-side filter). Other
+        predicates are returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo, In, StringStartsWith
 
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("url",):
                 self.urls = [u for u in self.urls if u == f.value]
+            elif isinstance(f, In) and f.attribute == ("url",):
+                allowed = set(f.value)
+                self.urls = [u for u in self.urls if u in allowed]
+            elif (
+                isinstance(f, StringStartsWith)
+                and f.attribute == ("url",)
+            ):
+                self.urls = [
+                    u for u in self.urls if u.startswith(f.value)
+                ]
             else:
                 yield f
 
