@@ -125,6 +125,33 @@ def main() -> None:
     n_quant = int8_quant_error_df(exploded_df(big_emb)).count()
     t_quant = time.perf_counter() - t0
 
+    # Maintenance ops at scale: day-partitioned corpus, merge ONE day's
+    # batch, then compact that day — wall must track the touched
+    # partition's size, not the corpus.
+    import tempfile
+
+    from newsflow.ops.merge import compact_partitions, merge_upsert
+
+    tmp = tempfile.mkdtemp(prefix="stress_merge_")
+    day_docs = big_docs.withColumn(
+        "day", (F.col("doc_id") % 10).cast("string")
+    )
+    day_docs.write.mode("overwrite").partitionBy("day").parquet(tmp)
+    batch = (
+        day_docs.filter(F.col("day") == "3")
+        .select("doc_id", F.concat("text", F.lit(" merged")).alias("text"),
+                "lang", "source", "day")
+    )
+    t0 = time.perf_counter()
+    mstats = merge_upsert(spark, tmp, batch, key="doc_id", partition_col="day")
+    t_merge = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cstats = compact_partitions(spark, tmp, "day", min_files=2)
+    t_compact = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -153,6 +180,11 @@ def main() -> None:
                 "unigram_nll_sec": round(t_nll, 1),
                 "int8_quant_rows": n_quant,
                 "int8_quant_sec": round(t_quant, 1),
+                "merge_upserts": mstats["upserts"],
+                "merge_sec": round(t_merge, 1),
+                "compact_files_before": cstats["files_before"],
+                "compact_files_after": cstats["files_after"],
+                "compact_sec": round(t_compact, 1),
             }
         )
     )
