@@ -51,6 +51,18 @@ def merge_upsert(
     if not has_delete:
         batch = batch.withColumn(DELETE_COL, F.lit(False))
 
+    target_cols = set(
+        spark.read.parquet(target_path).columns
+    )
+    missing = target_cols - set(batch.columns)
+    if missing:
+        raise ValueError(
+            "merge batch is missing target columns "
+            f"{sorted(missing)}: upserts must carry the full row "
+            "(schema evolution is a separate, explicit migration, not "
+            "an implicit merge side effect)"
+        )
+
     touched = [
         r[0] for r in batch.select(partition_col).distinct().collect()
     ]

@@ -149,3 +149,15 @@ def test_compaction_skips_already_compact_partitions(spark, tmp_path):
         for p in (tmp_path / "corpus" / "day=day0").glob("*.parquet")
     }
     assert sig_after == sig_before
+
+
+def test_merge_rejects_missing_columns(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "corpus")
+    _seed(spark, path)
+    bad = spark.createDataFrame(
+        [(1, "day1")], "doc_id long, day string"
+    )
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(spark, path, bad, key="doc_id", partition_col="day")
