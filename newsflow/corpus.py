@@ -625,10 +625,18 @@ WATERFILL_BUDGET = 26_000  # tokens — mixed regime at the check SF: small sour
       WINDOW w AS (ORDER BY n_tokens, source)
     ),
     cut AS (
-      SELECT CAST(coalesce(max(rk), 0) AS BIGINT) AS c,
-             CAST(coalesce(max(prefix + n_tokens), 0) AS BIGINT) AS full_sum
+      SELECT CAST(coalesce(
+               min(CASE WHEN n_tokens * (n_src - rk + 1) + prefix
+                             > {WATERFILL_BUDGET} THEN rk END) - 1,
+               max(n_src), 0) AS BIGINT) AS c
       FROM ranked
-      WHERE n_tokens * (n_src - rk + 1) + prefix <= {WATERFILL_BUDGET}
+    ),
+    cutsum AS (
+      SELECT c, CAST(coalesce(
+               max(CASE WHEN rk <= c THEN prefix + n_tokens END),
+               0) AS BIGINT) AS full_sum
+      FROM ranked CROSS JOIN cut
+      GROUP BY c
     )
     SELECT source, n_tokens,
            CASE WHEN rk <= c THEN n_tokens
@@ -636,7 +644,7 @@ WATERFILL_BUDGET = 26_000  # tokens — mixed regime at the check SF: small sour
                            ({WATERFILL_BUDGET} - full_sum) // (n_src - c))
            END AS allocated,
            rk > c AS is_capped
-    FROM ranked, cut
+    FROM ranked, cutsum
     """,
     tags=("corpus", "training-export"),
 )
@@ -660,6 +668,26 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
     )
+    return waterfill_alloc(sizes, WATERFILL_BUDGET)
+
+
+def waterfill_alloc(sizes: DataFrame, budget: int) -> DataFrame:
+    """Core waterfill over a (source, n_tokens) frame — factored out so
+    the budget invariant (sum(allocated) <= budget whenever
+    budget >= n_src, i.e. every source can receive its floor share) is
+    property-testable on adversarial size distributions independent of
+    the documents fixture.
+
+    Cutoff derivation: the fullness condition
+    f(rk) = n_tokens_rk * (n_src - rk + 1) + prefix_rk is nondecreasing
+    in rk under the ascending (n_tokens, source) sort —
+    f(rk+1) - f(rk) = (n_{rk+1} - n_rk)(n_src - rk) >= 0 — so the
+    satisfying ranks form a prefix. The cutoff is nevertheless computed
+    as (min failing rank) - 1 rather than max(satisfying rank): the two
+    agree given monotonicity, but the min-failing form stays correct by
+    construction if the ordering invariant is ever perturbed (it can
+    only shrink the fully-funded prefix, never over-allocate).
+    """
     w = Window.orderBy("n_tokens", "source")
     ranked = sizes.select(
         "source",
@@ -676,26 +704,46 @@ def source_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_src"),
     )
-    cut = ranked.filter(
+    fails = (
         F.col("n_tokens") * (F.col("n_src") - F.col("rk") + 1)
         + F.col("prefix")
-        <= WATERFILL_BUDGET
-    ).agg(
-        F.coalesce(F.max("rk"), F.lit(0)).cast("bigint").alias("c"),
-        F.coalesce(F.max(F.col("prefix") + F.col("n_tokens")), F.lit(0))
+        > budget
+    )
+    cut = ranked.agg(
+        F.coalesce(
+            F.min(F.when(fails, F.col("rk"))) - 1,
+            F.max("n_src"),
+            F.lit(0),
+        )
         .cast("bigint")
-        .alias("full_sum"),
+        .alias("c")
+    )
+    cutsum = (
+        ranked.crossJoin(F.broadcast(cut))
+        .groupBy("c")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rk") <= F.col("c"),
+                        F.col("prefix") + F.col("n_tokens"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("full_sum")
+        )
     )
     alloc = F.when(F.col("rk") <= F.col("c"), F.col("n_tokens")).otherwise(
         F.least(
             F.col("n_tokens"),
             F.expr(
-                f"CAST(({WATERFILL_BUDGET} - full_sum)"
-                " DIV (n_src - c) AS BIGINT)"
+                f"CAST(({budget} - full_sum)" " DIV (n_src - c) AS BIGINT)"
             ),
         )
     )
-    return ranked.crossJoin(F.broadcast(cut)).select(
+    return ranked.crossJoin(F.broadcast(cutsum)).select(
         "source",
         "n_tokens",
         alloc.alias("allocated"),

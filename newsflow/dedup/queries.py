@@ -184,9 +184,16 @@ def minhash_near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) near-dup pairs within Hamming distance 3 — the
     Manku et al. (WWW'07) operating point for web-scale near-dup
-    detection; banded 4×16-bit pigeonhole join, exact at this radius."""
+    detection; banded 4×16-bit pigeonhole join, exact at this radius.
+
+    ``max_bucket=None`` explicitly: the registered query is the
+    exact-pigeonhole form (and must stay comparable to the md5 oracle
+    twin at radius 0); the degenerate-band cap is the opt-in SCALE
+    knob, not a default this query should silently inherit."""
     return simhash.simhash_near_dup_pairs(
-        spread(load_table(spark, sf_dir, "documents")), max_hamming=3
+        spread(load_table(spark, sf_dir, "documents")),
+        max_hamming=3,
+        max_bucket=None,
     )
 
 

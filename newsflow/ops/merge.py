@@ -33,6 +33,7 @@ def merge_upsert(
     batch: DataFrame,
     key: str,
     partition_col: str,
+    check_key_moves: bool = True,
 ) -> dict[str, int]:
     """Apply ``batch`` to the parquet corpus at ``target_path``:
 
@@ -42,10 +43,19 @@ def merge_upsert(
     Only partitions present in the batch's ``partition_col`` values are
     rewritten. Returns counts {"upserts", "deletes", "partitions"}.
 
-    Constraint (documented, asserted): a key must not move between
-    partitions in a single batch — a move is a delete in the old
-    partition plus an upsert in the new one, which the snapshot-diff
-    producer emits as exactly that pair.
+    Constraint (documented AND asserted when ``check_key_moves``): a key
+    must not move between partitions in a single batch — a move is a
+    delete in the old partition plus an upsert in the new one, which the
+    snapshot-diff producer emits as exactly that pair. The check is a
+    left-semi join of the batch's keys against the key column of the
+    UNTOUCHED partitions (column-pruned scan — at 100 TB this reads one
+    dictionary-encoded key column, and partition stats/bloom filters cut
+    it further); a hit means the batch references a key whose live row
+    sits in a partition this merge will not rewrite, so the merge would
+    either strand a stale duplicate (upsert) or silently no-op (delete).
+    Violations raise before anything is written. Disable only when the
+    producer is trusted (e.g. output of ``corpus_snapshot_diff``, which
+    emits move pairs by construction).
     """
     has_delete = DELETE_COL in batch.columns
     if not has_delete:
@@ -72,6 +82,27 @@ def merge_upsert(
     target = spark.read.parquet(target_path)
     affected = target.filter(F.col(partition_col).isin(touched))
     batch_keys = batch.select(key).distinct()
+    if check_key_moves:
+        # Keys living OUTSIDE the touched partitions that this batch
+        # references: each is a partition move (or a misrouted delete).
+        moved = (
+            batch_keys.join(
+                target.filter(~F.col(partition_col).isin(touched)).select(key),
+                key,
+                "left_semi",
+            )
+            .limit(20)
+            .collect()
+        )
+        if moved:
+            sample = sorted(r[0] for r in moved)
+            raise ValueError(
+                f"merge batch moves key(s) across partitions: {sample[:5]} "
+                "exist in partitions the batch does not touch. A move must "
+                "be emitted as delete-in-old-partition + upsert-in-new "
+                "(as corpus_snapshot_diff does); merging this batch as-is "
+                "would strand stale duplicate rows."
+            )
     survivors = affected.join(batch_keys, key, "left_anti")
     upserts = batch.filter(~F.col(DELETE_COL)).select(*target.columns)
     # Materialize BEFORE overwriting: the merged plan lazily reads the
@@ -160,7 +191,10 @@ def compact_partitions(
             eager=True
         )
         df.write.mode("overwrite").parquet(part_path)
-        files_after += n_out
+        # Count the files actually on disk: coalesce(n_out) emits AT MOST
+        # n_out files (empty/under-filled upstream partitions emit fewer),
+        # so trusting the coalesce target would overstate the metric.
+        files_after += len(list(Path(part_path).glob("*.parquet")))
     spark.catalog.refreshByPath(target_path)
     return {
         "partitions_compacted": len(work),

@@ -31,9 +31,17 @@ def write_parquet(
     and range predicates skip whole row groups at scan time — the
     sub-partition pruning level (what table formats market as
     clustering/Z-ordering, in its single-column Spark-native form).
+
+    When ``partition_by`` is also set, the file writer itself re-sorts
+    each task's rows by the partition columns (to group rows per output
+    file) — a sort that is NOT stable and would destroy a bare
+    ``cluster_by`` order. Sorting by (*partition_by, *cluster_by) makes
+    the writer's required ordering a prefix of ours, so it detects the
+    rows are already ordered and the cluster order survives into each
+    partition's files.
     """
     if cluster_by:
-        df = df.sortWithinPartitions(*cluster_by)
+        df = df.sortWithinPartitions(*partition_by, *cluster_by)
     w = df.write.mode("overwrite")
     for k, v in (options or {}).items():
         w = w.option(k, v)

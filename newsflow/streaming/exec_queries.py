@@ -12,9 +12,17 @@ built-in windowed-aggregation path and the arbitrary-state path.
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+import tempfile
 import uuid
+from collections.abc import Callable
+from datetime import timedelta
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
 
 from newsflow.registry import register
 from newsflow.streaming import windows as W
@@ -204,3 +212,170 @@ def user_event_keys_stream_watermarked(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# Append + watermark PRODUCTION variants of the three window aggregations
+# --------------------------------------------------------------------------
+
+WM_DELAY = "10 minutes"
+
+
+def replay_events_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    build_agg: Callable[[DataFrame], DataFrame],
+    delay: str = WM_DELAY,
+) -> tuple[DataFrame, StreamingQuery]:
+    """Deterministic multi-micro-batch replay of the events table through
+    an APPEND-mode watermarked aggregation — the state-evicting production
+    form the complete-mode ``*_stream`` queries document as their gap.
+
+    Replay layout (4 files, explicit ascending mtimes so the file source's
+    oldest-first order is deterministic, ``maxFilesPerTrigger=1`` so each
+    is its own micro-batch):
+
+      00  events with ts <= midpoint         (first half, event-time order)
+      01  events with ts >  midpoint         (second half)
+      02  one ``__sentinel`` row at max_ts + 2h — advances the watermark
+          past every real window/session end (ends are <= max_ts + 1h for
+          1h tumbling/sliding windows and <= max_ts + 30min for 30-min-gap
+          sessions, all < sentinel - 10min)
+      03  a replayed slice of file 00 — now entirely BELOW the watermark,
+          so the stateful operator drops every row
+          (``numRowsDroppedByWatermark > 0``, asserted in tests) while its
+          batch flushes the remaining closed windows
+
+    Why the final sink is EXACTLY the batch aggregate over the events
+    table (so the batch oracle applies verbatim):
+
+    - files 00/01 partition events by event time, so no real row ever
+      arrives behind the watermark — nothing real is dropped;
+    - after the sentinel's batch the watermark exceeds every real
+      window's end, so every real window is emitted (append emits each
+      window exactly once, during batch 03);
+    - the sentinel's own window/session never closes (its end exceeds
+      sentinel_ts > final watermark = sentinel_ts - delay), so the
+      sentinel never reaches the sink;
+    - the late file's rows are all dropped pre-aggregation.
+
+    State eviction is structural: append mode + watermark removes each
+    window's state once emitted — the unbounded-state caveat the
+    complete-mode variants carry does not apply here.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tmin, tmax = events.agg(F.min("ts"), F.max("ts")).first()
+    tmid = tmin + (tmax - tmin) / 2
+    sent_ts = tmax + timedelta(hours=2)
+
+    first_half = events.filter(F.col("ts") <= F.lit(tmid))
+    second_half = events.filter(F.col("ts") > F.lit(tmid))
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        F.lit(sent_ts).cast("timestamp").alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("__sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    late_replay = first_half.limit(50)
+
+    replay_dir = tempfile.mkdtemp(prefix="nf_wm_replay_")
+    try:
+        for i, batch in enumerate(
+            (first_half, second_half, sentinel, late_replay)
+        ):
+            stage = os.path.join(replay_dir, f"_stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dest = os.path.join(replay_dir, f"{i:02d}.parquet")
+            shutil.move(part, dest)
+            shutil.rmtree(stage)
+            # Ascending mtimes: the file source processes oldest-first
+            # (latestFirst=false), making batch order == event-time order.
+            t = 1_000_000_000 + i * 1000
+            os.utime(dest, (t, t))
+
+        schema = spark.read.parquet(
+            os.path.join(replay_dir, "00.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay_dir)
+        )
+        agg = build_agg(stream.withWatermark("ts", delay))
+        sink = f"wm_replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    return spark.table(sink), q
+
+
+@register(
+    "tumbling_window_counts_stream_watermarked",
+    oracle=TUMBLING_ORACLE,
+    tags=("streaming", "window", "executed", "watermark"),
+)
+def tumbling_window_counts_stream_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-hour tumbling windows × event_type in the PRODUCTION streaming
+    form: append output mode + 10-minute watermark, state evicted as each
+    window closes — the variant `tumbling_window_counts_stream` (complete
+    mode, state held forever) documents as the real deployment shape.
+    Replayed across 4 deterministic micro-batches with a late file whose
+    rows are dropped by the watermark (see ``replay_events_watermarked``);
+    the drained append sink equals the batch aggregate, so TUMBLING_ORACLE
+    applies verbatim."""
+    from newsflow.streaming.windows import tumbling_counts
+
+    result, _ = replay_events_watermarked(spark, sf_dir, tumbling_counts)
+    return result
+
+
+@register(
+    "sliding_window_counts_stream_watermarked",
+    oracle=SLIDING_ORACLE,
+    tags=("streaming", "window", "executed", "watermark"),
+)
+def sliding_window_counts_stream_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1h/30min sliding windows, append + watermark production form (each
+    event updates two window states; both evicted once the watermark
+    passes their ends). Same replay harness and argument as the tumbling
+    variant; SLIDING_ORACLE applies verbatim."""
+    from newsflow.streaming.windows import sliding_counts
+
+    result, _ = replay_events_watermarked(spark, sf_dir, sliding_counts)
+    return result
+
+
+@register(
+    "session_window_stats_stream_watermarked",
+    oracle=SESSION_ORACLE,
+    tags=("streaming", "session", "executed", "watermark"),
+)
+def session_window_stats_stream_watermarked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gap-based sessionization (30-min gap, per user) in the production
+    streaming form: append + watermark, sessions emitted and their state
+    evicted once the watermark passes session end. The merging-window
+    operator under eviction — the hardest state shape on the surface. The
+    sentinel row opens a session for user -1 that never closes (its end
+    stays above the final watermark), so it never reaches the sink and
+    the gaps-and-islands SESSION_ORACLE applies verbatim."""
+    from newsflow.streaming.windows import session_stats
+
+    result, _ = replay_events_watermarked(spark, sf_dir, session_stats)
+    return result

@@ -161,3 +161,87 @@ def test_merge_rejects_missing_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="missing target columns"):
         merge_upsert(spark, path, bad, key="doc_id", partition_col="day")
+
+
+def test_merge_rejects_cross_partition_key_move(spark, tmp_path):
+    """A batch that upserts a key into a DIFFERENT partition than the one
+    holding its live row must fail loudly (the stale row in the untouched
+    partition would otherwise survive as a duplicate)."""
+    import pytest
+
+    path = str(tmp_path / "corpus")
+    _seed(spark, path)
+    # doc 2 lives in day2 (2 % 3); batch routes it to day1
+    moving = spark.createDataFrame(
+        [(2, "moved", "day1", False)],
+        "doc_id long, text string, day string, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="moves key"):
+        merge_upsert(spark, path, moving, key="doc_id", partition_col="day")
+    # nothing was written: corpus unchanged
+    got = {r.doc_id: r.day for r in spark.read.parquet(path).collect()}
+    assert got[2] == "day2" and len(got) == 30
+
+
+def test_merge_rejects_misrouted_delete(spark, tmp_path):
+    """A delete row whose partition value doesn't match the key's live
+    partition would silently no-op — the key-move check catches it."""
+    import pytest
+
+    path = str(tmp_path / "corpus")
+    _seed(spark, path)
+    # doc 0 lives in day0; delete row says day1
+    bad_delete = spark.createDataFrame(
+        [(0, None, "day1", True)],
+        "doc_id long, text string, day string, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="moves key"):
+        merge_upsert(
+            spark, path, bad_delete, key="doc_id", partition_col="day"
+        )
+
+
+def test_merge_key_move_check_can_be_disabled(spark, tmp_path):
+    """check_key_moves=False restores the trusted-producer fast path (no
+    scan of untouched partitions) — and documents the hazard it skips."""
+    path = str(tmp_path / "corpus")
+    _seed(spark, path)
+    moving = spark.createDataFrame(
+        [(2, "moved", "day1", False)],
+        "doc_id long, text string, day string, _deleted boolean",
+    )
+    merge_upsert(
+        spark,
+        path,
+        moving,
+        key="doc_id",
+        partition_col="day",
+        check_key_moves=False,
+    )
+    # the documented corruption: doc 2 now exists in BOTH partitions
+    days = sorted(
+        r.day for r in spark.read.parquet(path).filter("doc_id = 2").collect()
+    )
+    assert days == ["day1", "day2"]
+
+
+def test_compaction_reports_actual_file_count(spark, tmp_path):
+    """files_after must count files on disk, not the coalesce target:
+    coalesce(n) cannot create more partitions than upstream has, so a
+    2-file partition asked to become 5 files stays at 2."""
+    from newsflow.ops.merge import compact_partitions
+
+    path = str(tmp_path / "corpus")
+    rows = [(i, "x" * 200, "day0") for i in range(400)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, day string"
+    ).repartition(2).write.mode("overwrite").partitionBy("day").parquet(path)
+    pdir = tmp_path / "corpus" / "day=day0"
+    nbytes = sum(f.stat().st_size for f in pdir.glob("*.parquet"))
+    # target ~5 output files from 2 input files: coalesce caps at 2
+    stats = compact_partitions(
+        spark, path, "day", target_bytes=max(1, nbytes // 5)
+    )
+    actual = len(list(pdir.glob("*.parquet")))
+    assert stats["files_after"] == actual
+    assert actual <= 2 < 5

@@ -162,3 +162,27 @@ def test_clustered_write_tightens_row_group_stats(spark, tmp_path):
     pl = ranges(plain)
     assert overlap_fraction(cl) < overlap_fraction(pl)
     assert overlap_fraction(cl) < 0.5
+
+
+def test_partitioned_clustered_write_preserves_cluster_order(spark, tmp_path):
+    """With partition_by + cluster_by together, rows inside each
+    partition's files must still be in cluster order: the file writer
+    re-sorts by partition columns (non-stable), so the sink sorts by
+    (*partition_by, *cluster_by) to keep the promised order intact."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from newsflow.sources.sinks import write_parquet
+
+    rows = [
+        (i * 7919 % 1000, f"day{i % 3}") for i in range(3000)
+    ]  # scrambled cluster key across 3 partitions
+    df = spark.createDataFrame(rows, "k long, day string").repartition(4)
+    out = str(tmp_path / "pc")
+    write_parquet(df, out, partition_by=("day",), cluster_by=("k",))
+    checked = 0
+    for f in Path(out).rglob("*.parquet"):
+        ks = pq.read_table(str(f), columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), f"cluster order destroyed in {f}"
+        checked += 1
+    assert checked >= 3

