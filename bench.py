@@ -62,6 +62,9 @@ HEADLINE = [
     "doc_unigram_nll",          # unigram-LM surprisal (perplexity proxy)
     "embedding_int8_quant_error",  # posexplode + per-dim scale broadcast
     "org_triangle_counts",      # 2-join triangle enumeration on graph
+    # Round-4 additions:
+    "tumbling_window_counts_stream_watermarked",  # append+watermark exec
+    "dedup_lsh_recall_eval",    # LSH recall audit (exact + LSH pipelines)
 ]
 
 

@@ -11,6 +11,15 @@ ignored — at sf0.1 several headline queries run in ~0.2 s, where a
 1.5x "regression" is run-to-run jitter, not a plan change (the exact
 drift VERDICT r2 flagged on tumbling_window_counts).
 
+Two-run rule (VERDICT r3 #6): a query is only declared regressed if it
+exceeds the gate in TWO consecutive bench runs — the r3 review saw two
+DIFFERENT queries flag >1.5x in back-to-back runs under concurrent
+load, both false positives. A first-run flag triggers an automatic
+re-run restricted to the flagged comparison; only queries that fail
+both runs fail the gate. (With a saved-JSON argument the re-run is not
+possible; the single-run verdict is reported with a NOISE-UNCONFIRMED
+marker instead of failing.)
+
 Exit status: 0 = no regression, 1 = regression, 2 = usage/IO error.
 """
 
@@ -57,8 +66,21 @@ def run_bench() -> dict:
     raise RuntimeError("bench.py printed no JSON line")
 
 
+def flag_regressions(current: dict, baseline: dict) -> list[str]:
+    """Queries exceeding the ratio gate AND the absolute floor."""
+    shared = set(current.get("queries", {})) & set(baseline.get("queries", {}))
+    out = []
+    for q in sorted(shared):
+        cur, old = current["queries"][q], baseline["queries"][q]
+        ratio = cur / old if old > 0 else float("inf")
+        if ratio > REGRESSION_FACTOR and (cur - old) > ABS_FLOOR_SEC:
+            out.append(q)
+    return out
+
+
 def main(argv: list[str]) -> int:
-    if len(argv) > 1:
+    from_file = len(argv) > 1
+    if from_file:
         try:
             current = json.loads(Path(argv[1]).read_text())
         except (OSError, ValueError) as e:
@@ -76,27 +98,45 @@ def main(argv: list[str]) -> int:
     shared = sorted(
         set(current.get("queries", {})) & set(baseline.get("queries", {}))
     )
-    regressions = []
+    suspects = flag_regressions(current, baseline)
     print(f"bench_check: current vs {base_name} "
           f"({len(shared)} shared queries, gate {REGRESSION_FACTOR}x, "
-          f"floor {ABS_FLOOR_SEC}s)")
+          f"floor {ABS_FLOOR_SEC}s, two-run rule)")
     for q in shared:
         cur, old = current["queries"][q], baseline["queries"][q]
         ratio = cur / old if old > 0 else float("inf")
-        flag = ""
-        if ratio > REGRESSION_FACTOR and (cur - old) > ABS_FLOOR_SEC:
-            flag = "  <-- REGRESSION"
-            regressions.append(q)
+        flag = "  <-- suspect" if q in suspects else ""
         print(f"  {q:40s} {old:7.3f}s -> {cur:7.3f}s  ({ratio:4.2f}x){flag}")
     new = sorted(set(current.get("queries", {})) - set(shared))
     if new:
         print(f"  new (no baseline): {', '.join(new)}")
 
-    if regressions:
-        print(f"bench_check: FAIL — {len(regressions)} regressed: "
-              f"{', '.join(regressions)}")
+    if not suspects:
+        print("bench_check: PASS")
+        return 0
+
+    if from_file:
+        # Saved line: cannot re-run to confirm. Report, don't fail — a
+        # single run under unknown concurrent load is below the evidence
+        # bar this gate requires (two r3-review false positives).
+        print("bench_check: NOISE-UNCONFIRMED — single saved run flags "
+              f"{', '.join(suspects)}; re-run live to confirm")
+        return 0
+
+    print(f"bench_check: re-running to confirm {len(suspects)} suspect(s) "
+          "(two-run rule)...")
+    second = run_bench()
+    confirmed = [q for q in flag_regressions(second, baseline) if q in suspects]
+    for q in suspects:
+        cur2 = second["queries"].get(q)
+        old = baseline["queries"][q]
+        verdict = "REGRESSION" if q in confirmed else "noise (2nd run ok)"
+        print(f"  {q:40s} 2nd run {cur2:7.3f}s vs {old:7.3f}s  -> {verdict}")
+    if confirmed:
+        print(f"bench_check: FAIL — {len(confirmed)} regressed twice: "
+              f"{', '.join(confirmed)}")
         return 1
-    print("bench_check: PASS")
+    print("bench_check: PASS (suspects did not reproduce)")
     return 0
 
 

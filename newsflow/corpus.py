@@ -827,9 +827,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "documents_expectations",
-    oracle=f"""
+_EXPECTATIONS_SQL = """
     WITH base AS (
       SELECT doc_id, text, lang, source, n_chars,
              length(text) AS true_len
@@ -871,7 +869,12 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT)
       FROM base
     )
-    """,
+"""
+
+
+@register(
+    "documents_expectations",
+    oracle=_EXPECTATIONS_SQL,
     tags=("corpus", "quality", "expectations"),
 )
 def documents_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +894,28 @@ def documents_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniqueness check is the only one needing a distinct (one shuffle on
     the 8-byte key).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return expectations_report(load_table(spark, sf_dir, "documents"))
+
+
+# Severity per expectation (the Deequ Check-level pattern): an 'error'
+# check failing means the batch is structurally broken (unkeyable or
+# empty documents) and ingestion must stop; a 'warn' check failing is a
+# quality signal routed to monitoring, not a stop-the-line event.
+EXPECTATION_SEVERITY = {
+    "doc_id_not_null": "error",
+    "doc_id_unique": "error",
+    "text_not_empty": "error",
+    "n_chars_matches_text": "warn",
+    "lang_in_domain": "warn",
+    "source_format": "warn",
+}
+
+
+def expectations_report(docs: DataFrame) -> DataFrame:
+    """The expectation suite over an arbitrary documents frame — shared
+    by the registered report query and the `curate()` fail-fast gate
+    (newsflow/curation.py), so the funnel enforces exactly the checks
+    the published report documents."""
     base = docs.select(
         "doc_id",
         "text",
@@ -948,4 +972,47 @@ def documents_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c.n_violations",
         "n_rows",
         (F.col("c.n_violations") == 0).alias("passed"),
+    )
+
+
+@register(
+    "expectations_gate_report",
+    oracle=f"""
+    WITH report AS ({_EXPECTATIONS_SQL})
+    SELECT check_name, n_violations, n_rows, passed,
+           CASE check_name
+             WHEN 'doc_id_not_null' THEN 'error'
+             WHEN 'doc_id_unique' THEN 'error'
+             WHEN 'text_not_empty' THEN 'error'
+             ELSE 'warn'
+           END AS severity,
+           (NOT passed) AND check_name IN
+             ('doc_id_not_null', 'doc_id_unique', 'text_not_empty')
+             AS blocks_ingestion
+    FROM report
+    """,
+    tags=("corpus", "quality", "expectations"),
+)
+def expectations_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation report with its ENFORCEMENT semantics attached:
+    per check, the severity tier and whether its current state would
+    fail-fast the curation funnel (`curate(enforce_expectations=True)`
+    raises on any `blocks_ingestion` row — the Deequ error-level Check
+    pattern wired into the pipeline rather than published beside it).
+    Same single-scan aggregate as `documents_expectations`; severity and
+    gating are row-local literals over the 6-row report."""
+    report = expectations_report(load_table(spark, sf_dir, "documents"))
+    sev = F.coalesce(
+        *[
+            F.when(F.col("check_name") == name, F.lit(level))
+            for name, level in EXPECTATION_SEVERITY.items()
+        ]
+    )
+    return report.select(
+        "check_name",
+        "n_violations",
+        "n_rows",
+        "passed",
+        sev.alias("severity"),
+        (~F.col("passed") & (sev == "error")).alias("blocks_ingestion"),
     )

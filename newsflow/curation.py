@@ -69,8 +69,48 @@ def _scored(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate(docs: DataFrame, spark: SparkSession) -> DataFrame:
-    """Run the full funnel; returns the surviving per-document table."""
+class ExpectationFailure(ValueError):
+    """Raised by `curate(enforce_expectations=True)` when an error-level
+    data-quality expectation fails — the Deequ stop-the-line pattern."""
+
+
+def curate(
+    docs: DataFrame,
+    spark: SparkSession,
+    enforce_expectations: bool = False,
+) -> DataFrame:
+    """Run the full funnel; returns the surviving per-document table.
+
+    With ``enforce_expectations=True`` the error-severity checks from
+    `newsflow.corpus.expectations_report` (non-null key, unique key,
+    non-empty text — see EXPECTATION_SEVERITY) run FIRST and any failure
+    raises :class:`ExpectationFailure` before the funnel touches the
+    batch: a structurally broken batch (unkeyable rows would silently
+    vanish in the dedup stage, empty texts would score as minimum-quality
+    noise) should stop the line, not degrade the corpus. Cost is one
+    extra scan producing a 6-row report — at 100 TB the same scan a
+    published validation report needs anyway, so gating is free when the
+    report is already part of the pipeline."""
+    if enforce_expectations:
+        from newsflow.corpus import EXPECTATION_SEVERITY, expectations_report
+
+        hard = [
+            name
+            for name, sev in EXPECTATION_SEVERITY.items()
+            if sev == "error"
+        ]
+        failing = sorted(
+            r.check_name
+            for r in expectations_report(docs)
+            .filter(~F.col("passed") & F.col("check_name").isin(hard))
+            .collect()  # bounded: one row per check
+        )
+        if failing:
+            raise ExpectationFailure(
+                "curation gate: error-level expectation(s) failing: "
+                f"{failing} — fix or quarantine the batch; the funnel "
+                "will not ingest structurally broken documents"
+            )
     filtered = _scored(docs).filter(
         (F.col("q") >= F.lit(QUALITY_THRESHOLD))
         & F.col("lang").isin(*KEEP_LANGS)

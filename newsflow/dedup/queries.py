@@ -161,6 +161,86 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall_eval",
+    # The oracle encodes the claimed recall floor (1.0 per band at the
+    # check SF): exact pairs grouped by Jaccard band, with n_lsh_hits
+    # asserted equal to n_exact_pairs. The Spark side measures n_lsh_hits
+    # from the ACTUAL banded-LSH output, so a driver-green row IS the
+    # empirical proof of the floor — any band where the 16-hash/2-row
+    # banding misses a true pair makes the hash mismatch and the row go
+    # red. (The LSH side itself uses xxhash64 and cannot be replayed in
+    # SQL; asserting its measured recall is the strongest oracle possible,
+    # the same way seeded-model queries assert their golden metrics.)
+    oracle=f"""
+    WITH exact AS ({_JACCARD_ORACLE})
+    SELECT CAST(least(floor(jaccard * 20), 19) AS BIGINT) AS band20,
+           CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           CAST(count(*) AS BIGINT) AS n_lsh_hits,
+           (round(1.0 + 1e-9, 4) + 0.0) AS recall
+    FROM exact
+    GROUP BY 1
+    """,
+    tags=("dedup", "lsh", "evaluation"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Jaccard-band recall of the banded-MinHash LSH tier
+    (`native_minhash_near_dup_pairs`, the 100 TB path that
+    `near_dup_clusters_lsh` builds its edge set from) against the exact
+    3-gram Jaccard pairs — dedup's twin of `knn_lsh_recall_eval`: the
+    index-quality measurement shipped as a query, not buried in tests.
+
+    Bands are 0.05-wide Jaccard buckets (band20 = floor(j*20), so 16 =
+    [0.80, 0.85) ... 19 = [0.95, 1.0]); banded LSH recall falls toward
+    the threshold boundary — 1-(1-j^r)^b is lowest at j=0.8 — so the
+    per-band view localizes exactly where misses would appear first.
+    Both engines derive the band from the same IEEE-double jaccard
+    (ratio of small ints, multiplication exact), so banding is
+    hash-stable with no rounding machinery.
+
+    Scale shape: the expensive inputs are the two pair pipelines
+    themselves (LSH-bounded and exact); the recall join and band
+    aggregation touch only the true-pair set. At 100 TB the exact side
+    is the sampled audit (run over a stratified slice), the LSH side the
+    production tier — the query shape is unchanged."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    exact = core.jaccard_pairs(docs, n=3, threshold=0.8)
+    lsh = minhash.native_minhash_near_dup_pairs(
+        docs, n=3, threshold=0.8
+    ).select(
+        F.col("doc_a").alias("la"),
+        F.col("doc_b").alias("lb"),
+        F.lit(1).alias("hit"),
+    )
+    band = F.least(F.floor(F.col("jaccard") * 20), F.lit(19)).cast("bigint")
+    return (
+        exact.join(
+            lsh,
+            (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
+            "left",
+        )
+        .groupBy(band.alias("band20"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.count("hit").alias("n_hits"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+        .select(
+            "band20",
+            "n_exact_pairs",
+            F.col("n_hits").alias("n_lsh_hits"),
+            "recall",
+        )
+    )
+
+
+@register(
     "minhash_near_dup_pairs_mllib",
     # Same exact-verification argument, same oracle.
     oracle=_JACCARD_ORACLE,

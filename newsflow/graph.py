@@ -182,18 +182,59 @@ def org_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """(src, dst, w) symmetric edges → (org, n_triangles) per node.
 
-    Standard distributed triangle enumeration: orient every undirected
-    edge low→high (each triangle a<b<c is then built exactly once from
-    (a,b)+(b,c) closed by (a,c)), two joins keyed on a node id, then one
-    explode+groupBy to attribute each triangle to its three corners.
-    The orientation step also caps join skew: a hub node's edge list is
-    split between its lower and higher neighbors. At 100 TB the further
-    refinement is degree-ordering (orient by (degree, id)) so hubs
-    always sit on the low-fanout side — noted, not needed at this graph
-    size.
+    Distributed triangle enumeration with DEGREE-ORDERED orientation
+    (the Cohen / "compact-forward" refinement): each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher, every
+    triangle is then built exactly once from (a→b)+(b→c) closed by
+    (a→c), and one explode+groupBy attributes it to its three corners.
+
+    Why degree order instead of id order: wedge fan-out during the pivot
+    join is Σ outdeg(v)², and under degree orientation outdeg(v) ≤
+    O(√m) for EVERY node — a hub's edges all point INTO it, so a
+    celebrity org co-mentioned with 10⁶ others contributes zero wedges
+    instead of 10¹². Id order has no such bound (a hub with a small id
+    keeps its full fan-out); at 100× hub skew this is the difference
+    between one straggler task enumerating the whole graph's wedges and
+    a uniformly bounded per-task load (tests/test_graph.py asserts the
+    fan-out bound on a star graph). The per-node counts are
+    orientation-invariant, so the oracle is unchanged.
+
+    Ties: (degree, id) is a total order — id breaks degree ties — so
+    orientation is deterministic and acyclic.
     """
-    und = edges.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    und = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .join(
+            deg.select(
+                F.col("node").alias("src"), F.col("deg").alias("deg_src")
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("dst"), F.col("deg").alias("deg_dst")
+            ),
+            "dst",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("deg_src"), F.col("src"))
+                < F.struct(F.col("deg_dst"), F.col("dst")),
+                F.col("src"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("a"),
+            F.when(
+                F.struct(F.col("deg_src"), F.col("src"))
+                < F.struct(F.col("deg_dst"), F.col("dst")),
+                F.col("dst"),
+            )
+            .otherwise(F.col("src"))
+            .alias("b"),
+        )
     )
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))

@@ -98,21 +98,15 @@ def _load_all_modules() -> None:
 # then least-recently-green), so a new query can never silently sit
 # outside the driver's 50-slot window for more than ceil(N/50) rounds
 # (tests/test_registry_schedule.py proves the bound by simulation).
-_RECHECK_DECLARED_ROUND = 3
+_RECHECK_DECLARED_ROUND = 4
 _RECHECK_THIS_ROUND = (
-    "near_dup_clusters",
-    "benchmark_contamination",
-    "knn_cosine_topk",
-    "knn_cosine_lsh_native",
-    "embedding_cosine_near_dup",
-    "registrable_domain_extract",
-    "gdelt_core_etl",
-    # Late round-3: previously green-but-EMPTY queries re-constanted so
-    # they actually fire (Q3's 2024 dates vs 1995-2001 fixture dates;
-    # the undated anti join; PROBE_MOD missing every 8-gram-sharing
-    # doc). Semantics changed -> driver must re-verify.
-    "shipping_priority_topk",
-    "customers_without_orders",
+    # Round-4 semantics changes (ADVICE/VERDICT follow-through):
+    # waterfill cutoff re-derived as min-failing-rank - 1 in BOTH
+    # engines; triangle enumeration re-oriented by (degree, id). Both
+    # should produce identical results — the recheck makes the driver
+    # prove it rather than trusting the equivalence argument.
+    "source_budget_waterfill",
+    "org_triangle_counts",
 )
 
 

@@ -123,3 +123,62 @@ def test_export_training_shards_deterministic(spark, tmp_path):
         )
 
     assert logical(str(tmp_path / "a")) == logical(str(tmp_path / "b"))
+
+
+def _docs_frame(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_curate_expectation_gate_blocks_broken_batch(spark):
+    """Error-level expectation failures (null key / duplicate key / empty
+    text) must fail-fast the funnel before anything is ingested."""
+    import pytest
+
+    bad = _docs_frame(
+        spark,
+        [
+            (1, "a perfectly fine document about things", "en", "src1", 39),
+            (1, "duplicate key document here", "en", "src2", 27),  # dup id
+            (2, "", "en", "src3", 0),  # empty text
+            (None, "orphan row with no key", "en", "src4", 22),  # null id
+        ],
+    )
+    with pytest.raises(curation.ExpectationFailure) as exc:
+        curation.curate(bad, spark, enforce_expectations=True)
+    msg = str(exc.value)
+    for check in ("doc_id_not_null", "doc_id_unique", "text_not_empty"):
+        assert check in msg
+
+
+def test_curate_expectation_gate_ignores_warn_level(spark):
+    """warn-severity failures (bad source format, out-of-domain lang,
+    stale n_chars) must NOT block the funnel — they are monitoring
+    signals, and the funnel's own lang filter handles them downstream."""
+    warn_only = _docs_frame(
+        spark,
+        [
+            # n_chars wrong + lang out of domain + source format bad:
+            # all warn-level; keys and texts are structurally sound.
+            # Text passes the quality gate (distinct tokens, no stopwords).
+            (i, " ".join(f"token{i}x{j}" for j in range(120)),
+             "xx" if i == 0 else "en", "weird-source", 999)
+            for i in range(6)
+        ],
+    )
+    out = curation.curate(warn_only, spark, enforce_expectations=True)
+    assert out.count() > 0  # funnel ran; gate did not fire
+
+
+def test_expectations_gate_report_matches_severity_map(spark):
+    from newsflow.corpus import EXPECTATION_SEVERITY
+    from newsflow.registry import all_specs
+
+    spec = all_specs()["expectations_gate_report"]
+    rows = {r.check_name: r for r in spec.build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(EXPECTATION_SEVERITY)
+    for name, r in rows.items():
+        assert r.severity == EXPECTATION_SEVERITY[name]
+        assert r.blocks_ingestion == ((not r.passed) and r.severity == "error")

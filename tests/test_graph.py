@@ -59,3 +59,43 @@ def test_comention_edges_are_symmetric(spark):
     fwd = {(r["src"], r["dst"], r["w"]) for r in edges.collect()}
     assert fwd == {(d, s, w) for s, d, w in fwd}
     assert all(s != d for s, d, _ in fwd)
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """Star graph + one closing edge: under degree-ordered orientation the
+    hub's out-degree must be 0 (all edges point INTO the highest-degree
+    node), so wedge enumeration never concentrates on the hub — the
+    100×-skew property id-ordering lacks when the hub has a small id."""
+    import pyspark.sql.functions as F
+
+    from newsflow.graph import triangle_counts
+
+    n = 50
+    # hub = node 0 (smallest id, so id-order would give it full fan-out)
+    und = [(0, i) for i in range(1, n + 1)] + [(1, 2)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sym], "src long, dst long, w double"
+    )
+
+    got = {r.org: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}  # the single 0-1-2 triangle
+
+    # Reconstruct the oriented edge list the operator builds and assert
+    # the fan-out bound directly: hub out-degree 0, max out-degree small.
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    oriented = (
+        edges.filter(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("node").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd")), "dst")
+        .select(
+            F.when(
+                F.struct("ds", "src") < F.struct("dd", "dst"), F.col("src")
+            ).otherwise(F.col("dst")).alias("a")
+        )
+    )
+    outdeg = {r.a: r.n for r in oriented.groupBy("a").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0 not in outdeg, "hub must have zero out-degree under degree order"
+    assert max(outdeg.values()) <= 2

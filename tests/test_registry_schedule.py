@@ -105,3 +105,38 @@ def test_recheck_expires_once_green_in_declared_round():
     assert order[0] == "b"          # still-unverified recheck leads
     assert order[1] == "c"          # never-green next
     assert order[2] == "a"          # verified fix rotates normally
+
+
+def test_round4_window_is_greedy_oldest_first():
+    """VERDICT r3 #3: with the r3 rechecks expired, the round-4 window
+    must be exactly (new never-green queries) + (live recheck pins) +
+    the LEAST-recently-green cohort — no query may sit in the window
+    while an older-green oracled query waits outside it."""
+    specs = registry.all_specs()
+    oracled = [n for n, s in specs.items() if s.oracle]
+    history = registry._green_history()
+    window, outside = oracled[:WINDOW], oracled[WINDOW:]
+    live_recheck = {
+        n
+        for n in registry._RECHECK_THIS_ROUND
+        if history.get(n, 0) < registry._RECHECK_DECLARED_ROUND
+    }
+    # r3's nine recheck pins are expired (green in r3) — none may still
+    # occupy priority slots.
+    assert "near_dup_clusters" not in live_recheck
+    in_rounds = [
+        history.get(n, 0) for n in window if n not in live_recheck
+    ]
+    out_rounds = [history.get(n, 0) for n in outside]
+    if in_rounds and out_rounds:
+        assert max(in_rounds) <= min(out_rounds), (
+            "window holds a fresher-green query than one waiting outside: "
+            f"max(in)={max(in_rounds)} > min(out)={min(out_rounds)}"
+        )
+    # Every never-driver-green query (the round-4 additions) is in the
+    # window, and so is every live recheck.
+    for n in oracled:
+        if history.get(n, 0) == 0:
+            assert n in window, f"never-green {n} outside window"
+    for n in live_recheck:
+        assert n in window, f"live recheck {n} outside window"
