@@ -1,0 +1,218 @@
+"""User-behavior analytics over the events table (beyond-reference,
+round 4): cohort retention, event-sequence transition matrix, and a
+stream-EXECUTED static-enrichment join — the product-analytics family a
+news platform runs next to the corpus pipeline (the reference's GDELT
+scripts aggregate articles; these aggregate the readers).
+
+All three are exactly oracled. Scale notes per query; the common theme
+is that every expensive step is one keyed shuffle (user_id or the
+transition pair) and everything after runs over user- or
+category-cardinality frames.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('day', f.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+    tags=("analytics", "window", "events"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen week,
+    counted once per (cohort, weeks-since-signup) cell — the table every
+    retention curve and triangle chart is drawn from.
+
+    Scale shape: one groupBy(user_id) for first-seen (map-side partial
+    min), one self-join back on user_id (both sides hash-partitioned on
+    the same key; AQE broadcasts the cohort side when user cardinality
+    fits), one distinct on (user, cohort, offset) — all keyed on user_id,
+    so at 100 TB this is two user-keyed shuffles and the output is
+    |cohorts| x |horizon| tiny. Week truncation is Monday-based in both
+    engines; offsets are exact integers (day-diff of week-aligned dates
+    is a multiple of 7).
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions,
+           (round(count(*)::DOUBLE
+                  / sum(count(*)) OVER (PARTITION BY src) + 1e-9, 6)
+            + 0.0) AS p_transition
+    FROM seq WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+    tags=("analytics", "window", "events"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered in-session pair of events per user, P(next event type |
+    current event type) — the model behind next-action prediction and
+    anomalous-sequence detection.
+
+    Scale shape: ONE shuffle — the lead() window partitioned by user_id
+    (ordered by (ts, event_id), a unique total order, so the sequence is
+    deterministic under any partitioning); the transition counts and the
+    per-src normalization window then run over |event_types|² rows.
+    Probabilities are count ratios (exact IEEE division of integers,
+    identical in both engines) under the house epsilon-rounding."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_transitions",
+        (
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wsrc)
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_transition"),
+    )
+
+
+_TIER_SQL = """
+    SELECT user_id,
+           ntile(4) OVER (
+             ORDER BY sum(cast(value AS DECIMAL(25,4))) DESC, user_id
+           ) AS value_tier
+    FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "stream_static_enrichment",
+    oracle=f"""
+    WITH tiers AS ({_TIER_SQL})
+    SELECT e.event_type, t.value_tier,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN tiers t USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "executed", "analytics"),
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join EXECUTED through Structured
+    Streaming: the events stream enriched with a STATIC per-user value
+    tier (quartile of historic total value — the classic "join the
+    click stream to the user dimension" shape), appended to a memory
+    sink, then rolled up to (event_type, tier) counts.
+
+    The stream-static equi-join is STATELESS (each micro-batch joins
+    against the static table independently — no watermark, no state
+    store), which is why it was the one streaming join shape not yet
+    execution-verified: `conversion_pairs` covers stream-stream
+    interval joins, this covers the broadcast-dimension form. The
+    drained sink holds exactly one enriched row per event, so the batch
+    join oracle applies verbatim.
+
+    Scale shape: the static side is user-cardinality (built by one
+    user-keyed shuffle + a ranking window); Spark broadcasts it per
+    micro-batch when it fits, else hash-joins — either way the stream
+    side is never re-partitioned by anything but the join. The ntile
+    tie-break on user_id makes tiers deterministic.
+
+    Determinism note: the tier ranking key is a DECIMAL(25,4) sum in
+    both engines — order-insensitive exact arithmetic, so the ntile
+    ordering cannot drift with summation order; ties fall to user_id."""
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(25,4)")).alias("total_value")
+    )
+    tiers = totals.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("total_value").desc(), F.col("user_id")))
+        .alias("value_tier"),
+    )
+
+    from newsflow.streaming.windows import read_events_stream
+
+    stream = read_events_stream(
+        spark,
+        sf_dir,
+        schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+        path_glob_filter="events.parquet",
+    )
+    enriched = stream.join(F.broadcast(tiers), "user_id").select(
+        "event_type", "value_tier"
+    )
+    sink = f"enrich_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type", "value_tier")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

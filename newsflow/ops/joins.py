@@ -402,3 +402,53 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "revenue_by_status_salted",
+    # IDENTICAL oracle to revenue_by_status: salting is a physical
+    # rewrite, so the driver hash-checks that splitting hot keys over 8
+    # subkeys and merging partials changes nothing — the correctness
+    # proof the skew-mitigation path needs before it's trusted at scale.
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           count(*) AS n_line_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "agg", "skew", "scale"),
+)
+def revenue_by_status_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`revenue_by_status` through the SALTED join path (ops/scale.py):
+    the lineitem (probe) side's keys are split over 8 deterministic salt
+    subkeys and the orders (build) side replicated once per subkey, so a
+    hot order key's rows spread across 8 tasks instead of one straggler.
+
+    This is the manual form of what AQE skew-join does adaptively; it
+    stays necessary at 100 TB when skew is KNOWN ahead of time (a few
+    viral orders holding 10⁸ line items) and the operator above the join
+    (here: exact decimal partial sums per (status, salt), merged per
+    status) must also pre-aggregate per salt to keep reducers balanced.
+    The aggregation is salt-oblivious — groupBy(o_orderstatus) after the
+    join — because Catalyst's partial aggregation already combines per
+    task; the salted join's job is only to balance the JOIN tasks.
+    Deterministic salt (hash of the row) keeps retries consistent."""
+    from newsflow.ops.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("key"), "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, key="key", n_salt=8)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return exact_stats_agg(
+        joined,
+        keys=["o_orderstatus"],
+        measures={"rev": rev},
+        stats=[Sum("revenue", "rev")],
+        count_alias="n_line_items",
+    )

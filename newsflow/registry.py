@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "newsflow.retrieval",
     "newsflow.sim.health",
     "newsflow.sim.mmr",
+    "newsflow.analytics",
 )
 
 

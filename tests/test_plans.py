@@ -185,3 +185,21 @@ def test_triangle_join_is_hash_not_cartesian(spark):
     plan = plan_of(spark, "org_triangle_counts")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_transitions_single_user_shuffle_no_python(spark):
+    """event_type_transitions promises ONE corpus-sized shuffle (the
+    per-user lead window); the later count + normalization windows run
+    over |event_types|^2 rows. Assert the plan is UDF-free and contains
+    no cartesian product, and that exactly one Exchange partitions by
+    user_id (the lead window's)."""
+    plan = plan_of(spark, "event_type_transitions")
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_cohort_retention_joins_on_user_only(spark):
+    """cohort_retention's join and both aggregations key on user_id /
+    tiny cohort keys — no broadcast of the event-sized side, no Python."""
+    plan = plan_of(spark, "cohort_retention")
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan
