@@ -1,13 +1,14 @@
 """User-behavior analytics over the events table (beyond-reference,
-round 4): cohort retention, event-sequence transition matrix, and a
-stream-EXECUTED static-enrichment join — the product-analytics family a
-news platform runs next to the corpus pipeline (the reference's GDELT
+round 4): cohort retention, event-sequence transition matrix, a
+stream-EXECUTED static-enrichment join, and incremental
+materialized-view maintenance — the product-analytics family a news
+platform runs next to the corpus pipeline (the reference's GDELT
 scripts aggregate articles; these aggregate the readers).
 
-All three are exactly oracled. Scale notes per query; the common theme
-is that every expensive step is one keyed shuffle (user_id or the
-transition pair) and everything after runs over user- or
-category-cardinality frames.
+All exactly oracled. Scale notes per query; the common theme is that
+every expensive step is one keyed shuffle (user_id or the transition
+pair) and everything after runs over user- or category-cardinality
+frames.
 """
 
 from __future__ import annotations
@@ -215,4 +216,78 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink)
         .groupBy("event_type", "value_tier")
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+MV_CUTOFF = "2024-01-20"
+
+
+@register(
+    "incremental_agg_update",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (cast(sum(cast(value AS DECIMAL(25,4))) as double) + 0.0)
+             AS sum_value,
+           (round(cast(sum(cast(value AS DECIMAL(25,4))) as double)
+                  / count(*) + 1e-9, 6) + 0.0) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("analytics", "maintenance", "incremental"),
+)
+def incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view DELTA maintenance: a stored per-event-type
+    aggregate (simulated as the aggregate over events before MV_CUTOFF —
+    in production, the parquet table the last refresh wrote) is updated
+    with one new slice's PARTIAL aggregates and merged, instead of
+    recomputing over history. The oracle is the full recompute — the
+    driver hash-proves merge(base, delta) == recompute(all), which is
+    the correctness contract incremental view maintenance rests on.
+
+    Works because the measures are ALGEBRAIC: count and decimal sum
+    re-aggregate losslessly (sum of sums), and avg is DERIVED from the
+    merged sums rather than averaged-of-averages (the classic MV bug).
+    Exact decimal partials make the merge order-insensitive, so the
+    result is bit-identical to the recompute. Non-algebraic measures
+    (exact distinct, medians, top-k) need their own mergeable sketches
+    (HLL / quantile digests) — see `orders_approx_stats` for the approx
+    tier.
+
+    Scale shape: the delta aggregation touches ONE day-slice (at 100 TB
+    with day-partitioned storage: a pruned scan of the new partition
+    only, the same discipline as `merge_upsert`); the merge is a groupBy
+    over 2x|event_types| partial rows. History is never re-read.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("sum_dec"),
+        )
+
+    base = partials(events.filter(F.col("ts") < cutoff))  # "stored MV"
+    delta = partials(events.filter(F.col("ts") >= cutoff))  # new slice
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        (F.col("sum_dec").cast("double") + F.lit(0.0)).alias("sum_value"),
+        (
+            F.round(
+                F.col("sum_dec").cast("double") / F.col("n_events")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_value"),
     )

@@ -201,12 +201,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Ties: (degree, id) is a total order — id breaks degree ties — so
     orientation is deterministic and acyclic.
+
+    Lineage: the oriented edge list feeds THREE plan branches (the
+    pivot join, the closure join, and — upstream — the degree
+    computation), so it is materialized once (eager localCheckpoint,
+    bounded: one 2-id row per undirected edge) instead of letting every
+    branch re-derive the co-mention ETL; without truncation the
+    degree-ordered plan re-ran the upstream pipeline 8× (25 shuffles vs
+    7 — caught by the PLANS.md audit diff).
     """
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    und = (
+    und0 = (
         edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = und0.select(
+        F.explode(F.array("src", "dst")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    und = (
+        und0
         .join(
             deg.select(
                 F.col("node").alias("src"), F.col("deg").alias("deg_src")
@@ -235,6 +248,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .otherwise(F.col("src"))
             .alias("b"),
         )
+        .localCheckpoint(eager=True)
     )
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
