@@ -61,3 +61,73 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     ranges = sorted(_file_ts_ranges(out))
     for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
         assert a_max <= b_min
+
+
+def test_zorder_gives_both_columns_pruning_locality(spark, tmp_path):
+    """Z-order vs lexicographic (custkey, totalprice) sort: lexicographic
+    gives the SECOND column no locality (each row group spans ~the full
+    totalprice range), while the Z-curve shrinks BOTH columns' per-row-
+    group ranges — the property that makes min/max stats prune scans on
+    either predicate."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from newsflow.ops.layout import write_zordered
+    from newsflow.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    opts = {"parquet.block.size": str(8 * 1024)}
+
+    lex = str(tmp_path / "lex")
+    (
+        orders.repartitionByRange(4, "o_custkey", "o_totalprice")
+        .sortWithinPartitions("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("parquet.block.size", opts["parquet.block.size"])
+        .parquet(lex)
+    )
+    zo = str(tmp_path / "zorder")
+    write_zordered(
+        orders, zo, zorder_by=("o_custkey", "o_totalprice"), n_files=4,
+        options=opts,
+    )
+
+    def avg_rel_range(root, col):
+        mins, maxs, spans = [], [], []
+        for f in Path(root).glob("*.parquet"):
+            meta = pq.ParquetFile(str(f)).metadata
+            idx = meta.schema.names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+                spans.append(st.max - st.min)
+        total = max(maxs) - min(mins)
+        return sum(spans) / len(spans) / total, len(spans)
+
+    lex_ck, n1 = avg_rel_range(lex, "o_custkey")
+    lex_tp, _ = avg_rel_range(lex, "o_totalprice")
+    z_ck, n2 = avg_rel_range(zo, "o_custkey")
+    z_tp, _ = avg_rel_range(zo, "o_totalprice")
+    assert n1 > 8 and n2 > 8  # enough row groups for the stats to mean something
+    # lexicographic: first col tight, second col useless (~full range)
+    assert lex_ck < 0.2 and lex_tp > 0.8
+    # z-order: BOTH columns substantially narrowed
+    assert z_ck < 0.5 and z_tp < 0.5, (lex_ck, lex_tp, z_ck, z_tp)
+
+
+def test_zorder_value_interleaves_bits(spark):
+    import pyspark.sql.functions as F
+
+    from newsflow.ops.layout import zorder_value
+
+    df = spark.range(1).select(
+        zorder_value([F.lit(0b101), F.lit(0b011)], bits=3).alias("z")
+    )
+    # x bits at even positions, y bits at odd: x=101, y=011 ->
+    # z = (x0<<0)|(y0<<1)|(x1<<2)|(y1<<3)|(x2<<4)|(y2<<5)
+    #   = 1 | 2 | 0 | 8 | 16 | 0 = 27
+    assert df.first().z == 27

@@ -203,3 +203,51 @@ def test_cohort_retention_joins_on_user_only(spark):
     tiny cohort keys — no broadcast of the event-sized side, no Python."""
     plan = plan_of(spark, "cohort_retention")
     assert "EvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_fires_on_selective_smj(spark):
+    """Runtime semi-join reduction: when a selective dimension filter
+    feeds a shuffle join, Spark injects a bloom filter built from the
+    filtered side into the fact side's scan (`might_contain`), dropping
+    non-joining rows BEFORE the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching fraction. The feature is on by default
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled=true`) but gated
+    by size thresholds tuned for real tables (application side >= 10 GB
+    scan); this test lowers the thresholds to prove the plan shape is
+    available and correctly wired on our session."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = (
+            spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+            .filter("o_orderpriority = '1-URGENT'")
+        )
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), (
+            "runtime bloom filter did not fire on the selective join"
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
