@@ -291,3 +291,66 @@ def incremental_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("avg_value"),
     )
+
+
+BURST_GAP_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "event_burst_collapse",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM seq
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > {BURST_GAP_US}
+    """,
+    tags=("analytics", "dedup", "window", "events"),
+)
+def event_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ingestion dedup: within each (user, event_type)
+    stream, keep only the HEAD of every burst — an event is a duplicate
+    if it follows the previous kept-or-dropped event of the same key by
+    <= 10 minutes (double-clicks, retry storms, repost floods). The
+    batch twin of `dropDuplicatesWithinWatermark`'s semantics, expressed
+    as gaps-and-islands: a row survives iff its gap to the PREDECESSOR
+    exceeds the threshold.
+
+    Note the semantic choice, shared by both engines' formulation:
+    gap-to-predecessor (lag) rather than gap-to-burst-head — a chain of
+    events 5 minutes apart collapses to ONE survivor no matter how long
+    the chain (the sessionization view of dedup; session_window gives
+    the same islands on a stream).
+
+    Scale shape: ONE shuffle (the per-key lag window, unique total order
+    (ts, event_id)); the filter is row-local. At 100 TB this is the
+    cheapest dedup tier there is — it runs before hashing, before any
+    state, on the partition-pruned fresh slice only."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return seq.filter(
+        F.col("prev_ts").isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros("prev_ts")
+            > F.lit(BURST_GAP_US)
+        )
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )

@@ -465,6 +465,46 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_group_split",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(source), 1, 1) IN ('d', 'e') THEN 'val'
+                WHEN substr(md5(source), 1, 1) = 'f' THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+    tags=("curation", "sampling", "leakage"),
+)
+def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the hash bucket is computed on
+    the GROUP key (source), not the document id, so every document from
+    one source lands in the same split. Per-document splits
+    (`corpus_train_split`) leak: near-duplicate documents — same outlet
+    republishing, boilerplate siblings — straddle train and eval, and
+    eval scores inherit memorized text. Group-splitting by origin is the
+    standard mitigation (the same reason dedup runs before split).
+
+    Still row-local and zero-shuffle: the group key is already a column
+    of the row. The stronger variant — grouping by near-dup CLUSTER —
+    composes `near_dup_clusters` (exact-oracled) with this same hash
+    rule on the cluster representative id: one extra join against the
+    cluster map, split stability inherited from the deterministic
+    representative (min doc_id). Source-level grouping is the superset
+    guard (clusters rarely span sources in practice) at zero cost, so
+    it is the default."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("source")), 1, 1)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b.isin("d", "e"), "val")
+        .when(b == "f", "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
 MIX_ALPHA = 0.5  # temperature exponent: upweights low-resource sources
 
 

@@ -53,8 +53,22 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
-    for k, v in RUNTIME_CONFS.items():
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    ``NEWSFLOW_AQE=off`` disables adaptive execution (+ coalescing and
+    skew-join splitting) for a replay run — the determinism audit knob:
+    every oracled result must be identical with AQE on and off, since
+    AQE re-plans but must not change semantics. The r3 review ran this
+    replay by hand-editing confs; the env knob makes it repeatable:
+
+        NEWSFLOW_AQE=off python -m pytest tests/test_oracle_parity.py
+    """
+    confs = dict(RUNTIME_CONFS)
+    if os.environ.get("NEWSFLOW_AQE", "").lower() == "off":
+        confs["spark.sql.adaptive.enabled"] = "false"
+        confs["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
+        confs["spark.sql.adaptive.skewJoin.enabled"] = "false"
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
