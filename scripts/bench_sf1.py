@@ -102,13 +102,18 @@ def main() -> None:
     synthesize(spark, copies)
     t_gen = time.perf_counter() - t0
 
+    skip = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--skip="):
+            skip.update(a.split("=", 1)[1].split(","))
     specs = registry.all_specs()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         spec = specs.get(name)
-        if spec is None:
+        if spec is None or name in skip:
             continue
+        print(f"[bench_sf1] {name} ...", file=sys.stderr, flush=True)
         spec.build(spark, OUT_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
@@ -133,6 +138,7 @@ def main() -> None:
                 "sf": 0.1 * copies,
                 "synthesize_sec": round(t_gen, 1),
                 "copies": copies,
+                "skipped": sorted(skip),
             }
         )
     )
