@@ -65,6 +65,9 @@ HEADLINE = [
     # Round-4 additions:
     "tumbling_window_counts_stream_watermarked",  # append+watermark exec
     "dedup_lsh_recall_eval",    # LSH recall audit (exact + LSH pipelines)
+    "event_type_transitions",   # single-shuffle Markov matrix (analytics)
+    "cohort_retention",         # cohort matrix (user-keyed shuffles)
+    "event_burst_collapse",     # time-bounded ingestion dedup (lag window)
 ]
 
 
