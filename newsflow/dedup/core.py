@@ -127,7 +127,16 @@ def jaccard_pairs(
     quadratic in per-shingle frequency — at 100 TB run
     `minhash_near_dup_pairs` instead and use this only to verify candidates.
     """
-    arrays = doc_shingle_arrays(docs, n)
+    return jaccard_pairs_from_arrays(doc_shingle_arrays(docs, n), threshold)
+
+
+def jaccard_pairs_from_arrays(
+    arrays: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """`jaccard_pairs` over a pre-built (possibly cached) shingle-array
+    frame — lets composite queries (`dedup_lsh_recall_eval`) share ONE
+    shingle projection between the exact and LSH pipelines instead of
+    computing it per pipeline."""
     sh = arrays.select("doc_id", F.explode("shingles").alias("s"))
     sizes = arrays.select("doc_id", F.size("shingles").alias("n_sh"))
 

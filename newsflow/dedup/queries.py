@@ -199,13 +199,16 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the expensive inputs are the two pair pipelines
     themselves (LSH-bounded and exact); the recall join and band
-    aggregation touch only the true-pair set. At 100 TB the exact side
-    is the sampled audit (run over a stratified slice), the LSH side the
+    aggregation touch only the true-pair set, and both pipelines share
+    ONE cached shingle projection (the corpus is tokenized+shingled
+    once, not once per pipeline). At 100 TB the exact side is the
+    sampled audit (run over a stratified slice), the LSH side the
     production tier — the query shape is unchanged."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    exact = core.jaccard_pairs(docs, n=3, threshold=0.8)
-    lsh = minhash.native_minhash_near_dup_pairs(
-        docs, n=3, threshold=0.8
+    arrays = core.doc_shingle_arrays(docs, 3).cache()
+    exact = core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
+    lsh = minhash._verify_pairs(
+        arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
     ).select(
         F.col("doc_a").alias("la"),
         F.col("doc_b").alias("lb"),
