@@ -146,6 +146,84 @@ _TIER_SQL = """
 """
 
 
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ntile(k) over a global total order WITHOUT the
+    single-partition window (`Window.orderBy` with no partitionBy funnels
+    every row through one task — the anti-pattern
+    `test_token_budget_has_no_global_single_partition_window` polices).
+
+    TeraSort-style two-pass instead (same machinery as
+    `ops/sampling.doc_corpus_shuffle`): range-repartition on the order
+    columns, localCheckpoint to pin the sampled partitioning (the range
+    partitioner's sampling is plan-execution-dependent, so the counts
+    pass and the rank pass MUST read the same materialized layout), one
+    O(partitions) driver pass turns per-partition counts into global
+    offsets, and the rank is offset + per-partition row_number — every
+    window runs partitioned, nothing global. The bucket formula
+    reproduces SQL ntile exactly (first n%k buckets get ceil(n/k) rows),
+    so the DuckDB ntile oracle applies verbatim.
+
+    ``order_cols`` must define a TOTAL order (include a tie-breaker) —
+    the same precondition SQL ntile determinism has."""
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in arranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid, off in sorted(offsets.items())
+                    for x in (F.lit(pid), F.lit(off))
+                ]
+            ),
+            F.col("_pid"),
+        ),
+        F.lit(0),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rank = (off_expr + F.row_number().over(w)).alias("_rank")
+    big = n % k
+    small = n // k
+    size_big = small + 1
+    bucket = F.when(
+        F.col("_rank") <= big * size_big,
+        F.floor((F.col("_rank") - 1) / size_big) + 1,
+    ).otherwise(
+        big
+        + F.floor((F.col("_rank") - big * size_big - 1) / max(small, 1))
+        + 1
+    )
+    return (
+        arranged.withColumn("_rank", rank)
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_rank")
+    )
+
+
 @register(
     "stream_static_enrichment",
     oracle=f"""
@@ -172,10 +250,13 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained sink holds exactly one enriched row per event, so the batch
     join oracle applies verbatim.
 
-    Scale shape: the static side is user-cardinality (built by one
-    user-keyed shuffle + a ranking window); Spark broadcasts it per
-    micro-batch when it fits, else hash-joins — either way the stream
-    side is never re-partitioned by anything but the join. The ntile
+    Scale shape: the static side is user-cardinality (one user-keyed
+    shuffle), and its quartile ranking runs through
+    `distributed_ntile` — the TeraSort-style two-pass exact ntile — NOT
+    a global single-partition window, so the dimension build
+    parallelizes at any user cardinality. Spark broadcasts the dimension
+    per micro-batch when it fits, else hash-joins — either way the
+    stream side is never re-partitioned by anything but the join. The
     tie-break on user_id makes tiers deterministic.
 
     Determinism note: the tier ranking key is a DECIMAL(25,4) sum in
@@ -185,12 +266,12 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = events.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(25,4)")).alias("total_value")
     )
-    tiers = totals.select(
-        "user_id",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("total_value").desc(), F.col("user_id")))
-        .alias("value_tier"),
-    )
+    tiers = distributed_ntile(
+        totals,
+        4,
+        [F.col("total_value").desc(), F.col("user_id")],
+        "value_tier",
+    ).select("user_id", "value_tier")
 
     from newsflow.streaming.windows import read_events_stream
 

@@ -79,3 +79,39 @@ def test_incremental_agg_matches_direct_recompute(spark):
         d = direct[et]
         assert m.n_events == d.n_events
         assert m.sum_value == float(d.sum_dec)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """The two-pass distributed ntile must reproduce SQL ntile exactly —
+    including the first-(n mod k)-buckets-get-one-extra rule — for
+    assorted (n, k), and be independent of the partition count."""
+    from pyspark.sql import Window
+
+    from newsflow.analytics import distributed_ntile
+
+    for n, k in ((10, 4), (12, 4), (3, 4), (100, 7), (1, 3)):
+        df = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * 37) % 13).alias("v"),  # duplicate order values
+        )
+        want = {
+            (r.id, r.nt)
+            for r in df.select(
+                "id",
+                F.ntile(k)
+                .over(Window.orderBy(F.col("v").desc(), F.col("id")))
+                .alias("nt"),
+            ).collect()
+        }
+        for parts in (2, 5):
+            got = {
+                (r.id, r.nt)
+                for r in distributed_ntile(
+                    df,
+                    k,
+                    [F.col("v").desc(), F.col("id")],
+                    "nt",
+                    num_partitions=parts,
+                ).collect()
+            }
+            assert got == want, (n, k, parts)
