@@ -171,41 +171,12 @@ def distributed_ntile(
 
     ``order_cols`` must define a TOTAL order (include a tie-breaker) —
     the same precondition SQL ntile determinism has."""
-    spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    arranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    from newsflow.ops.scale import distributed_rank
+
+    ranked = distributed_rank(
+        df, order_cols, out_col="_rank", num_partitions=num_partitions
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in arranged.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    n = sum(counts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.coalesce(
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for pid, off in sorted(offsets.items())
-                    for x in (F.lit(pid), F.lit(off))
-                ]
-            ),
-            F.col("_pid"),
-        ),
-        F.lit(0),
-    )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    rank = (off_expr + F.row_number().over(w)).alias("_rank")
+    n = ranked.count()  # cheap: counts the checkpointed frame
     big = n % k
     small = n // k
     size_big = small + 1
@@ -217,11 +188,7 @@ def distributed_ntile(
         + F.floor((F.col("_rank") - big * size_big - 1) / max(small, 1))
         + 1
     )
-    return (
-        arranged.withColumn("_rank", rank)
-        .withColumn(out_col, bucket.cast("int"))
-        .drop("_pid", "_rank")
-    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_rank")
 
 
 @register(

@@ -88,3 +88,68 @@ def salted_count(
         F.count(F.lit(1)).alias("_n")
     )
     return partial.groupBy(key).agg(F.sum("_n").alias("n"))
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global row_number over a total order WITHOUT the single-partition
+    window (`Window.orderBy` with no partitionBy funnels the whole frame
+    through one task, and Spark's WindowGroupLimit pushdown does not
+    apply to an empty partition spec — verified in
+    tests/test_plans.py::test_bm25_topk_has_no_corpus_sized_global_sort).
+
+    TeraSort-style two-pass (shared with `ops/sampling.doc_corpus_shuffle`
+    and `analytics.distributed_ntile`): range-repartition on the order
+    columns, eager localCheckpoint to PIN the sampled partitioning (the
+    range partitioner's boundary sampling is execution-dependent, so the
+    counts pass and the rank pass must read one materialized layout),
+    an O(partitions) driver pass turning per-partition counts into
+    global offsets, then rank = offset + per-partition row_number.
+    Every window is partitioned; the only driver state is one int per
+    partition. ``order_cols`` must be a total order (tie-break included).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in arranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        off_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for pid, off in sorted(offsets.items())
+                        for x in (F.lit(pid), F.lit(off))
+                    ]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+    else:
+        off_expr = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return arranged.withColumn(
+        out_col, off_expr + F.row_number().over(w)
+    ).drop("_pid")

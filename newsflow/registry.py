@@ -108,6 +108,11 @@ _RECHECK_THIS_ROUND = (
     # prove it rather than trusting the equivalence argument.
     "source_budget_waterfill",
     "org_triangle_counts",
+    # Late round-4: global single-partition rank windows replaced by
+    # two-stage top-k (bm25_topk) and distributed_rank (tokenizer_vocab)
+    # after the WindowGroupLimit finding — same oracles, new plans.
+    "bm25_topk",
+    "tokenizer_vocab",
 )
 
 

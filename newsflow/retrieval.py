@@ -150,11 +150,18 @@ def bm25_topk_df(docs: DataFrame) -> DataFrame:
     scored = per.crossJoin(F.broadcast(st)).select(
         "doc_id", dround(F.expr(score), 6).alias("bm25")
     )
+    # Two-stage top-k instead of filter(rank<=K) over a GLOBAL window:
+    # Spark's WindowGroupLimit rank-pushdown does NOT fire for an empty
+    # partition spec (verified on this build — a partitioned rank<=K
+    # gets WindowGroupLimit, the global form gets a full
+    # Exchange SinglePartition sort of the corpus-proportional score
+    # frame). orderBy().limit(K) compiles to TakeOrderedAndProject
+    # (per-partition partial top-k, K-row merge); the rank window then
+    # runs over K rows — bounded by construction.
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_K)
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_K)
-        .select("doc_id", "bm25", "rank")
+    return top.select(
+        "doc_id", "bm25", F.row_number().over(w).alias("rank")
     )
 
 
@@ -184,23 +191,33 @@ def tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ids assigned by (count DESC, token ASC) after {VOCAB_RESERVED}
     reserved special-token slots — the deterministic assignment every
-    tokenizer trainer needs. The id-assigning window is unpartitioned,
-    which is CORRECT here: a vocabulary is bounded (top-N in practice),
-    so the single-task ranking runs over a tiny aggregated frame, never
-    over the corpus. The corpus-sized work is the one explode+groupBy
-    shuffle keyed on the token.
+    tokenizer trainer needs. The id ranking runs through
+    `ops.scale.distributed_rank` (range-partitioned two-pass, no global
+    single-task window): a practical vocabulary is top-N, but the
+    UNTRIMMED distinct-token frame this ranks is 10⁷-10⁸ rows on web
+    corpora — corpus-vocabulary-proportional, not tiny — and round 4's
+    WindowGroupLimit finding showed empty-partition-spec windows never
+    get rank pushdown, so the polite "bounded frame" justification the
+    earlier global window carried did not actually hold at 100 TB. The
+    corpus-sized work remains the one explode+groupBy shuffle keyed on
+    the token.
     """
+    from newsflow.ops.scale import distributed_rank
+
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens_expr("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
-    return counts.select(
+    return distributed_rank(
+        counts,
+        [F.col("n_occurrences").desc(), F.col("token")],
+        out_col="_r",
+    ).select(
         "token",
         "n_occurrences",
-        (F.row_number().over(w) + (VOCAB_RESERVED - 1)).alias("token_id"),
+        (F.col("_r") + (VOCAB_RESERVED - 1)).alias("token_id"),
     )
 
 

@@ -251,3 +251,24 @@ def test_runtime_bloom_filter_fires_on_selective_smj(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_topk_has_no_corpus_sized_global_sort(spark):
+    """Round-4 finding: WindowGroupLimit rank pushdown never fires for an
+    EMPTY partition spec, so filter(rank<=K) over a global window was a
+    full single-partition sort of the per-doc score frame. The two-stage
+    form must plan a TakeOrderedAndProject for the corpus-sized stage;
+    the only remaining window input is the K-row top set."""
+    plan = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tokenizer_vocab_rank_is_partitioned(spark):
+    """tokenizer_vocab's id assignment must not funnel the distinct-token
+    frame (vocabulary-proportional) through one task: the ranking window
+    in the plan must be partitioned (_pid), with the range repartition
+    hidden behind the distributed_rank checkpoint."""
+    plan = plan_of(spark, "tokenizer_vocab")
+    import re
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), f"unpartitioned window: {m.group(0)[:120]}"
