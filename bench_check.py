@@ -18,9 +18,12 @@ load, both false positives. A first-run flag triggers an automatic
 re-run restricted to the flagged comparison; only queries that fail
 both runs fail the gate. (With a saved-JSON argument the re-run is not
 possible; the single-run verdict is reported with a NOISE-UNCONFIRMED
-marker instead of failing.)
+marker and exits 0 — pass --strict to make an unconfirmed single-run
+flag fail instead.)
 
-Exit status: 0 = no regression, 1 = regression, 2 = usage/IO error.
+Exit status: 0 = no regression (or unconfirmed single-run flag without
+--strict), 1 = confirmed regression (or any flag under --strict),
+2 = usage/IO error.
 """
 
 from __future__ import annotations
@@ -79,12 +82,14 @@ def flag_regressions(current: dict, baseline: dict) -> list[str]:
 
 
 def main(argv: list[str]) -> int:
-    from_file = len(argv) > 1
+    strict = "--strict" in argv
+    args = [a for a in argv[1:] if a != "--strict"]
+    from_file = bool(args)
     if from_file:
         try:
-            current = json.loads(Path(argv[1]).read_text())
+            current = json.loads(Path(args[0]).read_text())
         except (OSError, ValueError) as e:
-            print(f"bench_check: cannot read {argv[1]}: {e}")
+            print(f"bench_check: cannot read {args[0]}: {e}")
             return 2
     else:
         current = run_bench()
@@ -116,12 +121,13 @@ def main(argv: list[str]) -> int:
         return 0
 
     if from_file:
-        # Saved line: cannot re-run to confirm. Report, don't fail — a
-        # single run under unknown concurrent load is below the evidence
-        # bar this gate requires (two r3-review false positives).
+        # Saved line: cannot re-run to confirm. Without --strict, report
+        # and pass — a single run under unknown concurrent load is below
+        # the evidence bar this gate requires (two r3-review false
+        # positives); with --strict, the caller wants the hard contract.
         print("bench_check: NOISE-UNCONFIRMED — single saved run flags "
               f"{', '.join(suspects)}; re-run live to confirm")
-        return 0
+        return 1 if strict else 0
 
     print(f"bench_check: re-running to confirm {len(suspects)} suspect(s) "
           "(two-run rule)...")

@@ -146,49 +146,9 @@ _TIER_SQL = """
 """
 
 
-def distributed_ntile(
-    df: DataFrame,
-    k: int,
-    order_cols: list,
-    out_col: str,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """EXACT ntile(k) over a global total order WITHOUT the
-    single-partition window (`Window.orderBy` with no partitionBy funnels
-    every row through one task — the anti-pattern
-    `test_token_budget_has_no_global_single_partition_window` polices).
-
-    TeraSort-style two-pass instead (same machinery as
-    `ops/sampling.doc_corpus_shuffle`): range-repartition on the order
-    columns, localCheckpoint to pin the sampled partitioning (the range
-    partitioner's sampling is plan-execution-dependent, so the counts
-    pass and the rank pass MUST read the same materialized layout), one
-    O(partitions) driver pass turns per-partition counts into global
-    offsets, and the rank is offset + per-partition row_number — every
-    window runs partitioned, nothing global. The bucket formula
-    reproduces SQL ntile exactly (first n%k buckets get ceil(n/k) rows),
-    so the DuckDB ntile oracle applies verbatim.
-
-    ``order_cols`` must define a TOTAL order (include a tie-breaker) —
-    the same precondition SQL ntile determinism has."""
-    from newsflow.ops.scale import distributed_rank
-
-    ranked = distributed_rank(
-        df, order_cols, out_col="_rank", num_partitions=num_partitions
-    )
-    n = ranked.count()  # cheap: counts the checkpointed frame
-    big = n % k
-    small = n // k
-    size_big = small + 1
-    bucket = F.when(
-        F.col("_rank") <= big * size_big,
-        F.floor((F.col("_rank") - 1) / size_big) + 1,
-    ).otherwise(
-        big
-        + F.floor((F.col("_rank") - big * size_big - 1) / max(small, 1))
-        + 1
-    )
-    return ranked.withColumn(out_col, bucket.cast("int")).drop("_rank")
+# Re-export: the generic two-pass machinery lives in ops/scale.py beside
+# distributed_rank; this alias keeps the analytics-facing name stable.
+from newsflow.ops.scale import distributed_ntile  # noqa: E402,F401
 
 
 @register(

@@ -205,6 +205,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled audit (run over a stratified slice), the LSH side the
     production tier — the query shape is unchanged."""
     docs = spread(load_table(spark, sf_dir, "documents"))
+    # cache() is MEMORY_AND_DISK for DataFrames: the shingle projection
+    # spills (never OOMs) under pressure and is evictable; it stays
+    # session-resident after the query like every other cached
+    # intermediate (bench clears caches between queries). Measured win
+    # from sharing it across the two pipelines: 1.86s -> 1.45s at sf0.1.
     arrays = core.doc_shingle_arrays(docs, 3).cache()
     exact = core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
     lsh = minhash._verify_pairs(

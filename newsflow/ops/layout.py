@@ -128,10 +128,36 @@ def write_zordered(
     rank-based scaling when a column is heavy-tailed; documented, not
     automatic, because the stats pass that detects it is the caller's
     profile step (`documents_profile` / `orderkey_skew_profile`)."""
+    from pyspark.sql import types as T
+
+    def _as_double(c: str) -> F.Column:
+        """Numeric-ify a zorder column: numerics cast directly, temporal
+        types go through epoch seconds (timestamp→double is epoch
+        seconds in Spark; dates via an intermediate timestamp cast)."""
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            return F.col(c).cast("timestamp").cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.NumericType)):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"write_zordered: column {c!r} has unsupported type {dt} — "
+            "z-order columns must be numeric, timestamp, or date (for "
+            "strings, z-order a numeric surrogate such as xxhash64)"
+        )
+
+    num_cols = {c: _as_double(c) for c in zorder_by}
     stats = df.agg(
-        *[F.min(c).alias(f"_mn_{c}") for c in zorder_by],
-        *[F.max(c).alias(f"_mx_{c}") for c in zorder_by],
+        *[F.min(e).alias(f"_mn_{c}") for c, e in num_cols.items()],
+        *[F.max(e).alias(f"_mx_{c}") for c, e in num_cols.items()],
     ).first()
+    if stats[f"_mn_{zorder_by[0]}"] is None:
+        # Empty (or all-null) input: nothing to cluster; write as-is so
+        # the call stays total instead of crashing on float(None).
+        w0 = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w0 = w0.option(k, v)
+        w0.parquet(path)
+        return
     top = (1 << bits) - 1
     scaled = []
     for c in zorder_by:
@@ -142,9 +168,7 @@ def write_zordered(
             F.least(
                 F.lit(top),
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
-                    / F.lit(span)
-                    * F.lit(top + 1)
+                    (num_cols[c] - F.lit(mn)) / F.lit(span) * F.lit(top + 1)
                 ).cast("long"),
             )
         )

@@ -76,6 +76,28 @@ def merge_upsert(
     touched = [
         r[0] for r in batch.select(partition_col).distinct().collect()
     ]
+    # A key may appear at most ONCE as a non-deleted row: two upserts of
+    # the same key (same or different partitions — the upsert+upsert form
+    # of a cross-partition move) would write the key twice, the exact
+    # duplicate corruption this merge exists to prevent. A delete+upsert
+    # pair for one key remains valid (that IS the move encoding). The
+    # check is batch-sized, so it is always on.
+    dup_keys = (
+        batch.filter(~F.col(DELETE_COL))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup_keys:
+        raise ValueError(
+            "merge batch upserts the same key more than once: "
+            f"{sorted(r[0] for r in dup_keys)} — a cross-partition move "
+            "must be encoded as delete-in-old + upsert-in-new, and a "
+            "same-partition double-upsert is ambiguous about which row "
+            "wins"
+        )
     n_deletes = batch.filter(F.col(DELETE_COL)).count()
     n_upserts = batch.filter(~F.col(DELETE_COL)).count()
 

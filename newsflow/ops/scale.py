@@ -103,7 +103,7 @@ def distributed_rank(
     tests/test_plans.py::test_bm25_topk_has_no_corpus_sized_global_sort).
 
     TeraSort-style two-pass (shared with `ops/sampling.doc_corpus_shuffle`
-    and `analytics.distributed_ntile`): range-repartition on the order
+    and `distributed_ntile` below): range-repartition on the order
     columns, eager localCheckpoint to PIN the sampled partitioning (the
     range partitioner's boundary sampling is execution-dependent, so the
     counts pass and the rank pass must read one materialized layout),
@@ -112,6 +112,21 @@ def distributed_rank(
     Every window is partitioned; the only driver state is one int per
     partition. ``order_cols`` must be a total order (tie-break included).
     """
+    ranked, _ = _distributed_rank_with_total(
+        df, order_cols, out_col, num_partitions
+    )
+    return ranked
+
+
+def _distributed_rank_with_total(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Rank machinery + the total row count (already known from the
+    offsets pass — callers like `distributed_ntile` need n and must not
+    pay a second full count job for it)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
@@ -150,6 +165,38 @@ def distributed_rank(
     else:
         off_expr = F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return arranged.withColumn(
+    ranked = arranged.withColumn(
         out_col, off_expr + F.row_number().over(w)
     ).drop("_pid")
+    return ranked, acc
+
+
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    order_cols: list,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT ntile(k) over a global total order WITHOUT the
+    single-partition window — `distributed_rank` plus the SQL ntile
+    bucket formula (first n mod k buckets get ceil(n/k) rows), so a
+    DuckDB/Spark ntile oracle applies verbatim. n comes from the rank
+    pass's own offset bookkeeping — no extra count job. ``order_cols``
+    must define a TOTAL order (tie-break included), the same
+    precondition SQL ntile determinism has."""
+    ranked, n = _distributed_rank_with_total(
+        df, order_cols, "_rank", num_partitions
+    )
+    big = n % k
+    small = n // k
+    size_big = small + 1
+    bucket = F.when(
+        F.col("_rank") <= big * size_big,
+        F.floor((F.col("_rank") - 1) / size_big) + 1,
+    ).otherwise(
+        big
+        + F.floor((F.col("_rank") - big * size_big - 1) / max(small, 1))
+        + 1
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_rank")

@@ -107,3 +107,30 @@ def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_single_parquet_file(
+    df: DataFrame, dest: str, mtime: float | None = None
+) -> None:
+    """Write ``df`` as exactly ONE parquet file at ``dest`` (a file
+    path, not a directory) — the staging helper behind micro-batch
+    replay harnesses and testdata synthesis, where file-source semantics
+    (one file = one trigger, ordered by mtime) need a real file per
+    batch. coalesce(1) + stage-dir + move; optional explicit mtime so
+    the streaming file source's oldest-first ordering is deterministic.
+
+    Replay/synthesis tooling only: a production write is `write_parquet`
+    (distributed, many files)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    stage = dest + "_stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+    if _os.path.exists(dest):
+        _os.remove(dest)
+    _shutil.move(part, dest)
+    _shutil.rmtree(stage)
+    if mtime is not None:
+        _os.utime(dest, (mtime, mtime))

@@ -12,7 +12,6 @@ built-in windowed-aggregation path and the arbitrary-state path.
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import tempfile
@@ -280,21 +279,20 @@ def replay_events_watermarked(
     )
     late_replay = first_half.limit(50)
 
+    from newsflow.sources.sinks import write_single_parquet_file
+
     replay_dir = tempfile.mkdtemp(prefix="nf_wm_replay_")
     try:
         for i, batch in enumerate(
             (first_half, second_half, sentinel, late_replay)
         ):
-            stage = os.path.join(replay_dir, f"_stage{i}")
-            batch.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            dest = os.path.join(replay_dir, f"{i:02d}.parquet")
-            shutil.move(part, dest)
-            shutil.rmtree(stage)
             # Ascending mtimes: the file source processes oldest-first
             # (latestFirst=false), making batch order == event-time order.
-            t = 1_000_000_000 + i * 1000
-            os.utime(dest, (t, t))
+            write_single_parquet_file(
+                batch,
+                os.path.join(replay_dir, f"{i:02d}.parquet"),
+                mtime=1_000_000_000 + i * 1000,
+            )
 
         schema = spark.read.parquet(
             os.path.join(replay_dir, "00.parquet")

@@ -20,7 +20,6 @@ Honesty notes baked into the output:
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -42,13 +41,9 @@ KEY_SHIFT = 10_000_000
 
 
 def _write_single(df, path: str) -> None:
-    stage = path + "_stage"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    if os.path.exists(path):
-        os.remove(path)
-    shutil.move(part, path)
-    shutil.rmtree(stage)
+    from newsflow.sources.sinks import write_single_parquet_file
+
+    write_single_parquet_file(df, path)
 
 
 def synthesize(spark, copies: int) -> None:

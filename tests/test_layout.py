@@ -131,3 +131,28 @@ def test_zorder_value_interleaves_bits(spark):
     # z = (x0<<0)|(y0<<1)|(x1<<2)|(y1<<3)|(x2<<4)|(y2<<5)
     #   = 1 | 2 | 0 | 8 | 16 | 0 = 27
     assert df.first().z == 27
+
+
+def test_zorder_handles_timestamp_empty_and_rejects_strings(spark, tmp_path):
+    import pytest
+
+    from newsflow.ops.layout import write_zordered
+    from newsflow.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "ts", "user_id", "event_type"
+    )
+    out = str(tmp_path / "ts_zorder")
+    write_zordered(events, out, zorder_by=("ts", "user_id"), n_files=2)
+    assert spark.read.parquet(out).count() == events.count()
+
+    empty = events.filter("user_id < 0")
+    out2 = str(tmp_path / "empty")
+    write_zordered(empty, out2, zorder_by=("ts", "user_id"))
+    assert spark.read.parquet(out2).count() == 0
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        write_zordered(
+            events, str(tmp_path / "bad"), zorder_by=("event_type",)
+        )

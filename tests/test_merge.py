@@ -245,3 +245,32 @@ def test_compaction_reports_actual_file_count(spark, tmp_path):
     actual = len(list(pdir.glob("*.parquet")))
     assert stats["files_after"] == actual
     assert actual <= 2 < 5
+
+
+def test_merge_rejects_double_upsert_of_one_key(spark, tmp_path):
+    """The upsert+upsert form of a cross-partition move (and the
+    same-partition double upsert) must be rejected: both would leave the
+    key duplicated after merge."""
+    import pytest
+
+    path = str(tmp_path / "corpus")
+    _seed(spark, path)
+    # doc 5 (lives in day2) upserted into day1 AND day2: both partitions
+    # are touched, so the untouched-partition probe alone cannot see it.
+    double = spark.createDataFrame(
+        [(5, "v a", "day1", False), (5, "v b", "day2", False)],
+        "doc_id long, text string, day string, _deleted boolean",
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        merge_upsert(spark, path, double, key="doc_id", partition_col="day")
+    # delete+upsert of one key (the legitimate move encoding) still works
+    move = spark.createDataFrame(
+        [(5, None, "day2", True), (5, "moved", "day1", False)],
+        "doc_id long, text string, day string, _deleted boolean",
+    )
+    merge_upsert(spark, path, move, key="doc_id", partition_col="day")
+    got = [
+        (r.text, r.day)
+        for r in spark.read.parquet(path).filter("doc_id = 5").collect()
+    ]
+    assert got == [("moved", "day1")]

@@ -20,15 +20,11 @@ def _seed(spark, path):
 
 
 def _write_batch(spark, src_dir, name, rows):
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{src_dir}/_stage")
-    import glob
-    import shutil
+    from newsflow.sources.sinks import write_single_parquet_file
 
-    part = glob.glob(f"{src_dir}/_stage/part-*.parquet")[0]
-    shutil.move(part, f"{src_dir}/{name}.parquet")
-    shutil.rmtree(f"{src_dir}/_stage")
+    write_single_parquet_file(
+        spark.createDataFrame(rows, SCHEMA), f"{src_dir}/{name}.parquet"
+    )
 
 
 def _corpus(spark, path):

@@ -79,9 +79,6 @@ def test_watermarked_state_survives_query_restart(spark, tmp_path):
     sink equals the batch aggregate, with windows emitted across BOTH
     runs and no duplicates. (The replay-harness tests drain in one run;
     this is the crash/upgrade path.)"""
-    import glob
-    import os
-    import shutil
     from datetime import timedelta
 
     import pyspark.sql.functions as F
@@ -97,14 +94,13 @@ def test_watermarked_state_survives_query_restart(spark, tmp_path):
     replay.mkdir()
 
     def add_file(idx, df):
-        stage = str(tmp_path / f"_s{idx}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dest = str(replay / f"{idx:02d}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(stage)
-        t = 1_000_000_000 + idx * 1000
-        os.utime(dest, (t, t))
+        from newsflow.sources.sinks import write_single_parquet_file
+
+        write_single_parquet_file(
+            df,
+            str(replay / f"{idx:02d}.parquet"),
+            mtime=1_000_000_000 + idx * 1000,
+        )
 
     add_file(0, events.filter(F.col("ts") <= F.lit(tmid)))
     add_file(1, events.filter(F.col("ts") > F.lit(tmid)))
