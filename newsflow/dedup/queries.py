@@ -416,3 +416,71 @@ def near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
     )
     return _clusters(pairs)
+
+
+@register(
+    "near_dup_cluster_agreement",
+    # Cluster-level twin of `dedup_lsh_recall_eval`'s claim: the oracle
+    # restates the EXACT components (recursive-CTE closure) with
+    # n_agree == n_members and identical == TRUE for every cluster — the
+    # Spark side computes n_agree from the ACTUAL LSH-fed components, so
+    # a single banding miss splits a component, changes a keeper, and
+    # turns the row red. A driver-green row is the empirical proof that
+    # the production cluster path (`near_dup_clusters_lsh`) produces the
+    # exact clustering at the check SF — the end-to-end property the
+    # pair-level recall floor only implies transitively.
+    oracle=f"""
+    WITH comp AS ({_CLUSTER_ORACLE})
+    SELECT keeper,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_agree,
+           TRUE AS identical
+    FROM comp GROUP BY keeper
+    """,
+    tags=("dedup", "cluster", "lsh", "evaluation"),
+)
+def near_dup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster agreement between the EXACT near-dup components and
+    the LSH-fed production components: for each exact cluster (keyed by
+    its keeper = min doc_id), how many members the LSH path assigns the
+    SAME keeper, and whether the cluster survives intact.
+
+    Scale shape: both component passes are O(edges)-per-iteration label
+    propagations; the agreement join is one doc_id-keyed full-outer join
+    plus a keeper-keyed aggregation. The two pair pipelines share one
+    cached shingle projection (same discipline as
+    `dedup_lsh_recall_eval`). At 100 TB the exact side runs over a
+    stratified audit sample; the comparison shape is unchanged."""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    arrays = core.doc_shingle_arrays(docs, 3).cache()
+    exact = _clusters(
+        core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
+    ).select("doc_id", F.col("keeper").alias("k_exact"))
+    lsh = _clusters(
+        minhash._verify_pairs(
+            arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
+        )
+    ).select(F.col("doc_id").alias("l_doc"), F.col("keeper").alias("k_lsh"))
+    joined = exact.join(
+        lsh, exact.doc_id == lsh.l_doc, "full_outer"
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("k_exact"), F.col("k_lsh")).alias("keeper")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_if(
+                F.col("k_exact").isNotNull()
+                & (F.col("k_exact") == F.col("k_lsh"))
+            ).alias("n_agree"),
+        )
+        .select(
+            "keeper",
+            "n_members",
+            "n_agree",
+            (F.col("n_agree") == F.col("n_members")).alias("identical"),
+        )
+    )
