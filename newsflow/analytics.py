@@ -362,3 +362,92 @@ def event_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     )
+
+
+@register(
+    "incremental_percentile_update",
+    # Oracle = full recompute with the same bucket math: all-integer
+    # (2-dp value buckets, counts, cumulative comparison cum*2 >= total)
+    # until the final bucket/100.0, so the merge-vs-recompute identity
+    # is hash-exact with no rounding machinery.
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             sum(n) OVER (
+               PARTITION BY event_type ORDER BY bucket
+             ) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    SELECT event_type,
+           CAST(max(total) AS BIGINT) AS n_events,
+           (min(CASE WHEN cum * 2 >= total THEN bucket END) / 100.0 + 0.0)
+             AS p50_value
+    FROM c GROUP BY event_type
+    """,
+    tags=("analytics", "maintenance", "incremental", "sketch"),
+)
+def incremental_percentile_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch MV maintenance for a NON-algebraic measure: the
+    per-event-type median is maintained incrementally by merging
+    fixed-grid bucket HISTOGRAMS (2-dp value buckets) — the stored
+    histogram of events before MV_CUTOFF plus the new slice's histogram,
+    bucket counts summed, median read off the merged cumulative. This is
+    the answer to `incremental_agg_update`'s caveat that medians don't
+    re-aggregate: the histogram IS the mergeable sketch (here exact,
+    because the value domain is 2-dp-bounded; at unbounded domains the
+    same shape holds with KLL/t-digest and an approximation bound).
+
+    The oracle recomputes the median from the FULL table with identical
+    bucket math, so the driver hash-proves merge(hist_base, hist_delta)
+    == recompute(all) — all-integer arithmetic end to end.
+
+    Scale shape: the delta histogram touches one day-slice (pruned scan);
+    the merge is a groupBy over 2 × |event_types × buckets| rows (the
+    sketch size, independent of corpus size); cumulative windows are
+    partitioned by event_type — nothing global, nothing
+    corpus-proportional after the per-slice scans."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(MV_CUTOFF).cast("timestamp")
+
+    def hist(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("bucket"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    base = hist(events.filter(F.col("ts") < cutoff))  # "stored sketch"
+    delta = hist(events.filter(F.col("ts") >= cutoff))  # new slice
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = merged.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        (
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("total"), F.col("bucket"))
+            )
+            / 100.0
+            + F.lit(0.0)
+        ).alias("p50_value"),
+    )

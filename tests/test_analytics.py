@@ -115,3 +115,54 @@ def test_distributed_ntile_matches_window_ntile(spark):
                 ).collect()
             }
             assert got == want, (n, k, parts)
+
+
+def test_incremental_percentile_merge_equals_recompute(spark):
+    """Histogram-merge median == direct single-pass median with the same
+    bucket math (Spark-vs-Spark; the oracle proves Spark-vs-DuckDB)."""
+    from newsflow.tables import load_table
+
+    merged = {
+        r.event_type: (r.n_events, r.p50_value)
+        for r in analytics.incremental_percentile_update(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window as W2
+
+    h = events.groupBy(
+        "event_type",
+        F2.floor(F2.col("value") * 100).cast("bigint").alias("bucket"),
+    ).agg(F2.count(F2.lit(1)).alias("n"))
+    c = h.select(
+        "event_type",
+        "bucket",
+        F2.sum("n")
+        .over(
+            W2.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+        )
+        .alias("cum"),
+        F2.sum("n").over(W2.partitionBy("event_type")).alias("total"),
+    )
+    direct = {
+        r.event_type: (r.n, r.p)
+        for r in c.groupBy("event_type")
+        .agg(
+            F2.max("total").cast("bigint").alias("n"),
+            (
+                F2.min(
+                    F2.when(
+                        F2.col("cum") * 2 >= F2.col("total"), F2.col("bucket")
+                    )
+                )
+                / 100.0
+                + F2.lit(0.0)
+            ).alias("p"),
+        )
+        .collect()
+    }
+    assert merged == direct
