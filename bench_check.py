@@ -22,8 +22,9 @@ marker and exits 0 — pass --strict to make an unconfirmed single-run
 flag fail instead.)
 
 Exit status: 0 = no regression (or unconfirmed single-run flag without
---strict), 1 = confirmed regression (or any flag under --strict),
-2 = usage/IO error.
+--strict; live runs that flag once but pass the confirm re-run always
+exit 0 — that IS the two-run rule), 1 = confirmed regression, or a
+SAVED-run flag under --strict, 2 = usage/IO error.
 """
 
 from __future__ import annotations

@@ -150,9 +150,11 @@ def write_zordered(
         *[F.min(e).alias(f"_mn_{c}") for c, e in num_cols.items()],
         *[F.max(e).alias(f"_mx_{c}") for c, e in num_cols.items()],
     ).first()
-    if stats[f"_mn_{zorder_by[0]}"] is None:
-        # Empty (or all-null) input: nothing to cluster; write as-is so
-        # the call stays total instead of crashing on float(None).
+    if any(stats[f"_mn_{c}"] is None for c in zorder_by):
+        # Empty input, or ANY zorder column entirely null (a null min in
+        # one column breaks its scaling even when others are populated):
+        # nothing to cluster on; write as-is so the call stays total
+        # instead of crashing on float(None).
         w0 = df.write.mode("overwrite")
         for k, v in (options or {}).items():
             w0 = w0.option(k, v)

@@ -76,30 +76,46 @@ def merge_upsert(
     touched = [
         r[0] for r in batch.select(partition_col).distinct().collect()
     ]
+    # ONE validation pass over the batch (the batch plan may be an
+    # unmaterialized computation — separate count/dup jobs would re-run
+    # it once each, tripling per-micro-batch cost in streaming ingest):
+    # per-key upsert/delete tallies, then a single driver row carrying
+    # totals plus a ≤5-key sample of duplicate-upsert keys.
+    #
     # A key may appear at most ONCE as a non-deleted row: two upserts of
     # the same key (same or different partitions — the upsert+upsert form
     # of a cross-partition move) would write the key twice, the exact
     # duplicate corruption this merge exists to prevent. A delete+upsert
-    # pair for one key remains valid (that IS the move encoding). The
-    # check is batch-sized, so it is always on.
-    dup_keys = (
-        batch.filter(~F.col(DELETE_COL))
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > 1)
-        .limit(5)
-        .collect()
+    # pair for one key remains valid (that IS the move encoding).
+    per_key = batch.groupBy(key).agg(
+        F.count_if(~F.col(DELETE_COL)).alias("_ups"),
+        F.count_if(F.col(DELETE_COL)).alias("_dels"),
     )
-    if dup_keys:
+    summary = per_key.agg(
+        F.sum("_ups").alias("n_upserts"),
+        F.sum("_dels").alias("n_deletes"),
+        # collect_list drops nulls, so only duplicate-upsert keys land
+        # in the (batch-key-bounded) sample array.
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_ups") > 1, F.col(key))
+                )
+            ),
+            1,
+            5,
+        ).alias("dup_sample"),
+    ).first()
+    if summary["dup_sample"]:
         raise ValueError(
             "merge batch upserts the same key more than once: "
-            f"{sorted(r[0] for r in dup_keys)} — a cross-partition move "
+            f"{list(summary['dup_sample'])} — a cross-partition move "
             "must be encoded as delete-in-old + upsert-in-new, and a "
             "same-partition double-upsert is ambiguous about which row "
             "wins"
         )
-    n_deletes = batch.filter(F.col(DELETE_COL)).count()
-    n_upserts = batch.filter(~F.col(DELETE_COL)).count()
+    n_deletes = int(summary["n_deletes"] or 0)
+    n_upserts = int(summary["n_upserts"] or 0)
 
     target = spark.read.parquet(target_path)
     affected = target.filter(F.col(partition_col).isin(touched))

@@ -125,7 +125,14 @@ def write_single_parquet_file(
     import os as _os
     import shutil as _shutil
 
-    stage = dest + "_stage"
+    # Underscore-prefixed stage dir: Spark's file listings (including a
+    # FileStreamSource actively watching dest's directory) skip _-prefixed
+    # paths, so in-flight part files are never seen before the atomic
+    # move publishes the finished file.
+    stage = _os.path.join(
+        _os.path.dirname(dest) or ".",
+        "_stage_" + _os.path.basename(dest),
+    )
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
     if _os.path.exists(dest):

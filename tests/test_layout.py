@@ -156,3 +156,19 @@ def test_zorder_handles_timestamp_empty_and_rejects_strings(spark, tmp_path):
         write_zordered(
             events, str(tmp_path / "bad"), zorder_by=("event_type",)
         )
+
+
+def test_zorder_all_null_nonfirst_column_writes_as_is(spark, tmp_path):
+    """A populated first column with an entirely-null second column must
+    not crash the scaler (round-4 review: the empty-guard only looked at
+    the first column's min)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.ops.layout import write_zordered
+
+    df = spark.range(100).select(
+        F.col("id"), F.lit(None).cast("double").alias("score")
+    )
+    out = str(tmp_path / "nullcol")
+    write_zordered(df, out, zorder_by=("id", "score"))
+    assert spark.read.parquet(out).count() == 100

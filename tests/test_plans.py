@@ -270,5 +270,7 @@ def test_tokenizer_vocab_rank_is_partitioned(spark):
     hidden behind the distributed_rank checkpoint."""
     plan = plan_of(spark, "tokenizer_vocab")
     import re
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+    matches = list(re.finditer(r"windowspecdefinition\(([^)]*)\)", plan))
+    assert matches, "no window found in plan — test would pass vacuously"
+    for m in matches:
         assert "_pid" in m.group(1), f"unpartitioned window: {m.group(0)[:120]}"
