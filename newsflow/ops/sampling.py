@@ -36,6 +36,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from newsflow.functions.text import sql_tokens
 from newsflow.registry import register
 from newsflow.tables import load_table
 
@@ -229,3 +230,69 @@ def doc_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + 8-way sharding (TeraSort pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus_shuffle(docs, shards=8)
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_tokens, es_key FROM (
+      SELECT doc_id,
+             CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens,
+             (round(
+                ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE)
+                   / 4294967297.0)
+                / greatest(len({sql_tokens()}), 1)
+                + 1e-9, 9) + 0.0) AS es_key
+      FROM documents
+    ) ORDER BY es_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    tags=("sampling", "weighted", "deterministic"),
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-Res): each document gets key u^(1/w) — here ordered
+    by the monotone-equivalent ln(u)/w — with weight w = token count and
+    u a md5-derived uniform; the global top-k by key is a weighted
+    sample where inclusion probability grows with w. The token-budget
+    designer's workhorse: sample documents proportionally to how many
+    tokens they contribute, reproducibly.
+
+    Determinism stack (every piece already load-bearing elsewhere):
+    md5-uniforms (bit-identical across engines, corpus_mixture_sample),
+    dround at 9 dp on the ln() BEFORE ranking (the transcendental-ulp
+    discipline from retrieval.py — ln is not correctly rounded, so raw
+    keys could flip a rank at the k-boundary), doc_id tie-break, and
+    orderBy().limit(k) compiling to TakeOrderedAndProject (per-partition
+    partial top-k — the round-4 WindowGroupLimit lesson: no global
+    rank window).
+
+    Scale shape: one scan computing row-local keys, one TakeOrdered
+    merge of per-partition top-k — no shuffle at all. u ∈ (0,1) strictly
+    ((h+1)/(2³²+1)), so ln() is always finite; w floors at 1 so empty
+    docs sort last instead of dividing by zero."""
+    from newsflow.functions.scalars import dround
+    from newsflow.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_expr("text")).cast("long")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(4294967297.0)
+    es_key = dround(
+        F.log(u) / F.greatest(n_tokens, F.lit(1)).cast("double"), 9
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            es_key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )

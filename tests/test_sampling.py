@@ -63,3 +63,30 @@ def test_hash_sample_composable(spark):
     n0, n1, n2 = docs.count(), once.count(), twice.count()
     assert 0 < n1 < n0
     assert 0 <= n2 < n1
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Efraimidis-Spirakis semantics: selection probability grows with
+    weight — the sampled set's mean token count must exceed the corpus
+    mean, and the plan must be a TakeOrderedAndProject (no shuffle)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.functions.text import tokens_expr
+    from newsflow.ops.sampling import doc_weighted_sample
+    from newsflow.tables import load_table
+    from tests.conftest import SF_ORACLE
+
+    sample = doc_weighted_sample(spark, SF_ORACLE)
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    mean_sample = sample.agg(F.avg("n_tokens")).first()[0]
+    mean_corpus = (
+        load_table(spark, SF_ORACLE, "documents")
+        .agg(F.avg(F.size(tokens_expr("text"))))
+        .first()[0]
+    )
+    assert mean_sample > mean_corpus * 1.1, (mean_sample, mean_corpus)
+    # reproducibility: two independent builds pick the identical set
+    a = sorted(r.doc_id for r in sample.collect())
+    b = sorted(r.doc_id for r in doc_weighted_sample(spark, SF_ORACLE).collect())
+    assert a == b and len(a) == 100
