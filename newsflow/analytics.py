@@ -373,7 +373,7 @@ def event_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT event_type,
-             CAST(floor(value * 100) AS BIGINT) AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS bucket,
              CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1, 2
     ),
@@ -396,7 +396,9 @@ def event_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_percentile_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch MV maintenance for a NON-algebraic measure: the
     per-event-type median is maintained incrementally by merging
-    fixed-grid bucket HISTOGRAMS (2-dp value buckets) — the stored
+    fixed-grid bucket HISTOGRAMS (2-dp value buckets via round(v*100) —
+    NOT floor: v*100 for a 2-dp value can land 1 ulp below the integer,
+    so floor would misbucket ~6% of values one cell low) — the stored
     histogram of events before MV_CUTOFF plus the new slice's histogram,
     bucket counts summed, median read off the merged cumulative. This is
     the answer to `incremental_agg_update`'s caveat that medians don't
@@ -419,7 +421,7 @@ def incremental_percentile_update(spark: SparkSession, sf_dir: str) -> DataFrame
     def hist(df: DataFrame) -> DataFrame:
         return df.groupBy(
             "event_type",
-            F.floor(F.col("value") * 100).cast("bigint").alias("bucket"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("bucket"),
         ).agg(F.count(F.lit(1)).alias("n"))
 
     base = hist(events.filter(F.col("ts") < cutoff))  # "stored sketch"

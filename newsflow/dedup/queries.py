@@ -160,6 +160,25 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_and_lsh_pair_pipelines(spark, sf_dir):
+    """ONE cached shingle projection feeding BOTH the exact Jaccard pair
+    pipeline and the banded-LSH tier — shared by the pair-level
+    (`dedup_lsh_recall_eval`) and cluster-level
+    (`near_dup_cluster_agreement`) audits so the two evaluations are
+    guaranteed to compare the SAME LSH configuration (n=3, threshold
+    0.8, default banding) against the same exact baseline."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # cache() is MEMORY_AND_DISK for DataFrames: spills (never OOMs)
+    # under pressure, evictable, session-scoped (bench clears caches
+    # between queries). Measured win: 1.86s -> 1.45s at sf0.1.
+    arrays = core.doc_shingle_arrays(docs, 3).cache()
+    exact = core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
+    lsh = minhash._verify_pairs(
+        arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
+    )
+    return exact, lsh
+
+
 @register(
     "dedup_lsh_recall_eval",
     # The oracle encodes the claimed recall floor (1.0 per band at the
@@ -204,17 +223,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, not once per pipeline). At 100 TB the exact side is the
     sampled audit (run over a stratified slice), the LSH side the
     production tier — the query shape is unchanged."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    # cache() is MEMORY_AND_DISK for DataFrames: the shingle projection
-    # spills (never OOMs) under pressure and is evictable; it stays
-    # session-resident after the query like every other cached
-    # intermediate (bench clears caches between queries). Measured win
-    # from sharing it across the two pipelines: 1.86s -> 1.45s at sf0.1.
-    arrays = core.doc_shingle_arrays(docs, 3).cache()
-    exact = core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
-    lsh = minhash._verify_pairs(
-        arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
-    ).select(
+    exact, lsh_pairs = _exact_and_lsh_pair_pipelines(spark, sf_dir)
+    lsh = lsh_pairs.select(
         F.col("doc_a").alias("la"),
         F.col("doc_b").alias("lb"),
         F.lit(1).alias("hit"),
@@ -453,16 +463,13 @@ def near_dup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified audit sample; the comparison shape is unchanged."""
     from newsflow.dedup.cluster import near_dup_clusters as _clusters
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    arrays = core.doc_shingle_arrays(docs, 3).cache()
-    exact = _clusters(
-        core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
-    ).select("doc_id", F.col("keeper").alias("k_exact"))
-    lsh = _clusters(
-        minhash._verify_pairs(
-            arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
-        )
-    ).select(F.col("doc_id").alias("l_doc"), F.col("keeper").alias("k_lsh"))
+    exact_pairs, lsh_pairs = _exact_and_lsh_pair_pipelines(spark, sf_dir)
+    exact = _clusters(exact_pairs).select(
+        "doc_id", F.col("keeper").alias("k_exact")
+    )
+    lsh = _clusters(lsh_pairs).select(
+        F.col("doc_id").alias("l_doc"), F.col("keeper").alias("k_lsh")
+    )
     joined = exact.join(
         lsh, exact.doc_id == lsh.l_doc, "full_outer"
     )

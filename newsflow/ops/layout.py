@@ -150,19 +150,21 @@ def write_zordered(
         *[F.min(e).alias(f"_mn_{c}") for c, e in num_cols.items()],
         *[F.max(e).alias(f"_mx_{c}") for c, e in num_cols.items()],
     ).first()
-    if any(stats[f"_mn_{c}"] is None for c in zorder_by):
-        # Empty input, or ANY zorder column entirely null (a null min in
-        # one column breaks its scaling even when others are populated):
-        # nothing to cluster on; write as-is so the call stays total
-        # instead of crashing on float(None).
-        w0 = df.write.mode("overwrite")
+    # An entirely-null column has no range to scale — drop IT, not the
+    # clustering: the populated columns keep their promised layout.
+    usable = [c for c in zorder_by if stats[f"_mn_{c}"] is not None]
+    if not usable:
+        # Empty input (or every column null): nothing to cluster on;
+        # still honor the file-count contract instead of writing with
+        # whatever upstream partitioning the frame happens to carry.
+        w0 = df.coalesce(n_files).write.mode("overwrite")
         for k, v in (options or {}).items():
             w0 = w0.option(k, v)
         w0.parquet(path)
         return
     top = (1 << bits) - 1
     scaled = []
-    for c in zorder_by:
+    for c in usable:
         mn = float(stats[f"_mn_{c}"])
         mx = float(stats[f"_mx_{c}"])
         span = (mx - mn) or 1.0

@@ -105,7 +105,19 @@ def merge_upsert(
             1,
             5,
         ).alias("dup_sample"),
+        # NULL keys are unmergeable: the left-anti replacement join never
+        # matches NULL = NULL, so a NULL-key upsert can only APPEND (a
+        # replay would then duplicate it), and the duplicate-upsert
+        # sample above can't even name it (collect_list drops nulls).
+        F.count_if(F.col(key).isNull()).alias("n_null_keys"),
     ).first()
+    if summary["n_null_keys"]:
+        raise ValueError(
+            f"merge batch contains {summary['n_null_keys']} row(s) with a "
+            f"NULL {key!r} — NULL keys cannot be matched for replacement "
+            "or deletion (NULL = NULL never joins); assign keys upstream "
+            "or quarantine the rows"
+        )
     if summary["dup_sample"]:
         raise ValueError(
             "merge batch upserts the same key more than once: "

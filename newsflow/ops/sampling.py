@@ -240,7 +240,7 @@ WEIGHTED_SAMPLE_K = 100
     oracle=f"""
     SELECT doc_id, n_tokens, es_key FROM (
       SELECT doc_id,
-             CAST(len({sql_tokens()}) AS BIGINT) AS n_tokens,
+             CAST(coalesce(len({sql_tokens()}), 0) AS BIGINT) AS n_tokens,
              (round(
                 ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE)
                    / 4294967297.0)
@@ -277,7 +277,11 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsflow.functions.text import tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(tokens_expr("text")).cast("long")
+    # coalesce both engines to 0 for a null text: Spark's size() returns
+    # -1 or NULL depending on legacy conf, DuckDB len() returns NULL —
+    # the explicit coalesce removes the cross-engine divergence and the
+    # nonsense -1 count (the weight floor then treats empty docs as w=1).
+    n_tokens = F.coalesce(F.size(tokens_expr("text")), F.lit(0)).cast("long")
     u = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10

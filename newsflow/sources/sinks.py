@@ -133,11 +133,20 @@ def write_single_parquet_file(
         _os.path.dirname(dest) or ".",
         "_stage_" + _os.path.basename(dest),
     )
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
-    if _os.path.exists(dest):
-        _os.remove(dest)
-    _shutil.move(part, dest)
-    _shutil.rmtree(stage)
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        parts = _glob.glob(_os.path.join(stage, "part-*.parquet"))
+        if not parts:
+            raise RuntimeError(
+                f"write_single_parquet_file: write to {stage} produced no "
+                "part file (zero-partition input frame?)"
+            )
+        if _os.path.exists(dest):
+            _os.remove(dest)
+        _shutil.move(parts[0], dest)
+    finally:
+        # Never leak a stage dir into the (possibly stream-watched)
+        # destination directory, even on failure.
+        _shutil.rmtree(stage, ignore_errors=True)
     if mtime is not None:
         _os.utime(dest, (mtime, mtime))

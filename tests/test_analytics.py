@@ -134,7 +134,7 @@ def test_incremental_percentile_merge_equals_recompute(spark):
 
     h = events.groupBy(
         "event_type",
-        F2.floor(F2.col("value") * 100).cast("bigint").alias("bucket"),
+        F2.round(F2.col("value") * 100, 0).cast("bigint").alias("bucket"),
     ).agg(F2.count(F2.lit(1)).alias("n"))
     c = h.select(
         "event_type",

@@ -158,10 +158,11 @@ def test_zorder_handles_timestamp_empty_and_rejects_strings(spark, tmp_path):
         )
 
 
-def test_zorder_all_null_nonfirst_column_writes_as_is(spark, tmp_path):
+def test_zorder_all_null_nonfirst_column_clusters_remaining(spark, tmp_path):
     """A populated first column with an entirely-null second column must
-    not crash the scaler (round-4 review: the empty-guard only looked at
-    the first column's min)."""
+    not crash (round-4 review) AND must still cluster on the populated
+    column (second-pass review: dropping ALL clustering because one
+    column is null silently degrades the layout)."""
     import pyspark.sql.functions as F
 
     from newsflow.ops.layout import write_zordered
@@ -172,3 +173,16 @@ def test_zorder_all_null_nonfirst_column_writes_as_is(spark, tmp_path):
     out = str(tmp_path / "nullcol")
     write_zordered(df, out, zorder_by=("id", "score"))
     assert spark.read.parquet(out).count() == 100
+
+
+def test_zorder_empty_input_honors_file_contract(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from newsflow.ops.layout import write_zordered
+
+    empty = spark.range(0).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    )
+    out = str(tmp_path / "empty2")
+    write_zordered(empty, out, zorder_by=("id", "v"), n_files=3)
+    assert spark.read.parquet(out).count() == 0
