@@ -491,3 +491,111 @@ def near_dup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_agree") == F.col("n_members")).alias("identical"),
         )
     )
+
+
+_SPLIT_CASE_DOC = """
+  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('d', 'e') THEN 'val'
+       WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f' THEN 'test'
+       ELSE 'train' END
+"""
+_SPLIT_CASE_SRC = """
+  CASE WHEN substr(md5(source), 1, 1) IN ('d', 'e') THEN 'val'
+       WHEN substr(md5(source), 1, 1) = 'f' THEN 'test'
+       ELSE 'train' END
+"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    ds AS (
+      SELECT doc_id, {_SPLIT_CASE_DOC} AS s_doc, {_SPLIT_CASE_SRC} AS s_grp
+      FROM documents
+    ),
+    joined AS (
+      SELECT a.s_doc AS ad, b.s_doc AS bd, a.s_grp AS ag, b.s_grp AS bg
+      FROM pairs p
+      JOIN ds a ON a.doc_id = p.doc_a
+      JOIN ds b ON b.doc_id = p.doc_b
+    )
+    SELECT split_rule, n_cross_split_pairs, n_pairs FROM (
+      SELECT 'per_document' AS split_rule,
+             CAST(count_if(ad <> bd) AS BIGINT) AS n_cross_split_pairs,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM joined
+      UNION ALL
+      SELECT 'by_source',
+             CAST(count_if(ag <> bg) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM joined
+    )
+    """,
+    tags=("curation", "dedup", "leakage", "evaluation"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED train/eval contamination: how many exact near-dup pairs
+    (3-gram Jaccard ≥ 0.8) straddle a train/eval boundary under (a) the
+    per-document hash split (`corpus_train_split`) and (b) the
+    source-grouped split (`corpus_group_split`) — the leakage each split
+    rule actually leaves, as a driver-checked number instead of an
+    argument.
+
+    The check-SF numbers are the honest finding: most of this corpus's
+    near-dup pairs SPAN sources (syndicated text republished by
+    different outlets), so source-grouping alone reduces but does not
+    eliminate leakage here — the complete fix is grouping by near-dup
+    CLUSTER (compose `near_dup_clusters`' representative with the same
+    hash rule, as documented in `corpus_group_split`). This query is the
+    measurement that tells a pipeline which rule its corpus needs.
+
+    Scale shape: the pair pipeline dominates (at 100 TB: the LSH tier or
+    a stratified audit sample per the other eval queries); the split
+    columns are row-local hashes and the audit join touches only the
+    pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    bd = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    bs = F.substring(F.md5(F.col("source")), 1, 1)
+
+    def split_of(b):
+        return (
+            F.when(b.isin("d", "e"), "val")
+            .when(b == "f", "test")
+            .otherwise("train")
+        )
+
+    ds = docs.select(
+        "doc_id",
+        split_of(bd).alias("s_doc"),
+        split_of(bs).alias("s_grp"),
+    )
+    pairs = core.jaccard_pairs(spread(docs), n=3, threshold=0.8)
+    joined = (
+        pairs.join(
+            ds.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s_doc").alias("ad"),
+                F.col("s_grp").alias("ag"),
+            ),
+            "doc_a",
+        )
+        .join(
+            ds.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s_doc").alias("bd"),
+                F.col("s_grp").alias("bg"),
+            ),
+            "doc_b",
+        )
+    )
+    per_doc = joined.agg(
+        F.lit("per_document").alias("split_rule"),
+        F.count_if(F.col("ad") != F.col("bd")).alias("n_cross_split_pairs"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    by_src = joined.agg(
+        F.lit("by_source").alias("split_rule"),
+        F.count_if(F.col("ag") != F.col("bg")).alias("n_cross_split_pairs"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return per_doc.unionByName(by_src)
