@@ -487,12 +487,15 @@ def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Still row-local and zero-shuffle: the group key is already a column
     of the row. The stronger variant — grouping by near-dup CLUSTER —
-    composes `near_dup_clusters` (exact-oracled) with this same hash
-    rule on the cluster representative id: one extra join against the
-    cluster map, split stability inherited from the deterministic
-    representative (min doc_id). Source-level grouping is the superset
-    guard (clusters rarely span sources in practice) at zero cost, so
-    it is the default."""
+    is shipped as `corpus_cluster_split`: it composes
+    `near_dup_clusters` (exact-oracled) with this same hash rule on the
+    cluster representative id. `split_leakage_audit` measures what each
+    rule leaves on the table: this corpus's near-dup pairs SPAN sources
+    (syndicated text), so source grouping reduces but does not
+    eliminate leakage, while the cluster key eliminates it by
+    construction. Source grouping remains the zero-cost default when no
+    dedup pass has run yet; cluster keying is the complete fix once one
+    has."""
     docs = load_table(spark, sf_dir, "documents")
     b = F.substring(F.md5(F.col("source")), 1, 1)
     return docs.select(
@@ -502,6 +505,76 @@ def corpus_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b == "f", "test")
         .otherwise("train")
         .alias("split"),
+    )
+
+
+def _cluster_split_oracle() -> str:
+    # Built from the dedup module's shared SQL fragments so the closure
+    # and the bucket rule can never drift from the audit queries'
+    # (cycle-free: dedup.queries does not import curation).
+    from newsflow.dedup.queries import _CLUSTER_ORACLE, _sql_split_case
+
+    rep = "coalesce(c.keeper, d.doc_id)"
+    return f"""
+    WITH comp AS ({_CLUSTER_ORACLE})
+    SELECT d.doc_id,
+           {rep} AS cluster_rep,
+           {_sql_split_case(rep + "::VARCHAR")} AS split
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """
+
+
+@register(
+    "corpus_cluster_split",
+    oracle=_cluster_split_oracle(),
+    tags=("curation", "sampling", "leakage", "dedup", "cluster"),
+)
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split: the hash bucket is computed on
+    the near-dup CLUSTER representative (connected-component keeper =
+    min doc_id over the exact 3-gram-Jaccard ≥ 0.8 graph; singletons
+    are their own representative), so every member of a near-duplicate
+    cluster lands in the same split — the complete fix for the
+    contamination `split_leakage_audit` measures: its by_cluster row is
+    exactly zero BY CONSTRUCTION because both endpoints of every
+    near-dup pair share a representative and therefore a split.
+
+    Composition, exactly as `corpus_group_split` documents: the
+    (doc_id, keeper) map from `near_dup_clusters` left-joined onto the
+    corpus, then the same md5 13/2/1-sixteenths bucket rule applied to
+    the representative id. Split stability is inherited from the
+    deterministic representative; adding a new member to a cluster
+    never moves existing members across splits (min doc_id only changes
+    if an EARLIER id joins — the standard keeper convention).
+
+    Scale shape: one cached shingle projection (shared with the dedup
+    audits), the LSH-boundable pair pipeline, an O(edges)-per-iteration
+    label propagation, then a single doc_id-keyed left join — no
+    all-pairs stage anywhere. At 100 TB the pair source swaps to the
+    banded-LSH tier (`near_dup_clusters_lsh`), shape unchanged."""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+    from newsflow.dedup.core import jaccard_pairs_from_arrays
+    from newsflow.dedup.queries import (
+        _shared_shingle_arrays,
+        split_split_of,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_from_arrays(
+        _shared_shingle_arrays(spark, sf_dir), threshold=0.8
+    )
+    clusters = _clusters(pairs).select(
+        F.col("doc_id").alias("c_doc"), "keeper"
+    )
+    rep = F.coalesce(F.col("keeper"), F.col("doc_id"))
+    return docs.join(
+        clusters, docs.doc_id == clusters.c_doc, "left"
+    ).select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        split_split_of(
+            F.substring(F.md5(rep.cast("string")), 1, 1)
+        ).alias("split"),
     )
 
 

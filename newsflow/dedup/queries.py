@@ -160,6 +160,35 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Single-entry cache for the shared shingle projection: (app id, sf_dir)
+# -> cached DataFrame. The audit queries below are lazy (the consuming
+# action runs in the driver AFTER the builder returns), so the builder
+# can't unpersist its own cache — instead the cache is BOUNDED: one
+# entry per session, the previous entry unpersisted on key change, and
+# repeat invocations with the same key (the correctness driver runs
+# dedup_lsh_recall_eval, near_dup_cluster_agreement and
+# split_leakage_audit in one session) reuse one cached frame instead of
+# stacking a new MEMORY_AND_DISK projection per call (ADVICE r4).
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old in _SHINGLE_CACHE.values():
+        old.unpersist()
+    _SHINGLE_CACHE.clear()
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # cache() is MEMORY_AND_DISK for DataFrames: spills (never OOMs)
+    # under pressure, evictable, session-scoped (bench clears caches
+    # between queries). Measured win: 1.86s -> 1.45s at sf0.1.
+    arrays = core.doc_shingle_arrays(docs, 3).cache()
+    _SHINGLE_CACHE[key] = arrays
+    return arrays
+
+
 def _exact_and_lsh_pair_pipelines(spark, sf_dir):
     """ONE cached shingle projection feeding BOTH the exact Jaccard pair
     pipeline and the banded-LSH tier — shared by the pair-level
@@ -167,11 +196,7 @@ def _exact_and_lsh_pair_pipelines(spark, sf_dir):
     (`near_dup_cluster_agreement`) audits so the two evaluations are
     guaranteed to compare the SAME LSH configuration (n=3, threshold
     0.8, default banding) against the same exact baseline."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    # cache() is MEMORY_AND_DISK for DataFrames: spills (never OOMs)
-    # under pressure, evictable, session-scoped (bench clears caches
-    # between queries). Measured win: 1.86s -> 1.45s at sf0.1.
-    arrays = core.doc_shingle_arrays(docs, 3).cache()
+    arrays = _shared_shingle_arrays(spark, sf_dir)
     exact = core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
     lsh = minhash._verify_pairs(
         arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
@@ -493,28 +518,65 @@ def near_dup_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CASE_DOC = """
-  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) IN ('d', 'e') THEN 'val'
-       WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f' THEN 'test'
+def _sql_split_case(expr: str) -> str:
+    """The shared md5-bucket split rule (13/2/1 sixteenths) over an
+    arbitrary SQL key expression — one definition so the per-document,
+    by-source and by-cluster audits (and `corpus_cluster_split`'s
+    oracle) can never drift apart on the bucketing."""
+    return f"""
+  CASE WHEN substr(md5({expr}), 1, 1) IN ('d', 'e') THEN 'val'
+       WHEN substr(md5({expr}), 1, 1) = 'f' THEN 'test'
        ELSE 'train' END
 """
-_SPLIT_CASE_SRC = """
-  CASE WHEN substr(md5(source), 1, 1) IN ('d', 'e') THEN 'val'
-       WHEN substr(md5(source), 1, 1) = 'f' THEN 'test'
-       ELSE 'train' END
+
+
+_SPLIT_CASE_DOC = _sql_split_case("doc_id::VARCHAR")
+_SPLIT_CASE_SRC = _sql_split_case("source")
+
+
+def split_split_of(b):
+    """Column form of the md5-bucket split rule (see _sql_split_case)."""
+    return (
+        F.when(b.isin("d", "e"), "val")
+        .when(b == "f", "test")
+        .otherwise("train")
+    )
+
+# Exact near-dup components restated over an already-named `pairs` CTE
+# (recursive closure, same shape as _CLUSTER_ORACLE but reusing the
+# pair set the surrounding query has already computed).
+_COMP_FROM_PAIRS_SQL = """
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, comp) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.doc_id
+),
+comp AS (SELECT doc_id, min(comp) AS keeper FROM reach GROUP BY doc_id)
 """
 
 
 @register(
     "split_leakage_audit",
     oracle=f"""
-    WITH pairs AS ({_JACCARD_ORACLE}),
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    {_COMP_FROM_PAIRS_SQL},
     ds AS (
-      SELECT doc_id, {_SPLIT_CASE_DOC} AS s_doc, {_SPLIT_CASE_SRC} AS s_grp
-      FROM documents
+      SELECT d.doc_id,
+             {_sql_split_case("d.doc_id::VARCHAR")} AS s_doc,
+             {_sql_split_case("d.source")} AS s_grp,
+             {_sql_split_case("coalesce(c.keeper, d.doc_id)::VARCHAR")}
+               AS s_clu
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     ),
     joined AS (
-      SELECT a.s_doc AS ad, b.s_doc AS bd, a.s_grp AS ag, b.s_grp AS bg
+      SELECT a.s_doc AS ad, b.s_doc AS bd,
+             a.s_grp AS ag, b.s_grp AS bg,
+             a.s_clu AS ac, b.s_clu AS bc
       FROM pairs p
       JOIN ds a ON a.doc_id = p.doc_a
       JOIN ds b ON b.doc_id = p.doc_b
@@ -529,6 +591,11 @@ _SPLIT_CASE_SRC = """
              CAST(count_if(ag <> bg) AS BIGINT),
              CAST(count(*) AS BIGINT)
       FROM joined
+      UNION ALL
+      SELECT 'by_cluster',
+             CAST(count_if(ac <> bc) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM joined
     )
     """,
     tags=("curation", "dedup", "leakage", "evaluation"),
@@ -536,46 +603,56 @@ _SPLIT_CASE_SRC = """
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED train/eval contamination: how many exact near-dup pairs
     (3-gram Jaccard ≥ 0.8) straddle a train/eval boundary under (a) the
-    per-document hash split (`corpus_train_split`) and (b) the
-    source-grouped split (`corpus_group_split`) — the leakage each split
-    rule actually leaves, as a driver-checked number instead of an
-    argument.
+    per-document hash split (`corpus_train_split`), (b) the
+    source-grouped split (`corpus_group_split`) and (c) the
+    cluster-keyed split (`corpus_cluster_split`) — the leakage each
+    split rule actually leaves, as a driver-checked number instead of
+    an argument.
 
     The check-SF numbers are the honest finding: most of this corpus's
     near-dup pairs SPAN sources (syndicated text republished by
     different outlets), so source-grouping alone reduces but does not
-    eliminate leakage here — the complete fix is grouping by near-dup
-    CLUSTER (compose `near_dup_clusters`' representative with the same
-    hash rule, as documented in `corpus_group_split`). This query is the
-    measurement that tells a pipeline which rule its corpus needs.
+    eliminate leakage here. The by_cluster row closes the loop the
+    round-4 audit opened: keying the split on the near-dup CLUSTER
+    representative puts both endpoints of every near-dup pair in the
+    same split BY CONSTRUCTION, so its cross-split count is exactly
+    zero — and the row proves it as a measured number, in both engines,
+    rather than as an argument in a docstring.
 
     Scale shape: the pair pipeline dominates (at 100 TB: the LSH tier or
-    a stratified audit sample per the other eval queries); the split
-    columns are row-local hashes and the audit join touches only the
-    pair set."""
+    a stratified audit sample per the other eval queries) and is shared
+    with the other audits through one cached shingle projection; the
+    cluster pass is the same O(edges)-per-iteration label propagation as
+    `near_dup_clusters`; the split columns are row-local hashes and the
+    audit join touches only the pair set."""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+
     docs = load_table(spark, sf_dir, "documents")
+    pairs = core.jaccard_pairs_from_arrays(
+        _shared_shingle_arrays(spark, sf_dir), threshold=0.8
+    )
+    clusters = _clusters(pairs).select(
+        F.col("doc_id").alias("c_doc"), "keeper"
+    )
     bd = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     bs = F.substring(F.md5(F.col("source")), 1, 1)
-
-    def split_of(b):
-        return (
-            F.when(b.isin("d", "e"), "val")
-            .when(b == "f", "test")
-            .otherwise("train")
-        )
-
-    ds = docs.select(
+    rep = F.coalesce(F.col("keeper"), F.col("doc_id"))
+    bc = F.substring(F.md5(rep.cast("string")), 1, 1)
+    ds = docs.join(
+        clusters, docs.doc_id == clusters.c_doc, "left"
+    ).select(
         "doc_id",
-        split_of(bd).alias("s_doc"),
-        split_of(bs).alias("s_grp"),
+        split_split_of(bd).alias("s_doc"),
+        split_split_of(bs).alias("s_grp"),
+        split_split_of(bc).alias("s_clu"),
     )
-    pairs = core.jaccard_pairs(spread(docs), n=3, threshold=0.8)
     joined = (
         pairs.join(
             ds.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("s_doc").alias("ad"),
                 F.col("s_grp").alias("ag"),
+                F.col("s_clu").alias("ac"),
             ),
             "doc_a",
         )
@@ -584,18 +661,21 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("doc_b"),
                 F.col("s_doc").alias("bd"),
                 F.col("s_grp").alias("bg"),
+                F.col("s_clu").alias("bc"),
             ),
             "doc_b",
         )
     )
-    per_doc = joined.agg(
-        F.lit("per_document").alias("split_rule"),
-        F.count_if(F.col("ad") != F.col("bd")).alias("n_cross_split_pairs"),
-        F.count(F.lit(1)).alias("n_pairs"),
+
+    def rule_row(label, a, b):
+        return joined.agg(
+            F.lit(label).alias("split_rule"),
+            F.count_if(F.col(a) != F.col(b)).alias("n_cross_split_pairs"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+
+    return (
+        rule_row("per_document", "ad", "bd")
+        .unionByName(rule_row("by_source", "ag", "bg"))
+        .unionByName(rule_row("by_cluster", "ac", "bc"))
     )
-    by_src = joined.agg(
-        F.lit("by_source").alias("split_rule"),
-        F.count_if(F.col("ag") != F.col("bg")).alias("n_cross_split_pairs"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-    return per_doc.unionByName(by_src)

@@ -109,7 +109,17 @@ def merge_upsert(
         # matches NULL = NULL, so a NULL-key upsert can only APPEND (a
         # replay would then duplicate it), and the duplicate-upsert
         # sample above can't even name it (collect_list drops nulls).
-        F.count_if(F.col(key).isNull()).alias("n_null_keys"),
+        # per_key is grouped by key, so the NULL-key group is ONE row
+        # here — sum its batch-row count (_ups + _dels) to report the
+        # true number of offending rows, not the group count.
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col(key).isNull(), F.col("_ups") + F.col("_dels")
+                )
+            ),
+            F.lit(0),
+        ).alias("n_null_keys"),
     ).first()
     if summary["n_null_keys"]:
         raise ValueError(

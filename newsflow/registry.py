@@ -99,20 +99,14 @@ def _load_all_modules() -> None:
 # then least-recently-green), so a new query can never silently sit
 # outside the driver's 50-slot window for more than ceil(N/50) rounds
 # (tests/test_registry_schedule.py proves the bound by simulation).
-_RECHECK_DECLARED_ROUND = 4
+_RECHECK_DECLARED_ROUND = 5
 _RECHECK_THIS_ROUND = (
-    # Round-4 semantics changes (ADVICE/VERDICT follow-through):
-    # waterfill cutoff re-derived as min-failing-rank - 1 in BOTH
-    # engines; triangle enumeration re-oriented by (degree, id). Both
-    # should produce identical results — the recheck makes the driver
-    # prove it rather than trusting the equivalence argument.
-    "source_budget_waterfill",
-    "org_triangle_counts",
-    # Late round-4: global single-partition rank windows replaced by
-    # two-stage top-k (bm25_topk) and distributed_rank (tokenizer_vocab)
-    # after the WindowGroupLimit finding — same oracles, new plans.
-    "bm25_topk",
-    "tokenizer_vocab",
+    # Round-5 semantics change: split_leakage_audit gained a third
+    # `by_cluster` row (the cluster-keyed split the round-4 audit built
+    # the case for) and now shares the cached shingle projection with
+    # the other dedup audits — new output shape, so the driver must
+    # re-verify it even though the query was green in r4.
+    "split_leakage_audit",
 )
 
 

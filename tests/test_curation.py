@@ -182,3 +182,46 @@ def test_expectations_gate_report_matches_severity_map(spark):
     for name, r in rows.items():
         assert r.severity == EXPECTATION_SEVERITY[name]
         assert r.blocks_ingestion == ((not r.passed) and r.severity == "error")
+
+
+def test_cluster_split_eliminates_near_dup_leakage(spark):
+    """The by_cluster rule's whole claim: ZERO near-dup pairs straddle a
+    split boundary, measured (not argued) at the oracle SF — where the
+    corpus genuinely has cross-source near-dup pairs that the per-doc
+    and by-source rules demonstrably leak."""
+    from tests.conftest import SF_ORACLE
+
+    from newsflow.registry import all_specs
+
+    rows = {
+        r.split_rule: r
+        for r in all_specs()["split_leakage_audit"]
+        .build(spark, SF_ORACLE)
+        .collect()
+    }
+    assert rows["by_cluster"].n_pairs > 0  # signal present, not vacuous
+    assert rows["by_cluster"].n_cross_split_pairs == 0
+    # The rules it improves on really do leak on this corpus.
+    assert rows["per_document"].n_cross_split_pairs > 0
+    assert rows["by_source"].n_cross_split_pairs > 0
+
+
+def test_cluster_split_covers_corpus_and_respects_reps(spark):
+    """Every document gets exactly one split; clustered docs inherit the
+    keeper's bucket, singletons their own — checked by recomputing the
+    split from cluster_rep independently."""
+    import pyspark.sql.functions as F
+
+    from newsflow.registry import all_specs
+
+    out = all_specs()["corpus_cluster_split"].build(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert out.count() == docs.count()
+    b = F.substring(F.md5(F.col("cluster_rep").cast("string")), 1, 1)
+    expected = (
+        F.when(b.isin("d", "e"), "val")
+        .when(b == "f", "test")
+        .otherwise("train")
+    )
+    assert out.filter(F.col("split") != expected).count() == 0
+    assert out.filter(F.col("cluster_rep") > F.col("doc_id")).count() == 0

@@ -140,3 +140,30 @@ def test_round4_window_is_greedy_oldest_first():
             assert n in window, f"never-green {n} outside window"
     for n in live_recheck:
         assert n in window, f"live recheck {n} outside window"
+
+
+def test_round5_window_drains_stale_r1_cohort_from_committed_history():
+    """VERDICT r4 #2, asserted from the COMMITTED CORRECTNESS_r*.json
+    files rather than simulation: every oracled query whose newest
+    driver-green row is the OLDEST round in the history must be inside
+    the next window (the stale cohort is smaller than the slots left
+    after never-green queries and recheck pins — 14 r1-stale + 1 new +
+    1 recheck at round-5 start). The full r1+r2 backlog (57 queries at
+    round-5 start) exceeds one 50-slot window by construction; the
+    greedy-oldest-first test above already proves no fresher query cuts
+    the line ahead of the residue."""
+    specs = registry.all_specs()
+    oracled = [n for n, s in specs.items() if s.oracle]
+    history = registry._green_history()
+    greens = [history[n] for n in oracled if history.get(n, 0) > 0]
+    if not greens:  # fresh clone with no driver history: vacuous
+        return
+    oldest = min(greens)
+    stale = [n for n in oracled if history.get(n, 0) == oldest]
+    never = [n for n in oracled if history.get(n, 0) == 0]
+    pins = len(registry._RECHECK_THIS_ROUND) + len(never)
+    if len(stale) > WINDOW - pins:
+        return  # cohort itself exceeds the free slots; greedy test governs
+    window = set(oracled[:WINDOW])
+    missing = [n for n in stale if n not in window]
+    assert not missing, f"stale r{oldest} queries outside window: {missing}"
