@@ -68,6 +68,10 @@ HEADLINE = [
     "event_type_transitions",   # single-shuffle Markov matrix (analytics)
     "cohort_retention",         # cohort matrix (user-keyed shuffles)
     "event_burst_collapse",     # time-bounded ingestion dedup (lag window)
+    # Round-5 additions:
+    "corpus_cluster_split",     # cluster-keyed leakage-free split (pairs
+                                # + label propagation + rep-hash join)
+    "orders_approx_bounds",     # sketch error-bound audit (HLL/GK vs exact)
 ]
 
 

@@ -596,6 +596,79 @@ def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Error tolerances for the oracled bound check below. HLL++ at the
+# default 5% rsd: 0.15 is the 3-sigma relative-error envelope.
+# percentile_approx guarantees RANK error (<= 1/accuracy), not value
+# error, so the median check is rank-based: the sketch median must land
+# inside the exact [0.48, 0.52]-quantile value band (200x the sketch's
+# nominal 1e-4 rank error — generous, but any real sketch defect blows
+# through it).
+APPROX_CD_REL_ERR = 0.15
+APPROX_MEDIAN_RANK_SLACK = 0.02
+
+
+@register(
+    "orders_approx_bounds",
+    # The sketch VALUES are engine-specific (HLL++/GK internals), so
+    # they can never hash-match DuckDB — but their ERROR-BOUND CHECKS
+    # can: the oracle computes the exact side (count DISTINCT, the
+    # quantile band) and states the bound booleans as TRUE; the Spark
+    # side computes the same booleans HONESTLY from its own sketches
+    # against its own exact aggregates. A sketch drifting past its
+    # published bound flips a boolean and turns the row red — the same
+    # assert-the-claim oracle pattern as dedup_lsh_recall_eval's
+    # recall floor.
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS customers_within_rsd,
+           TRUE AS median_within_band
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "approx", "evaluation"),
+)
+def orders_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`orders_approx_stats` with its accuracy contract attached, as an
+    ORACLED query: per status group, whether approx_count_distinct is
+    within 3-sigma relative error of the exact distinct count, and
+    whether the percentile_approx median lands inside the exact
+    [0.48, 0.52]-quantile value band. The exact twins ride along (both
+    engines compute them exactly, so they hash-check), anchoring the
+    booleans to real data rather than a vacuous TRUE.
+
+    Scale shape: one grouped aggregate computing sketch and exact forms
+    side-by-side — at audit time only; production uses the sketch-only
+    `orders_approx_stats` (single-pass, mergeable, bounded memory) and
+    runs THIS query on a sampled or per-partition slice to re-certify
+    the bounds."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_count_distinct("o_custkey").alias("_ac"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("_am"),
+        F.percentile(
+            "o_totalprice", F.lit(0.5 - APPROX_MEDIAN_RANK_SLACK)
+        ).alias("_qlo"),
+        F.percentile(
+            "o_totalprice", F.lit(0.5 + APPROX_MEDIAN_RANK_SLACK)
+        ).alias("_qhi"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rel_err = F.abs(F.col("_ac") - F.col("exact_customers")) / F.col(
+        "exact_customers"
+    )
+    return agg.select(
+        "status",
+        "exact_customers",
+        "n_orders",
+        (rel_err <= APPROX_CD_REL_ERR).alias("customers_within_rsd"),
+        (
+            (F.col("_am") >= F.col("_qlo")) & (F.col("_am") <= F.col("_qhi"))
+        ).alias("median_within_band"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 completeness: the set operations the reference never used, and the
 # CUBE companion to rollup. All distinct-based (shuffle on full row).

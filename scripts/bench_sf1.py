@@ -98,13 +98,19 @@ def main() -> None:
     t_gen = time.perf_counter() - t0
 
     skip = set()
+    extra: list[str] = []
     for a in sys.argv[1:]:
         if a.startswith("--skip="):
             skip.update(a.split("=", 1)[1].split(","))
+        if a.startswith("--extra="):
+            # Registry queries beyond the headline set (e.g. the audit
+            # family's multi-scale rows, VERDICT r4 #7) — timed with the
+            # same warm-up + best-of-2 discipline.
+            extra.extend(a.split("=", 1)[1].split(","))
     specs = registry.all_specs()
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in [*HEADLINE, *[e for e in extra if e not in HEADLINE]]:
         spec = specs.get(name)
         if spec is None or name in skip:
             continue

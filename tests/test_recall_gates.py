@@ -1,0 +1,88 @@
+"""Recall floors as GATES (VERDICT r4 #4): the LSH recall measurements
+(`dedup_lsh_recall_eval`, `knn_lsh_recall_eval`) report index quality,
+but a report nobody fails on is not a guardrail. These tests pin the
+shipped configurations to explicit floors AND prove the gates have
+teeth: a deliberately degraded banding / table configuration must trip
+them. A parameter "optimization" that silently destroys recall now
+turns the suite red instead of shipping."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from newsflow.dedup.core import doc_shingle_arrays
+from newsflow.dedup.queries import (
+    LSH_RECALL_FLOOR,
+    lsh_recall_floor_violations,
+    minhash_recall_by_band,
+)
+from newsflow.sim import hyperplane
+from newsflow.sim.queries import knn_recall_floor_violations
+from newsflow.tables import load_table, spread
+from tests.conftest import SF_ORACLE
+
+
+def _arrays(spark):
+    return doc_shingle_arrays(
+        spread(load_table(spark, SF_ORACLE, "documents")), 3
+    )
+
+
+def test_lsh_default_banding_meets_recall_floor(spark):
+    df = minhash_recall_by_band(_arrays(spark))
+    rows = df.collect()
+    assert rows, "no exact pairs at the check SF — gate is vacuous"
+    assert not lsh_recall_floor_violations(df)
+    # The shipped banding's actual measurement is 1.0 everywhere, well
+    # clear of the floor — assert that headroom so a slow degradation
+    # toward the floor is visible here before it trips the gate.
+    assert all(r.recall == 1.0 for r in rows)
+
+
+def test_lsh_degraded_banding_trips_gate(spark):
+    # A single 16-row band (r=16, b=1): candidate probability is j^16 —
+    # 0.44 even at j=0.95, and this corpus's near-dup pairs cluster in
+    # the top band, so measured recall drops to ~0.83 (and 0 in band
+    # 18). A catastrophic misconfiguration the floor gate MUST flag.
+    df = minhash_recall_by_band(_arrays(spark), rows_per_band=16)
+    violations = lsh_recall_floor_violations(df)
+    assert violations, (
+        "degraded banding (r=16, b=1) passed the recall floor "
+        f"{LSH_RECALL_FLOOR} — the gate has no teeth"
+    )
+
+
+def _knn_recall_frame(spark):
+    from newsflow.registry import all_specs
+
+    return all_specs()["knn_lsh_recall_eval"].build(spark, SF_ORACLE)
+
+
+def test_knn_default_config_meets_recall_floor(spark):
+    assert not knn_recall_floor_violations(_knn_recall_frame(spark))
+
+
+def test_knn_degraded_config_trips_gate(spark, monkeypatch):
+    # 1 table x 16 bits: a single 65536-bucket table — collision
+    # probability for even highly similar vectors collapses, recall
+    # craters, and the floor gate must go red. The hyperplane module
+    # reads N_TABLES/N_BITS at call time, so patching them genuinely
+    # rebuilds the index shape (planes cache keys on n_planes).
+    monkeypatch.setattr(hyperplane, "N_TABLES", 1)
+    monkeypatch.setattr(hyperplane, "N_BITS", 16)
+    violations = knn_recall_floor_violations(_knn_recall_frame(spark))
+    assert violations, (
+        "1-table/16-bit sign-LSH passed the recall floors — the gate "
+        "has no teeth"
+    )
+
+
+def test_lsh_violation_rows_carry_band_detail(spark):
+    """The gate's output is actionable: each violation row names the
+    Jaccard band and the miss counts, so a trip localizes WHERE recall
+    fell (banded LSH degrades threshold-first)."""
+    df = minhash_recall_by_band(_arrays(spark), rows_per_band=16)
+    for r in lsh_recall_floor_violations(df):
+        assert 0 <= r.band20 <= 19
+        assert r.n_lsh_hits <= r.n_exact_pairs
+        assert r.recall < LSH_RECALL_FLOOR
