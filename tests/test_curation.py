@@ -225,3 +225,40 @@ def test_cluster_split_covers_corpus_and_respects_reps(spark):
     )
     assert out.filter(F.col("split") != expected).count() == 0
     assert out.filter(F.col("cluster_rep") > F.col("doc_id")).count() == 0
+
+
+def test_cluster_split_stability_under_cluster_growth(spark):
+    """The keeper convention's stability guarantee, exercised directly:
+    adding a LATER-id member to a near-dup cluster leaves every existing
+    member's representative — and therefore split — unchanged; only an
+    EARLIER id joining can move a cluster (the documented exception)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup.cluster import near_dup_clusters
+
+    pairs_before = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 60)], ["doc_a", "doc_b"]
+    )
+    # A later-id doc (31) joins the {10,20,30} cluster.
+    pairs_after = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 31), (50, 60)], ["doc_a", "doc_b"]
+    )
+    before = {
+        r.doc_id: r.keeper for r in near_dup_clusters(pairs_before).collect()
+    }
+    after = {
+        r.doc_id: r.keeper for r in near_dup_clusters(pairs_after).collect()
+    }
+    for doc_id, keeper in before.items():
+        assert after[doc_id] == keeper
+    assert after[31] == 10  # newcomer inherits the existing keeper
+    # An earlier id (5) joining DOES re-key that cluster - the documented
+    # exception, not silent breakage.
+    pairs_rekeyed = spark.createDataFrame(
+        [(5, 10), (10, 20), (20, 30), (50, 60)], ["doc_a", "doc_b"]
+    )
+    rekeyed = {
+        r.doc_id: r.keeper for r in near_dup_clusters(pairs_rekeyed).collect()
+    }
+    assert rekeyed[10] == 5 and rekeyed[30] == 5
+    assert rekeyed[50] == 50  # untouched cluster keeps its keeper
