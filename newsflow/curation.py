@@ -524,6 +524,33 @@ def _cluster_split_oracle() -> str:
     """
 
 
+def cluster_keyed_split(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The pair-source-agnostic core of `corpus_cluster_split`:
+    (doc_id, cluster_rep, split) for ANY verified near-dup pair frame
+    (doc_a, doc_b). The registered query feeds it the exact 3-gram
+    Jaccard pairs (oracle-able); at 100 TB feed it the banded-LSH tier
+    (`native_minhash_near_dup_pairs`) — identical output whenever LSH
+    recall holds (asserted at check SF by
+    tests/test_curation.py::test_cluster_split_lsh_pair_source_agrees,
+    and gated by tests/test_recall_gates.py)."""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+    from newsflow.dedup.queries import split_split_of
+
+    clusters = _clusters(pairs).select(
+        F.col("doc_id").alias("c_doc"), "keeper"
+    )
+    rep = F.coalesce(F.col("keeper"), F.col("doc_id"))
+    return docs.join(
+        clusters, docs.doc_id == clusters.c_doc, "left"
+    ).select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        split_split_of(
+            F.substring(F.md5(rep.cast("string")), 1, 1)
+        ).alias("split"),
+    )
+
+
 @register(
     "corpus_cluster_split",
     oracle=_cluster_split_oracle(),
@@ -551,31 +578,17 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits), the LSH-boundable pair pipeline, an O(edges)-per-iteration
     label propagation, then a single doc_id-keyed left join — no
     all-pairs stage anywhere. At 100 TB the pair source swaps to the
-    banded-LSH tier (`near_dup_clusters_lsh`), shape unchanged."""
-    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+    banded-LSH tier (`near_dup_clusters_lsh`), shape unchanged — pass
+    it to `cluster_keyed_split`, which this query is a thin binding
+    of."""
     from newsflow.dedup.core import jaccard_pairs_from_arrays
-    from newsflow.dedup.queries import (
-        _shared_shingle_arrays,
-        split_split_of,
-    )
+    from newsflow.dedup.queries import _shared_shingle_arrays
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs_from_arrays(
         _shared_shingle_arrays(spark, sf_dir), threshold=0.8
     )
-    clusters = _clusters(pairs).select(
-        F.col("doc_id").alias("c_doc"), "keeper"
-    )
-    rep = F.coalesce(F.col("keeper"), F.col("doc_id"))
-    return docs.join(
-        clusters, docs.doc_id == clusters.c_doc, "left"
-    ).select(
-        "doc_id",
-        rep.alias("cluster_rep"),
-        split_split_of(
-            F.substring(F.md5(rep.cast("string")), 1, 1)
-        ).alias("split"),
-    )
+    return cluster_keyed_split(docs, pairs)
 
 
 MIX_ALPHA = 0.5  # temperature exponent: upweights low-resource sources

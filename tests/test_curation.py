@@ -262,3 +262,33 @@ def test_cluster_split_stability_under_cluster_growth(spark):
     }
     assert rekeyed[10] == 5 and rekeyed[30] == 5
     assert rekeyed[50] == 50  # untouched cluster keeps its keeper
+
+
+def test_cluster_split_lsh_pair_source_agrees(spark):
+    """The documented 100 TB swap, executed: feeding
+    `cluster_keyed_split` the banded-LSH pair tier instead of the exact
+    pairs yields an IDENTICAL split assignment at the check SF (where
+    the recall gate pins LSH recall to 1) — so swapping the pair source
+    at scale changes cost, not semantics."""
+    from tests.conftest import SF_ORACLE
+
+    from newsflow.dedup import minhash
+    from newsflow.dedup.core import jaccard_pairs_from_arrays
+    from newsflow.tables import load_table, spread
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    arrays = minhash.doc_shingle_arrays(spread(docs), 3).cache()
+    exact_fed = curation.cluster_keyed_split(
+        docs, jaccard_pairs_from_arrays(arrays, threshold=0.8)
+    )
+    lsh_fed = curation.cluster_keyed_split(
+        docs,
+        minhash._verify_pairs(
+            arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
+        ),
+    )
+    a = {r.doc_id: (r.cluster_rep, r.split) for r in exact_fed.collect()}
+    b = {r.doc_id: (r.cluster_rep, r.split) for r in lsh_fed.collect()}
+    arrays.unpersist()
+    assert a == b
+    assert len(a) == docs.count()
