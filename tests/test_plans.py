@@ -274,3 +274,32 @@ def test_tokenizer_vocab_rank_is_partitioned(spark):
     assert matches, "no window found in plan — test would pass vacuously"
     for m in matches:
         assert "_pid" in m.group(1), f"unpartitioned window: {m.group(0)[:120]}"
+
+
+def test_approx_bounds_sketches_never_keyed_by_distinct_column(spark):
+    """The distinct-rewrite trap (BENCH_sf1.md round-5): mixing
+    countDistinct with sketch aggregates in ONE agg() keys the sketch
+    ObjectHashAggregates by (group, custkey) — one sketch instance per
+    distinct customer (30.7 s vs 0.7 s at sf1). The shipped plan keeps
+    the sketches in aggregates keyed by the group column only; any
+    future merge back into a single agg() reintroduces the
+    custkey-keyed sketch stage and fails here."""
+    import re
+
+    df = SPECS["orders_approx_bounds"].build(spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # Walk the formatted operator details: every ObjectHashAggregate
+    # (the sketch buffers) must have a 1-column Keys list.
+    blocks = re.split(r"\n\n", plan)
+    sketch_keys = [
+        m.group(1)
+        for b in blocks
+        if "ObjectHashAggregate" in b
+        for m in re.finditer(r"Keys \[(\d+)\]", b)
+    ]
+    assert sketch_keys, "expected sketch aggregates in the plan"
+    assert all(k == "1" for k in sketch_keys), (
+        f"sketch aggregate keyed by more than the group column: {plan}"
+    )
