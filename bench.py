@@ -72,6 +72,8 @@ HEADLINE = [
     "corpus_cluster_split",     # cluster-keyed leakage-free split (pairs
                                 # + label propagation + rep-hash join)
     "orders_approx_bounds",     # sketch error-bound audit (HLL/GK vs exact)
+    "knn_cosine_ivf_native",    # IVF ANN on the deterministic quantizer
+                                # (exact end-to-end oracle)
 ]
 
 

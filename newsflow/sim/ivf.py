@@ -121,3 +121,86 @@ def ivf_topk(
             dround(F.col("sim"), round_to).alias("cosine_sim"),
         )
     )
+
+
+def ivf_topk_native(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF approximate cosine top-k on the DETERMINISTIC quantizer
+    (sim/kmeans.py) — the IVF tier with an EXACT end-to-end DuckDB
+    oracle (`ivf_native_oracle_sql`), unlike the MLlib-KMeans tier
+    above whose k-means|| init is engine-specific.
+
+    Index build: the deterministic Lloyd loop assigns every corpus
+    vector to one of K_CLUSTERS cells (literal-centroid codegen
+    assignment — zero shuffle over the corpus). Probe: each query ranks
+    the K centroid literals by the same (rounded d², cell) key — a
+    row-local array_sort over K structs, no join — and searches its
+    n_probe nearest cells with an exact cosine re-rank (rounded-sim +
+    id tie discipline shared with `knn.cosine_topk`).
+
+    Scale shape: the corpus shuffles once (cell join of the probed
+    queries is neighbor-side partitioned by cell id; at 100 TB the
+    inverted lists are the bucketing/layout key — see ops/layout.py),
+    candidates are bounded by the probed cells' sizes, and the final
+    window runs per query over candidates only."""
+    from newsflow.sim.kmeans import ROUND_DIST, _dist2_expr, kmeans_fit
+
+    assigned, cents = kmeans_fit(embeddings)
+    corpus = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nvec"),
+        F.col("cluster").alias("cell"),
+    ).withColumn("n_norm", norm_expr(F.col("nvec")))
+
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qvec"),
+    ).withColumn("q_norm", norm_expr(F.col("qvec")))
+    probe_structs = F.array(
+        *[
+            F.struct(
+                dround(_dist2_expr("qvec", cents[c]), ROUND_DIST).alias(
+                    "d"
+                ),
+                F.lit(c).alias("c"),
+            )
+            for c in sorted(cents)
+        ]
+    )
+    probed = qs.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, n_probe),
+                lambda s: s["c"].cast("long"),
+            )
+        ),
+    )
+
+    sims = (
+        probed.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            dot_expr(F.col("qvec"), F.col("nvec"))
+            / (F.col("q_norm") * F.col("n_norm")),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(dround(F.col("sim"), round_to)), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            dround(F.col("sim"), round_to).alias("cosine_sim"),
+        )
+    )

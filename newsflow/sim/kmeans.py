@@ -87,9 +87,13 @@ def _recompute(assigned: DataFrame, prev: dict[int, list[float]]):
     return cents
 
 
-def kmeans_assign(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, cluster) after LLOYD_ITERS deterministic Lloyd
-    iterations from the vec_id < K seed centroids."""
+def kmeans_fit(
+    embeddings: DataFrame,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run the deterministic Lloyd loop and return BOTH products: the
+    final (vec_id, v, cluster) assignment frame and the final centroid
+    dict (the c1 relation of the unrolled oracle) — the quantizer state
+    `ivf_topk_native` probes against."""
     vecs = embeddings.select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
@@ -103,10 +107,22 @@ def kmeans_assign(embeddings: DataFrame) -> DataFrame:
     for _ in range(LLOYD_ITERS - 1):
         cents = _recompute(assigned, cents)
         assigned = assign_clusters(vecs, cents)
+    return assigned, cents
+
+
+def kmeans_assign(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, cluster) after LLOYD_ITERS deterministic Lloyd
+    iterations from the vec_id < K seed centroids."""
+    assigned, _ = kmeans_fit(embeddings)
     return assigned.select("vec_id", "cluster")
 
 
-def _sql_dist_stage(dims_rel: str, cents_rel: str) -> str:
+def _sql_dist_stage(
+    dims_rel: str, cents_rel: str, rn_max: int = 1, where: str = ""
+) -> str:
+    """Rounded-argmin cluster ranking per vector. rn_max = 1 is the
+    Lloyd assignment; rn_max = n_probe (with a query filter in
+    ``where``) is the IVF probe stage of `ivf_native_oracle_sql`."""
     return f"""
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
@@ -117,18 +133,21 @@ def _sql_dist_stage(dims_rel: str, cents_rel: str) -> str:
              round(sum((d.val - c.val) * (d.val - c.val)) + 1e-9,
                    {ROUND_DIST}) + 0.0 AS d2
       FROM {dims_rel} d JOIN {cents_rel} c USING (dim)
+      {where}
       GROUP BY d.vec_id, c.cluster
     )
-  ) WHERE rn = 1
+  ) WHERE rn <= {rn_max}
     """
 
 
-def kmeans_oracle_sql() -> str:
-    """DuckDB twin: the same seeds, the same rounded-argmin assignment,
-    the same decimal-exact centroid means, unrolled for LLOYD_ITERS=2."""
+def kmeans_ctes_sql() -> str:
+    """The unrolled-Lloyd CTE chain (v → dims → c0 → a0 → m1 → c1 → a1)
+    as a reusable WITH body: `kmeans_oracle_sql` selects a1 directly;
+    `ivf_native_oracle_sql` (sim/queries.py) extends the same chain with
+    a probe stage against c1 — the quantizer state and the index share
+    ONE oracle definition, so they cannot drift."""
     assert LLOYD_ITERS == 2, "oracle is unrolled for exactly 2 iterations"
-    return f"""
-    WITH v AS (
+    return f"""v AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
     dims AS (
@@ -151,6 +170,13 @@ def kmeans_oracle_sql() -> str:
       SELECT c0.cluster, c0.dim, COALESCE(m1.val, c0.val) AS val
       FROM c0 LEFT JOIN m1 ON m1.cluster = c0.cluster AND m1.dim = c0.dim
     ),
-    a1 AS ({_sql_dist_stage("dims", "c1")})
+    a1 AS ({_sql_dist_stage("dims", "c1")})"""
+
+
+def kmeans_oracle_sql() -> str:
+    """DuckDB twin: the same seeds, the same rounded-argmin assignment,
+    the same decimal-exact centroid means, unrolled for LLOYD_ITERS=2."""
+    return f"""
+    WITH {kmeans_ctes_sql()}
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a1
     """

@@ -120,6 +120,69 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 from newsflow.sim.kmeans import kmeans_assign, kmeans_oracle_sql  # noqa: E402
 
 
+def ivf_native_oracle_sql(
+    k: int = 5, n_probe: int = 2, max_query_id: int = 8
+) -> str:
+    """Exact end-to-end IVF oracle: extends the unrolled-Lloyd CTE
+    chain (quantizer c1 + corpus assignment a1, shared verbatim with
+    `kmeans_assignments`' oracle) with the probe ranking, the in-cell
+    candidate join and the rounded-cosine re-rank — every stage of the
+    ANN index replayed in SQL."""
+    from newsflow.sim.kmeans import _sql_dist_stage, kmeans_ctes_sql
+
+    probe = _sql_dist_stage(
+        "dims",
+        "c1",
+        rn_max=n_probe,
+        where=f"WHERE d.vec_id < {max_query_id}",
+    )
+    return f"""
+    WITH {kmeans_ctes_sql()},
+    qprobe AS ({probe}),
+    cand AS (
+      SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
+      FROM qprobe p JOIN a1 t ON t.cluster = p.cluster
+      WHERE t.vec_id <> p.vec_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY (round(sim + 1e-9, 6) + 0.0) DESC, neighbor_id
+      ) AS rn FROM sims
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "knn_cosine_ivf_native",
+    oracle=ivf_native_oracle_sql(),
+    tags=("similarity", "ivf", "iterative"),
+)
+def knn_cosine_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-5 on the DETERMINISTIC quantizer —
+    the IVF tier with an EXACT end-to-end oracle (build + probe +
+    re-rank all replayed in DuckDB), completing the ANN lineup: exact
+    baseline (`knn_cosine_topk`, oracled), sign-LSH
+    (`knn_cosine_lsh_native`, oracled), and now inverted-file
+    (`knn_cosine_ivf_native`, oracled); the seeded-MLlib twins remain
+    as rows-only cross-checks. 2 of 8 cells probed per query, so the
+    oracle certifies REAL approximation behavior, not exhaustive
+    search dressed up as ANN."""
+    from newsflow.sim.ivf import ivf_topk_native
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_topk_native(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_probe=2
+    )
+
+
 @register(
     "kmeans_assignments",
     oracle=kmeans_oracle_sql(),
