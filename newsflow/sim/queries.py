@@ -353,6 +353,73 @@ def knn_recall_floor_violations(recall_df: DataFrame) -> list[str]:
 
 
 @register(
+    "knn_ivf_recall_eval",
+    # FULLY COMPOSED oracle - the strongest eval-oracle form in the
+    # repo: both the exact top-k AND the IVF pipeline are deterministic
+    # and SQL-replayable, so DuckDB recomputes the recall measurement
+    # end-to-end (no assert-the-claim TRUE literals anywhere, unlike
+    # knn_lsh_recall_eval whose xxhash64 index side cannot be replayed).
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS ({ivf_native_oracle_sql(k=5, n_probe=2, max_query_id=8)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS k,
+           (round(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "ivf", "evaluation"),
+)
+def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the exactly-oracled IVF tier
+    (`knn_cosine_ivf_native`) against the brute-force baseline - the
+    IVF twin of `knn_lsh_recall_eval`, but with the recall itself
+    recomputed independently by the oracle rather than asserted: a
+    probe-ranking or quantizer divergence between engines shows up as
+    a recall mismatch here even if each side is internally consistent.
+
+    Scale shape: the two top-k pipelines dominate (both
+    candidate-bounded); the recall join touches 8x5 result rows."""
+    from newsflow.sim.ivf import ivf_topk_native
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk_native(emb, queries, k=5, n_probe=2).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+@register(
     "contrastive_hard_negatives",
     oracle=f"""
     SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rank FROM (
