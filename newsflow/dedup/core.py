@@ -165,3 +165,59 @@ def jaccard_pairs_from_arrays(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    n: int = 20,
+    min_shared: int = 5,
+    max_gram_df: int = 100,
+) -> DataFrame:
+    """SPAN-level near-dup pairs: documents sharing >= ``min_shared``
+    distinct ``n``-token grams — the operator behind substring-level
+    training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22: long verbatim spans recur across
+    otherwise-distinct documents and are what models memorize). Doc-level
+    Jaccard misses a 100-token quote inside two long unrelated articles;
+    a shared 20-gram cannot occur by chance, so each shared gram is
+    evidence of verbatim overlap and ``n_shared_grams`` lower-bounds the
+    overlap length (one contiguous span of L tokens yields L - n + 1
+    shared grams).
+
+    ``max_gram_df`` drops grams occurring in more than that many
+    documents BEFORE pair expansion: such grams are boilerplate
+    (navigation, legal footers — `doc_boilerplate_ratio`'s subject), and
+    a gram shared by D docs expands D(D-1)/2 pairs — the same
+    degenerate-bucket economics as the SimHash/MinHash caps. The cap is
+    part of the operator's definition (mirrored in the oracle), not an
+    approximation knob: boilerplate spans are noise for this measurement.
+
+    Scale shape: one shingle projection (per-row, no shuffle), one
+    explode + gram groupBy (the only corpus-sized shuffle), bucket-local
+    pair expansion bounded by ``max_gram_df``, then a pair-keyed count.
+    """
+    arrays = doc_shingle_arrays(docs, n)
+    grams = arrays.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    buckets = (
+        grams.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_gram_df))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+        .select("doc_a", "doc_b", "n_shared_grams")
+    )

@@ -329,6 +329,47 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_recall_by_band(_shared_shingle_arrays(spark, sf_dir))
 
 
+SPAN_N = 20
+SPAN_MIN_SHARED = 5
+SPAN_MAX_GRAM_DF = 100
+
+
+@register(
+    "shared_span_pairs",
+    oracle=f"""
+    WITH d AS ({sql_shingles_rel(n=20)}),
+    g AS (
+      SELECT s FROM d GROUP BY s
+      HAVING count(*) > 1 AND count(*) <= {100}
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_grams
+      FROM d a
+      JOIN g USING (s)
+      JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared_grams FROM p
+    WHERE n_shared_grams >= {5}
+    """,
+    tags=("dedup", "span"),
+)
+def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (verbatim-substring) near-dup pairs: >= 5 shared
+    distinct 20-token grams, boilerplate grams (doc frequency > 100)
+    excluded — the Lee et al. ACL'22 dedup modality that doc-level
+    Jaccard misses (a long quote inside two otherwise-unrelated
+    articles). See `dedup/core.py::shared_span_pairs` for semantics and
+    the scale argument."""
+    return core.shared_span_pairs(
+        spread(load_table(spark, sf_dir, "documents")),
+        n=SPAN_N,
+        min_shared=SPAN_MIN_SHARED,
+        max_gram_df=SPAN_MAX_GRAM_DF,
+    )
+
+
 @register(
     "minhash_near_dup_pairs_mllib",
     # Same exact-verification argument, same oracle.

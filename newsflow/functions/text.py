@@ -33,13 +33,26 @@ def sql_tokens(c: str = "text") -> str:
 
 def shingles_expr(tokens_col: str, n: int = 3) -> Column:
     """Word n-gram shingles: ["a","b","c","d"] → ["a b c", "b c d"].
+    Empty array for docs shorter than n tokens.
 
     Pure higher-order-function expression (transform over an index
-    sequence) — stays JVM-side.
-    """
+    sequence) — stays JVM-side. The CASE guard is LOAD-BEARING, not
+    defensive style: callers do filter `size(toks) >= n` upstream, but
+    Spark's InferFiltersFromGenerate copies a downstream explode's
+    `size(shingles) > 0` predicate into the same Filter node, and
+    whole-stage codegen's subexpression elimination then evaluates this
+    expression EAGERLY for rows the size guard would have rejected —
+    where `sequence(1, size - n + 1)` descends through 0 and
+    `slice(toks, 0, n)` throws INVALID_PARAMETER_VALUE.START. A CASE
+    branch is exempt from eager CSE, so short rows take the
+    empty-array arm no matter how the conjuncts get reordered (found
+    by the n=20 span-dedup operator; latent for every n on any corpus
+    with sub-n-token rows)."""
     return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
         f"transform(sequence(1, size({tokens_col}) - {n - 1}),"
-        f" i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+        f" i -> array_join(slice({tokens_col}, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
 
 

@@ -173,3 +173,38 @@ def test_simhash_md5_twin_agrees_with_xxhash_tier(spark):
     }
     assert same <= md5_zero
     assert same <= xx_zero
+
+
+def test_shingles_survive_infer_filters_from_generate(spark):
+    """Regression (round 5): InferFiltersFromGenerate copies a
+    downstream explode's size(shingles) > 0 predicate next to the
+    caller's size(toks) >= n guard, and codegen subexpression
+    elimination then evaluates the shingle expression EAGERLY on rows
+    shorter than n tokens — where the unguarded form threw
+    INVALID_PARAMETER_VALUE.START from slice(toks, 0, n). The CASE arm
+    in shingles_expr must keep this exact shape (filter + explode over
+    a corpus with sub-n rows) working for any n."""
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup.core import doc_shingle_arrays
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, " ".join(f"w{i}" for i in range(30))),
+            (3, " ".join(f"w{i}" for i in range(19))),
+        ],
+        ["doc_id", "text"],
+    )
+    for n in (3, 20):
+        grams = doc_shingle_arrays(docs, n).select(
+            "doc_id", F.explode("shingles").alias("s")
+        )
+        counts = {
+            r.doc_id: r.c
+            for r in grams.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert counts[2] == 30 - n + 1
+        assert 1 not in counts  # 2-token doc filtered, not crashed
