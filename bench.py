@@ -74,6 +74,7 @@ HEADLINE = [
     "orders_approx_bounds",     # sketch error-bound audit (HLL/GK vs exact)
     "knn_cosine_ivf_native",    # IVF ANN on the deterministic quantizer
                                 # (exact end-to-end oracle)
+    "shared_span_pairs",        # span-level dedup (20-gram, hashed keys)
 ]
 
 

@@ -172,6 +172,7 @@ def shared_span_pairs(
     n: int = 20,
     min_shared: int = 5,
     max_gram_df: int = 100,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """SPAN-level near-dup pairs: documents sharing >= ``min_shared``
     distinct ``n``-token grams — the operator behind substring-level
@@ -195,11 +196,24 @@ def shared_span_pairs(
     Scale shape: one shingle projection (per-row, no shuffle), one
     explode + gram groupBy (the only corpus-sized shuffle), bucket-local
     pair expansion bounded by ``max_gram_df``, then a pair-keyed count.
+    ``hash_grams=True`` is the SCALE knob: group on xxhash64(gram)
+    (8 bytes) instead of the ~100-byte 20-token string — an order of
+    magnitude less shuffle volume, at a ~2^-64-per-gram-pair collision
+    risk. Default False because the registered query's oracle replays
+    the string form; tests assert hash-form output == string-form
+    output at the check SF (same opt-in pattern as the SimHash
+    ``max_bucket`` cap).
     """
     arrays = doc_shingle_arrays(docs, n)
-    grams = arrays.select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
+    gram = F.explode("shingles").alias("s")
+    if hash_grams:
+        grams = arrays.select(
+            "doc_id", F.explode(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("s"),
+        )
+    else:
+        grams = arrays.select("doc_id", gram)
     buckets = (
         grams.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

@@ -208,3 +208,21 @@ def test_shingles_survive_infer_filters_from_generate(spark):
         }
         assert counts[2] == 30 - n + 1
         assert 1 not in counts  # 2-token doc filtered, not crashed
+
+
+def test_shared_span_pairs_hash_form_matches_string_form(spark):
+    """The hash_grams scale knob must be output-equivalent at the check
+    SF: grouping on xxhash64(gram) instead of the gram string changes
+    shuffle bytes, not results (collisions are ~2^-64 per gram pair)."""
+    from newsflow.dedup.core import shared_span_pairs
+    from newsflow.tables import load_table, spread
+    from tests.conftest import SF_ORACLE
+
+    docs = spread(load_table(spark, SF_ORACLE, "documents"))
+    key = lambda r: (r.doc_a, r.doc_b, r.n_shared_grams)  # noqa: E731
+    strings = sorted(map(key, shared_span_pairs(docs).collect()))
+    hashed = sorted(
+        map(key, shared_span_pairs(docs, hash_grams=True).collect())
+    )
+    assert strings == hashed
+    assert strings  # non-vacuous: the fixture has span-sharing pairs
