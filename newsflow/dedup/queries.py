@@ -173,7 +173,8 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     hit = _SHINGLE_CACHE.get(key)
     # storageLevel check: bench harnesses call catalog.clearCache()
     # between timed runs, which deregisters the frame without touching
@@ -182,9 +183,21 @@ def _shared_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A deregistered entry is rebuilt and re-cached instead.
     if hit is not None and hit.storageLevel.useMemory:
         return hit
-    for old in _SHINGLE_CACHE.values():
-        old.unpersist()
-    _SHINGLE_CACHE.clear()
+    # Eviction is keyed, not dict-wide (ADVICE r5): entries from OTHER
+    # applications belong to stopped sessions — drop them without
+    # unpersist (the context is gone; calling into it raises and would
+    # poison the new session's first dedup-audit call).  Live-app
+    # entries for other sf_dirs stay cached so alternating sf_dirs in
+    # one session don't thrash a rebuild per call; the dict stays
+    # bounded by the handful of sf_dirs a session ever touches.
+    for k in [k for k in _SHINGLE_CACHE if k[0] != app]:
+        _SHINGLE_CACHE.pop(k)
+    stale = _SHINGLE_CACHE.pop(key, None)
+    if stale is not None:
+        try:
+            stale.unpersist()
+        except Exception:
+            pass
     docs = spread(load_table(spark, sf_dir, "documents"))
     # cache() is MEMORY_AND_DISK for DataFrames: spills (never OOMs)
     # under pressure, evictable, session-scoped (bench clears caches
@@ -271,12 +284,16 @@ def minhash_recall_by_band(
 
 def lsh_recall_floor_violations(recall_df: DataFrame) -> list:
     """Bands below LSH_RECALL_FLOOR. The band table is bounded (≤ 20
-    rows by construction), so the collect is O(1)."""
-    return (
-        recall_df.filter(F.col("recall") < LSH_RECALL_FLOOR)
-        .orderBy("band20")
-        .collect()
-    )
+    rows by construction), so the collect is O(1).
+
+    An EMPTY band table is itself a violation (ADVICE r5, mirroring
+    `knn_recall_floor_violations`): zero exact pairs means the corpus or
+    threshold is misconfigured and the evaluation is vacuous — the gate
+    must not pass on no evidence."""
+    rows = recall_df.orderBy("band20").collect()
+    if not rows:
+        return ["recall frame is empty — evaluation is vacuous"]
+    return [r for r in rows if r.recall < LSH_RECALL_FLOOR]
 
 
 @register(
@@ -336,11 +353,13 @@ SPAN_MAX_GRAM_DF = 100
 
 @register(
     "shared_span_pairs",
+    # Constants interpolated (not literal) so the builder and oracle
+    # cannot drift when SPAN_* change (ADVICE r5).
     oracle=f"""
-    WITH d AS ({sql_shingles_rel(n=20)}),
+    WITH d AS ({sql_shingles_rel(n=SPAN_N)}),
     g AS (
       SELECT s FROM d GROUP BY s
-      HAVING count(*) > 1 AND count(*) <= {100}
+      HAVING count(*) > 1 AND count(*) <= {SPAN_MAX_GRAM_DF}
     ),
     p AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -351,7 +370,7 @@ SPAN_MAX_GRAM_DF = 100
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, n_shared_grams FROM p
-    WHERE n_shared_grams >= {5}
+    WHERE n_shared_grams >= {SPAN_MIN_SHARED}
     """,
     tags=("dedup", "span"),
 )

@@ -48,8 +48,37 @@ def contract() -> None:
     stage("driver contract (vanilla session)", [sys.executable, "-c", code])
 
 
+def artifacts_committed() -> None:
+    """Driver artifacts (CORRECTNESS_r*.json / BENCH_r*.json /
+    LEAKCHECK.json) must be committed with the round's work — the same
+    nit appeared in three consecutive verdicts (r3-r5 #3). Fails on any
+    untracked or modified-but-uncommitted artifact so the round cannot
+    end clean-looking with loose driver output in the working tree."""
+    print("\n=== preflight: driver artifacts committed ===", flush=True)
+    out = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+    ).stdout
+    loose = [
+        line
+        for line in out.splitlines()
+        if any(
+            line[3:].startswith(p)
+            for p in ("CORRECTNESS_r", "BENCH_r", "LEAKCHECK")
+        )
+    ]
+    if loose:
+        print("uncommitted driver artifacts:\n" + "\n".join(loose), flush=True)
+        print("preflight FAILED at driver artifacts committed", flush=True)
+        sys.exit(1)
+    print("artifacts OK: none loose", flush=True)
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
+    artifacts_committed()
     contract()
     stage(
         "oracle parity @ sf0.01",

@@ -88,6 +88,16 @@ def test_lsh_violation_rows_carry_band_detail(spark):
         assert r.recall < LSH_RECALL_FLOOR
 
 
+def test_lsh_empty_recall_frame_is_a_violation(spark):
+    """A misconfiguration that yields ZERO exact pairs (e.g. a threshold
+    above every true Jaccard) must not pass the gate vacuously (ADVICE
+    r5): an empty band table is itself flagged, mirroring the knn gate."""
+    df = minhash_recall_by_band(_arrays(spark), threshold=1.01)
+    assert df.count() == 0
+    violations = lsh_recall_floor_violations(df)
+    assert violations and "vacuous" in violations[0]
+
+
 def test_ivf_native_recall_floor(spark):
     """The exactly-oracled IVF tier must hold recall@5 >= 0.85 vs the
     brute-force baseline at the check SF with its shipped 2-of-8-cells
