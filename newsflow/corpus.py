@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from newsflow.dedup.minhash import incremental_neardup_pairs
 from newsflow.functions.scalars import davg, dround, sql_davg
 from newsflow.functions.text import (
     sql_shingles_rel,
@@ -128,6 +129,55 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("batch_dup_count"),
         )
+    )
+
+
+@register(
+    "incremental_neardup_new_docs",
+    # The banded-LSH candidates are exact-verified, and the candidate set
+    # is exactly the cross-pair subset of the full-corpus banding whose
+    # recall 1 at threshold 0.8 is asserted by tests/test_dedup.py — so
+    # the exact cross-pair SQL is a true oracle for the operator output
+    # (same argument as minhash_near_dup_pairs). doc_a < doc_b in the
+    # exact join maps onto (matched=indexed, new=batch) because every
+    # indexed id is below EXISTING_MAX_DOC_ID and every batch id at or
+    # above it.
+    oracle=f"""
+    WITH sh AS ({sql_shingles_rel(n=3)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS matched_doc_id, b.doc_id AS new_doc_id,
+             count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id < {EXISTING_MAX_DOC_ID}
+        AND b.doc_id >= {EXISTING_MAX_DOC_ID}
+      GROUP BY 1, 2
+    )
+    SELECT new_doc_id, matched_doc_id, n_common,
+           n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = matched_doc_id
+    JOIN sizes sb ON sb.doc_id = new_doc_id
+    WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+    tags=("corpus", "dedup", "incremental", "lsh"),
+)
+def incremental_neardup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup indexing: match the new ingest batch
+    (doc_id >= {EXISTING_MAX_DOC_ID}) against the indexed corpus's
+    stored MinHash band signatures — signatures are computed for the
+    batch only and the band-key join probes the index, so daily-ingest
+    cost tracks batch size, not corpus size (the operator
+    `incremental_dedup_new_docs` covers only byte-identical re-ingests;
+    this tier catches near-duplicates of already-indexed documents).
+    See `dedup/minhash.py::incremental_neardup_pairs` for the pipeline
+    and the recall argument."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") < EXISTING_MAX_DOC_ID),
+        docs.filter(F.col("doc_id") >= EXISTING_MAX_DOC_ID),
+        n=3,
+        threshold=0.8,
     )
 
 

@@ -235,3 +235,127 @@ def shared_span_pairs(
         .filter(F.col("n_shared_grams") >= min_shared)
         .select("doc_a", "doc_b", "n_shared_grams")
     )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame, n: int = 20, max_gram_df: int = 100
+) -> DataFrame:
+    """REMOVAL form of span-level dedup (`shared_span_pairs` finds the
+    documents; this rewrites them): every ``n``-token gram occurring in
+    2..``max_gram_df`` documents keeps its span only in the KEEPER
+    document (min doc_id containing the gram) — all covering token
+    positions in every other document are excised. This is the Lee et
+    al. ACL'22 substring-dedup rewrite: the duplicated span survives in
+    exactly one place, so the training corpus loses the memorizable
+    verbatim repeats without dropping whole documents. Grams above
+    ``max_gram_df`` are boilerplate and left alone, mirroring
+    `shared_span_pairs` (removing navigation chrome is
+    `doc_boilerplate_ratio`'s job, with different economics).
+
+    Output, one row per document (rewritten or not): doc_id, n_tokens,
+    n_removed_tokens, n_removed_spans (count of maximal merged removed
+    intervals — integer-exact, the auditable "how many distinct quotes
+    were cut" number), cleaned_text (space-joined surviving tokens, ''
+    when everything was removed or the doc was empty).
+
+    Scale shape: a positional gram projection (row-local, CASE-guarded
+    like `shingles_expr`), ONE corpus-sized shuffle (distinct + groupBy
+    on the gram string for df/keeper stats — the same shuffle
+    `shared_span_pairs` pays, and the same xxhash64-the-gram knob
+    applies at 100 TB), a gram-keyed join back to occurrences, then a
+    doc-keyed collect of removal START positions (bounded by the doc's
+    own token count — no corpus-sized state per row) and a single
+    doc_id-keyed left join onto the corpus. The rewrite itself is
+    row-local: sorted starts fold into disjoint merged intervals
+    (adjacent/overlapping [q, q+n-1] windows coalesce), and each token
+    checks `exists(intervals)` — O(len x intervals), intervals bounded
+    by distinct removed spans, NOT by raw gram hits."""
+    empty_starts = F.expr("CAST(array() AS array<int>)")
+    toks = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens_expr("text"), F.expr("CAST(array() AS array<string>)")
+        ).alias("t"),
+    )
+    # Positional grams: (doc_id, pos, s) for every n-token window. The
+    # CASE guard is load-bearing for the same InferFiltersFromGenerate +
+    # eager-CSE reason as shingles_expr (see functions/text.py).
+    span_structs = F.expr(
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(1, size(t) - {n - 1}),"
+        f" i -> named_struct('pos', i, 's', array_join(slice(t, i, {n}), ' '))) "
+        f"ELSE CAST(array() AS array<struct<pos:int,s:string>>) END"
+    )
+    grams = toks.select("doc_id", F.explode(span_structs).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s")
+    )
+    stats = (
+        grams.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("keeper"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df))
+        .select("s", "keeper")
+    )
+    # collect_set dedups repeat occurrences of the same start inside the
+    # doc-keyed aggregation itself — one shuffle on doc_id instead of a
+    # (doc_id, pos) distinct exchange followed by the groupBy.
+    starts = (
+        grams.join(stats, "s")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("starts"))
+    )
+    # Fold sorted starts into disjoint merged intervals [lo, hi]. Each
+    # start covers [q, q+n-1]; because starts ascend, the running last
+    # interval's hi is monotone, so "q <= last.hi + 1" is the complete
+    # merge condition (adjacent windows coalesce into one span).
+    merged = F.aggregate(
+        F.col("starts"),
+        F.expr("CAST(array() AS array<struct<lo:int,hi:int>>)"),
+        lambda acc, q: F.when(
+            (F.size(acc) > 0)
+            & (q <= F.element_at(acc, -1).getField("hi") + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).getField("lo").alias("lo"),
+                        (q + F.lit(n - 1)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(q.alias("lo"), (q + F.lit(n - 1)).alias("hi"))
+                ),
+            )
+        ),
+    )
+    kept = F.filter(
+        F.expr("transform(t, (tok, i) -> named_struct('p', i + 1, 'tok', tok))"),
+        lambda x: ~F.exists(
+            F.col("merged"),
+            lambda iv: (iv.getField("lo") <= x.getField("p"))
+            & (x.getField("p") <= iv.getField("hi")),
+        ),
+    )
+    return (
+        toks.join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", empty_starts))
+        .withColumn("merged", merged)
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size("kept")).cast("long").alias(
+                "n_removed_tokens"
+            ),
+            F.size("merged").cast("long").alias("n_removed_spans"),
+            F.array_join(
+                F.expr("transform(kept, x -> x.tok)"), " "
+            ).alias("cleaned_text"),
+        )
+    )

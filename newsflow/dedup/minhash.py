@@ -136,32 +136,19 @@ def minhash_near_dup_pairs(
     return _verify_pairs(arrays, cands, threshold)
 
 
-def native_minhash_candidates(
-    arrays: DataFrame,
-    num_hashes: int = 16,
-    rows_per_band: int = 2,
-    max_bucket: int | None = None,
+def band_signatures(
+    arrays: DataFrame, num_hashes: int = 16, rows_per_band: int = 2
 ) -> DataFrame:
-    """Candidate pairs via NATIVE minhash signatures — no MLlib, no
-    vectors: banded LSH over per-document min-hash signatures, as a
-    self-join on (band, signature-slice). Entirely whole-stage codegen.
+    """Banded minhash signatures, one (doc_id, band, key) row per band —
+    the LSH index representation. In a production pipeline THIS is the
+    table a daily ingest persists (partitioned/bucketed by (band, key))
+    so new batches probe it instead of re-pairing the corpus; see
+    `incremental_neardup_pairs`.
 
     Each shingle string is hashed ONCE (xxhash64); the `num_hashes`
     per-function values derive from the cheap long-input re-hash
     xxhash64(base, i), so signature cost is one O(len) string hash plus
     H fixed-width hashes per shingle instead of H string hashes.
-
-    Banding (r = rows_per_band, b = H/r): two documents become a
-    candidate iff ALL r signatures in ≥1 band collide —
-    P(candidate) = 1-(1-j^r)^b. r=1 reproduces MinHashLSH's OR-ing
-    (≈ 1-(1-j)^H: recall headroom, but on a corpus whose background
-    similarity is j₀ the candidate set carries ~H·j₀·|pairs| noise).
-    The r=2, b=8 default keeps miss probability at j=0.8 below 3e-4
-    while cutting background collisions to ~b·j₀² — on the sf0.1 corpus
-    that is 82k → ~300 candidates, which is what makes the verify stage
-    O(true pairs). Recall 1 on the testdata is asserted empirically
-    (tests/test_dedup.py) — the hash functions are deterministic, so
-    that property is stable run-to-run.
     """
     if num_hashes % rows_per_band:
         raise ValueError("num_hashes must be a multiple of rows_per_band")
@@ -190,9 +177,37 @@ def native_minhash_candidates(
             for b in range(n_bands)
         ]
     )
-    sigs = with_base.select(
+    return with_base.select(
         "doc_id", F.explode(band_structs).alias("sig")
-    ).select("doc_id", F.col("sig.band").alias("band"), F.col("sig.key").alias("key"))
+    ).select(
+        "doc_id", F.col("sig.band").alias("band"), F.col("sig.key").alias("key")
+    )
+
+
+def native_minhash_candidates(
+    arrays: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs via NATIVE minhash signatures — no MLlib, no
+    vectors: banded LSH over per-document min-hash signatures
+    (`band_signatures`), as a self-join on (band, signature-slice).
+    Entirely whole-stage codegen.
+
+    Banding (r = rows_per_band, b = H/r): two documents become a
+    candidate iff ALL r signatures in ≥1 band collide —
+    P(candidate) = 1-(1-j^r)^b. r=1 reproduces MinHashLSH's OR-ing
+    (≈ 1-(1-j)^H: recall headroom, but on a corpus whose background
+    similarity is j₀ the candidate set carries ~H·j₀·|pairs| noise).
+    The r=2, b=8 default keeps miss probability at j=0.8 below 3e-4
+    while cutting background collisions to ~b·j₀² — on the sf0.1 corpus
+    that is 82k → ~300 candidates, which is what makes the verify stage
+    O(true pairs). Recall 1 on the testdata is asserted empirically
+    (tests/test_dedup.py) — the hash functions are deterministic, so
+    that property is stable run-to-run.
+    """
+    sigs = band_signatures(arrays, num_hashes, rows_per_band)
 
     # Bucket-grouped pair generation instead of a self-join: a self-join
     # would evaluate the signature pipeline twice (once per side) and
@@ -251,3 +266,73 @@ def native_minhash_near_dup_pairs(
         arrays, num_hashes, rows_per_band, max_bucket
     )
     return _verify_pairs(arrays, cands, threshold)
+
+
+def incremental_neardup_pairs(
+    existing: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup indexing: match a NEW ingest batch against
+    the already-indexed corpus without re-pairing the corpus — the
+    operator a daily 100 TB pipeline actually runs (`exact`-tier twin:
+    `corpus.incremental_dedup_new_docs`). Signatures are computed for
+    the new batch only; the existing side is the persisted
+    `band_signatures` index (recomputed here from the split because the
+    check corpus is one table — at scale it is a stored table bucketed
+    by (band, key), so the probe join is co-located and shuffle-free on
+    the index side), and cost tracks BATCH size, not corpus size.
+
+    Pipeline: batch signatures → equi-join against the index on
+    (band, key) → exact Jaccard verification of the candidate
+    (new, indexed) pairs only. Because a document's signature does not
+    depend on which side it sits on, the candidate set is exactly the
+    cross-pair subset of `native_minhash_candidates(existing ∪ batch)`
+    — so the empirically-asserted recall-1 property of the full-corpus
+    banding carries over to the incremental form unchanged.
+
+    ``max_key_df`` optionally drops index band-keys matched by more
+    than that many indexed documents (the degenerate-bucket cap, same
+    economics as `max_bucket` / SimHash): default None because the
+    registered query's oracle asserts recall 1 at the check SF.
+
+    Output: (new_doc_id, matched_doc_id, n_common, jaccard) — one row
+    per verified near-duplicate link from a batch document to an
+    indexed document. Downstream, a batch doc with ≥1 link is dropped
+    (or routed to its matched keeper's cluster); unlinked docs are new
+    content and get their signatures appended to the index.
+    """
+    arrays_old = doc_shingle_arrays(existing, n)
+    arrays_new = doc_shingle_arrays(batch, n)
+    index = band_signatures(arrays_old, num_hashes, rows_per_band).select(
+        F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    if max_key_df is not None:
+        hot = (
+            index.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_key_df)
+            .select("band", "key")
+        )
+        index = index.join(hot, ["band", "key"], "left_anti")
+    probes = band_signatures(arrays_new, num_hashes, rows_per_band).select(
+        F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    cands = (
+        probes.join(index, ["band", "key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = _verify_pairs(
+        arrays_old.unionByName(arrays_new), cands, threshold
+    )
+    return verified.select(
+        F.col("doc_b").alias("new_doc_id"),
+        F.col("doc_a").alias("matched_doc_id"),
+        "n_common",
+        "jaccard",
+    )

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.dedup import core, embedding, minhash, simhash
 from newsflow.functions.scalars import sql_dround
-from newsflow.functions.text import sql_shingles_rel
+from newsflow.functions.text import sql_shingles_rel, sql_tokens
 from newsflow.registry import register
 from newsflow.tables import load_table, spread
 
@@ -395,6 +395,93 @@ def shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=SPAN_MIN_SHARED,
         max_gram_df=SPAN_MAX_GRAM_DF,
         hash_grams=True,
+    )
+
+
+@register(
+    "span_dedup_rewrite",
+    # The rewrite is integer-exact (token positions, interval merges) and
+    # string-exact (space-joined survivors), so the oracle replays the
+    # whole pipeline: positional grams -> df/keeper stats -> removable
+    # occurrences -> covered positions -> surviving tokens, plus the
+    # merged-span count via a lag() window (a new span starts where the
+    # gap to the previous removal start exceeds n). Constants
+    # interpolated from SPAN_N / SPAN_MAX_GRAM_DF (ADVICE r5 rule).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, coalesce({sql_tokens("text")}, CAST([] AS VARCHAR[])) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[i:i+{SPAN_N - 1}], ' ') AS s
+      FROM toks, UNNEST(range(1, len(t) - {SPAN_N - 2})) AS u(i)
+      WHERE len(t) >= {SPAN_N}
+    ),
+    stats AS (
+      SELECT s, min(doc_id) AS keeper
+      FROM (SELECT DISTINCT s, doc_id FROM grams)
+      GROUP BY s
+      HAVING count(*) >= 2 AND count(*) <= {SPAN_MAX_GRAM_DF}
+    ),
+    removable AS (
+      SELECT DISTINCT g.doc_id, g.pos
+      FROM grams g JOIN stats ON g.s = stats.s
+      WHERE g.doc_id <> stats.keeper
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o AS p
+      FROM removable, UNNEST(range(0, {SPAN_N})) AS v(o)
+    ),
+    tok AS (
+      SELECT doc_id, i AS p, t[i] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept_agg AS (
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok.tok, ' ' ORDER BY tok.p) AS txt
+      FROM tok LEFT JOIN covered c
+        ON tok.doc_id = c.doc_id AND tok.p = c.p
+      WHERE c.p IS NULL
+      GROUP BY tok.doc_id
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (
+               WHERE prev IS NULL OR pos > prev + {SPAN_N}
+             ) AS BIGINT) AS n_spans
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM removable
+      )
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+           coalesce(s.n_spans, CAST(0 AS BIGINT)) AS n_removed_spans,
+           coalesce(k.txt, '') AS cleaned_text
+    FROM toks t
+    LEFT JOIN kept_agg k ON k.doc_id = t.doc_id
+    LEFT JOIN spans s ON s.doc_id = t.doc_id
+    """,
+    tags=("dedup", "span", "rewrite"),
+)
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup, REMOVAL form: excise every shared 20-token
+    span from all but its keeper document (min doc_id), emitting the
+    rewritten corpus — `shared_span_pairs` finds the affected docs,
+    this produces the cleaned training text (Lee et al. ACL'22: cutting
+    the duplicated substring beats dropping whole documents). One row
+    per document with n_tokens / n_removed_tokens / n_removed_spans /
+    cleaned_text; see `dedup/core.py::span_dedup_rewrite` for the
+    row-local interval-merge rewrite and the scale argument."""
+    return core.span_dedup_rewrite(
+        spread(load_table(spark, sf_dir, "documents")),
+        n=SPAN_N,
+        max_gram_df=SPAN_MAX_GRAM_DF,
     )
 
 

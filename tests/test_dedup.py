@@ -226,3 +226,81 @@ def test_shared_span_pairs_hash_form_matches_string_form(spark):
     )
     assert strings == hashed
     assert strings  # non-vacuous: the fixture has span-sharing pairs
+
+
+def test_span_rewrite_excises_planted_quote_from_one_doc_only(spark):
+    """A 100-token quote planted in two otherwise-unrelated documents
+    must be cut from exactly the non-keeper (higher doc_id), leaving the
+    keeper byte-identical and the non-keeper's own prose intact."""
+    from newsflow.dedup.core import span_dedup_rewrite
+
+    quote = " ".join(f"q{i}" for i in range(100))
+    pre = " ".join(f"apre{i}" for i in range(30))
+    post = " ".join(f"bpost{i}" for i in range(30))
+    rows = [
+        (1, f"{pre} {quote}"),
+        (2, f"{quote} {post}"),
+        (3, " ".join(f"other{i}" for i in range(50))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup_rewrite(docs, n=20).collect()}
+
+    keeper = out[1]
+    assert keeper.n_removed_tokens == 0
+    assert keeper.n_removed_spans == 0
+    assert keeper.cleaned_text == f"{pre} {quote}"
+
+    trimmed = out[2]
+    # One merged span of exactly the 100 quote tokens removed.
+    assert trimmed.n_removed_spans == 1
+    assert trimmed.n_removed_tokens == 100
+    assert trimmed.cleaned_text == post
+
+    untouched = out[3]
+    assert untouched.n_removed_tokens == 0
+    assert untouched.cleaned_text == rows[2][1]
+
+
+def test_incremental_neardup_equals_cross_subset_of_full_pairing(spark):
+    """The incremental probe (batch signatures vs the indexed corpus's
+    band-signature table) must emit exactly the cross-pair subset of the
+    full-corpus near-dup pairing — the equivalence that lets a daily
+    ingest skip re-pairing 100 TB."""
+    from newsflow.corpus import EXISTING_MAX_DOC_ID
+    from newsflow.tables import load_table, spread
+
+    docs = spread(load_table(spark, SF_ORACLE, "documents"))
+    full = minhash.native_minhash_near_dup_pairs(docs, n=3, threshold=0.8)
+    cross = {
+        (r.doc_b, r.doc_a, r.n_common)
+        for r in full.collect()
+        if r.doc_a < EXISTING_MAX_DOC_ID <= r.doc_b
+    }
+    inc = minhash.incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") < EXISTING_MAX_DOC_ID),
+        docs.filter(F.col("doc_id") >= EXISTING_MAX_DOC_ID),
+        n=3,
+        threshold=0.8,
+    )
+    got = {
+        (r.new_doc_id, r.matched_doc_id, r.n_common) for r in inc.collect()
+    }
+    assert got == cross
+    assert got  # non-vacuous: the fixture has cross-split near-dups
+
+
+def test_incremental_neardup_max_key_df_drops_hot_keys(spark):
+    """The degenerate-bucket cap must bound index fan-out: with
+    max_key_df=0 every index key is 'hot', so no candidates survive."""
+    from newsflow.corpus import EXISTING_MAX_DOC_ID
+    from newsflow.tables import load_table, spread
+
+    docs = spread(load_table(spark, SF_ORACLE, "documents"))
+    inc = minhash.incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") < EXISTING_MAX_DOC_ID),
+        docs.filter(F.col("doc_id") >= EXISTING_MAX_DOC_ID),
+        n=3,
+        threshold=0.8,
+        max_key_df=0,
+    )
+    assert inc.count() == 0
