@@ -307,10 +307,40 @@ def incremental_neardup_pairs(
     content and get their signatures appended to the index.
     """
     arrays_old = doc_shingle_arrays(existing, n)
-    arrays_new = doc_shingle_arrays(batch, n)
-    index = band_signatures(arrays_old, num_hashes, rows_per_band).select(
-        F.col("doc_id").alias("doc_a"), "band", "key"
+    return incremental_neardup_from_index(
+        band_signatures(arrays_old, num_hashes, rows_per_band),
+        arrays_old,
+        batch,
+        n=n,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        max_key_df=max_key_df,
     )
+
+
+def incremental_neardup_from_index(
+    index_sigs: DataFrame,
+    index_arrays: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_key_df: int | None = None,
+) -> DataFrame:
+    """`incremental_neardup_pairs` against PRE-BUILT index tables — the
+    production entry point. ``index_sigs`` is the persisted
+    `band_signatures` table (doc_id, band, key); ``index_arrays`` the
+    persisted per-doc shingle arrays (doc_id, shingles). A daily ingest
+    stores both (bucketed by (band, key) and doc_id respectively), so
+    the only per-batch compute is: shingle + sign the batch, probe the
+    signature table, verify candidates. The probe and verify joins both
+    broadcast the batch-sized side under AQE, so the index is scanned
+    (columnar, pruned) but never shuffled — per-batch cost tracks batch
+    size plus one index scan, not a corpus re-pairing
+    (scripts/stress_incremental.py measures exactly this)."""
+    index = index_sigs.select(F.col("doc_id").alias("doc_a"), "band", "key")
     if max_key_df is not None:
         hot = (
             index.groupBy("band", "key")
@@ -319,6 +349,7 @@ def incremental_neardup_pairs(
             .select("band", "key")
         )
         index = index.join(hot, ["band", "key"], "left_anti")
+    arrays_new = doc_shingle_arrays(batch, n)
     probes = band_signatures(arrays_new, num_hashes, rows_per_band).select(
         F.col("doc_id").alias("doc_b"), "band", "key"
     )
@@ -328,7 +359,7 @@ def incremental_neardup_pairs(
         .distinct()
     )
     verified = _verify_pairs(
-        arrays_old.unionByName(arrays_new), cands, threshold
+        index_arrays.unionByName(arrays_new), cands, threshold
     )
     return verified.select(
         F.col("doc_b").alias("new_doc_id"),
