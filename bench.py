@@ -75,6 +75,9 @@ HEADLINE = [
     "knn_cosine_ivf_native",    # IVF ANN on the deterministic quantizer
                                 # (exact end-to-end oracle)
     "shared_span_pairs",        # span-level dedup (20-gram, hashed keys)
+    # Round-6 additions:
+    "incremental_neardup_new_docs",  # batch-vs-stored-index LSH probe
+    "span_dedup_rewrite",       # span removal rewrite (interval merge)
 ]
 
 
