@@ -78,6 +78,7 @@ HEADLINE = [
     # Round-6 additions:
     "incremental_neardup_new_docs",  # batch-vs-stored-index LSH probe
     "span_dedup_rewrite",       # span removal rewrite (interval merge)
+    "knn_cosine_pq",            # PQ/ADC ANN (codes-only scan + re-rank)
 ]
 
 

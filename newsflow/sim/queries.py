@@ -419,6 +419,88 @@ def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from newsflow.sim.pq import pq_oracle_sql, pq_topk  # noqa: E402
+
+
+@register(
+    "knn_cosine_pq",
+    oracle=pq_oracle_sql(),
+    tags=("similarity", "pq", "iterative"),
+)
+def knn_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate cosine top-5 (Jégou et al.
+    TPAMI'11) — the fourth ANN tier, with an EXACT end-to-end oracle:
+    per-subspace deterministic Lloyd codebooks, 16-nibble-code corpus
+    encoding, ADC lookup-table scoring, exact re-rank of the top-64
+    candidates, every stage replayed in DuckDB (sim/pq.py). Completes
+    the standard ANN stack: exact / sign-LSH / IVF / PQ, all oracled."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "knn_pq_recall_eval",
+    # FULLY COMPOSED oracle (same form as knn_ivf_recall_eval): both
+    # pipelines are deterministic and SQL-replayable, so DuckDB
+    # recomputes the recall measurement end-to-end.
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS ({pq_oracle_sql(k=5, max_query_id=8)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS k,
+           (round(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "pq", "evaluation"),
+)
+def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the PQ/ADC tier against the brute-force
+    baseline, recomputed independently by the composed oracle — the PQ
+    twin of `knn_ivf_recall_eval`. The ADC scan is a REAL approximation
+    (codes only — 16 nibbles per vector — until the top-64 re-rank),
+    so this measurement plus the floors in
+    `knn_recall_floor_violations` is what authorizes the tier.
+
+    Scale shape: the two top-k pipelines dominate; the recall join
+    touches 8x5 result rows."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 @register(
     "contrastive_hard_negatives",
     oracle=f"""

@@ -119,3 +119,57 @@ def test_ivf_native_recall_floor(spark):
     }
     assert exact, "empty exact baseline"
     assert len(exact & ivf) / len(exact) >= 0.85
+
+
+def test_pq_recall_floor(spark):
+    """The PQ/ADC tier at its shipped config (16 subspaces x 16
+    codewords, top-64 re-rank) must hold the shared KNN floors vs the
+    brute-force baseline (measured at sf0.01: mean 0.95, min 0.8)."""
+    from newsflow.sim.queries import (
+        knn_pq_recall_eval,
+        knn_recall_floor_violations,
+    )
+
+    assert knn_recall_floor_violations(knn_pq_recall_eval(spark, SF_ORACLE)) == []
+
+
+def test_pq_degraded_config_trips_floor(spark):
+    """A deliberately degraded PQ config — no re-rank headroom (ADC
+    top-5 taken directly, r=k) — must TURN THE GATE RED: the floor is a
+    tripwire, not a formality (same red-on-misconfig proof as the LSH
+    and KNN gates)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim.knn import cosine_topk
+    from newsflow.sim.pq import pq_topk
+    from newsflow.sim.queries import knn_recall_floor_violations
+    from newsflow.tables import load_table, spread
+
+    emb = spread(load_table(spark, SF_ORACLE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = pq_topk(emb, queries, k=5, r=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    recall = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k")
+        )
+    )
+    assert knn_recall_floor_violations(recall) != []
