@@ -79,6 +79,7 @@ HEADLINE = [
     "incremental_neardup_new_docs",  # batch-vs-stored-index LSH probe
     "span_dedup_rewrite",       # span removal rewrite (interval merge)
     "knn_cosine_pq",            # PQ/ADC ANN (codes-only scan + re-rank)
+    "dsir_importance_weights",  # hashed-ngram importance scoring (DSIR)
 ]
 
 

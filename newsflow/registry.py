@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     # Last on purpose: new-this-round queries queue BEHIND the driver's
     # 50-slot window until the current never-green set rotates out.
     "newsflow.quality",
+    "newsflow.selection",
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
     "newsflow.sim.health",
