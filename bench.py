@@ -80,6 +80,7 @@ HEADLINE = [
     "span_dedup_rewrite",       # span removal rewrite (interval merge)
     "knn_cosine_pq",            # PQ/ADC ANN (codes-only scan + re-rank)
     "dsir_importance_weights",  # hashed-ngram importance scoring (DSIR)
+    "lr_native_coefficients",   # oracled iterative GD model training
 ]
 
 

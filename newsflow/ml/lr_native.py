@@ -1,0 +1,188 @@
+"""Natively-expressed logistic regression with an EXACT DuckDB oracle —
+the iterative-ML tier the MLlib pipeline (ml/pipeline.py, rows-only:
+MLlib's LBFGS internals are engine-specific) cannot oracle. Trains
+one-vs-rest ``label == 0`` on the embeddings table by full-batch
+gradient descent, unrolled for ``LR_ITERS`` iterations with the same
+determinism toolkit as sim/kmeans.py / sim/pq.py:
+
+- The model state (65 weights: bias + 64 dims) is O(d) DRIVER state
+  collected from distributed decimal-exact gradient aggregations and
+  compiled back into literal-array expressions — per iteration the
+  corpus pays one row-local scoring pass and one O(d)-row shuffle of
+  map-side-combined partial sums, exactly the Spark Lloyd shape.
+- z = w·x is a sequential fold over the feature array against the
+  literal weights — bitwise-equal to DuckDB's list_dot_product (the
+  verified property from sim/knn.py), so z needs NO rounding.
+- sigmoid is the only transcendental: rounded per row at
+  ``ROUND_PROB`` decimals (exp differs from DuckDB in the last ulp;
+  the rounding absorbs it — the retrieval.py ln discipline).
+- Gradients are decimal(28,12) sums of (p - y)·x_j — aggregation-order
+  independent; updated weights round at ``ROUND_WEIGHT``.
+
+At 100 TB this IS the standard distributed GD recipe (weights
+broadcast, gradients tree-aggregated); the only check-SF shortcut is
+batch (not minibatch) gradients, which changes cost, not shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from newsflow.functions.scalars import dround, sql_dround
+from newsflow.sim.knn import as_double_array, dot_expr
+
+LR_ITERS = 3
+LR_RATE = 8.0
+ROUND_PROB = 9
+ROUND_WEIGHT = 8
+N_COEF = 65  # bias + 64 embedding dims
+
+
+def _xy(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, x = [1.0] ++ embedding, y = label==0)."""
+    return embeddings.select(
+        "vec_id",
+        F.concat(
+            F.array(F.lit(1.0)), as_double_array(F.col("embedding"))
+        ).alias("x"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _w_literal(w: list[float]) -> F.Column:
+    return F.expr("array(" + ", ".join(f"{v!r}D" for v in w) + ")")
+
+
+def _prob_col(w: list[float]) -> F.Column:
+    z = dot_expr(F.col("x"), _w_literal(w))
+    return dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), ROUND_PROB)
+
+
+def lr_fit(embeddings: DataFrame) -> list[float]:
+    """Unrolled full-batch GD; returns the final weight vector (the
+    literal state the scoring pass and the SQL oracle's w{LR_ITERS}
+    relation both derive from)."""
+    xy = _xy(embeddings)
+    n = xy.count()
+    w = [0.0] * N_COEF
+    for _ in range(LR_ITERS):
+        scored = xy.withColumn("p", _prob_col(w))
+        # The weight update itself is computed ENGINE-side (element_at
+        # against the previous literal weights, then dround) so the
+        # rounding semantics are Spark's round(+1e-9) — identical to the
+        # oracle's sql_dround — not Python's banker's round.
+        rows = (
+            scored.select(
+                "p", "y", F.posexplode("x").alias("j0", "xj")
+            )
+            .groupBy("j0")
+            .agg(
+                F.sum(
+                    ((F.col("p") - F.col("y")) * F.col("xj")).cast(
+                        "decimal(28,12)"
+                    )
+                ).alias("s")
+            )
+            .select(
+                "j0",
+                dround(
+                    F.element_at(_w_literal(w), F.col("j0") + 1)
+                    - LR_RATE * (F.col("s").cast("double") / n),
+                    ROUND_WEIGHT,
+                ).alias("wj"),
+            )
+            .collect()
+        )
+        new_w = {r["j0"]: r["wj"] for r in rows}
+        w = [new_w[j] for j in range(N_COEF)]
+    return w
+
+
+def lr_coefficients_df(embeddings: DataFrame) -> DataFrame:
+    """(j, weight): the trained model, j=1 is the bias, j=2..65 the
+    embedding dims (1-based to match the oracle's UNNEST indexing).
+    O(d) rows materialized from driver state — the model artifact, not
+    a corpus-sized result."""
+    spark = embeddings.sparkSession
+    w = lr_fit(embeddings)
+    return spark.createDataFrame(
+        [(j + 1, w[j]) for j in range(N_COEF)], "j long, weight double"
+    )
+
+
+def lr_train_preds_df(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, y_true, prob): the training-set scoring pass with the
+    final literal weights — row-local codegen over the corpus, the
+    frame AUC/calibration audits consume."""
+    w = lr_fit(embeddings)
+    return _xy(embeddings).select(
+        "vec_id",
+        F.col("y").cast("long").alias("y_true"),
+        _prob_col(w).alias("prob"),
+    )
+
+
+def _sql_sigmoid(w_rel: str) -> str:
+    """Per-row probability vs the ``w_rel`` weight list (one row, one
+    `w` DOUBLE[] column)."""
+    return sql_dround(
+        f"1.0 / (1.0 + exp(-list_dot_product(ev.x, {w_rel}.w)))",
+        ROUND_PROB,
+    )
+
+
+def lr_ctes_sql() -> str:
+    """The unrolled GD chain as a WITH body: ev → w0 (zero literal) →
+    p1/g1/w1 → … → w{LR_ITERS}. Weight relations are single-row
+    DOUBLE[] lists (list(val ORDER BY j), the sim/pq.py cvecs trick),
+    so z is the same sequential list_dot_product fold Spark computes
+    against the literal arrays."""
+    zeros = "[" + ", ".join(["0.0"] * N_COEF) + "]"
+    parts = [
+        f"""ev AS (
+      SELECT vec_id, list_prepend(1.0, embedding::DOUBLE[]) AS x,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    nrows AS (SELECT count(*) AS n FROM ev),
+    w0 AS (SELECT {zeros}::DOUBLE[] AS w)"""
+    ]
+    for i in range(1, LR_ITERS + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+      SELECT ev.vec_id, ev.x, ev.y, {_sql_sigmoid(prev)} AS p
+      FROM ev, {prev}
+    ),
+    g{i} AS (
+      SELECT j,
+             CAST(sum(CAST((p - y) * x[j] AS DECIMAL(28,12))) AS DOUBLE)
+               / (SELECT n FROM nrows) AS g
+      FROM p{i}, UNNEST(range(1, {N_COEF + 1})) AS u(j)
+      GROUP BY j
+    ),
+    w{i} AS (
+      SELECT list({sql_dround(f"{prev}.w[g{i}.j] - {LR_RATE!r} * g{i}.g",
+                              ROUND_WEIGHT)}
+                  ORDER BY g{i}.j) AS w
+      FROM g{i}, {prev}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def lr_coefficients_oracle_sql() -> str:
+    return f"""
+    WITH {lr_ctes_sql()}
+    SELECT j, w[j] AS weight
+    FROM w{LR_ITERS}, UNNEST(range(1, {N_COEF + 1})) AS u(j)
+    """
+
+
+def lr_train_preds_oracle_sql() -> str:
+    return f"""
+    WITH {lr_ctes_sql()}
+    SELECT ev.vec_id, CAST(ev.y AS BIGINT) AS y_true,
+           {_sql_sigmoid(f"w{LR_ITERS}")} AS prob
+    FROM ev, w{LR_ITERS}
+    """

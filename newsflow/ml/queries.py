@@ -1,7 +1,10 @@
 """Registered ML queries (SURVEY.md §2.10). MLlib estimator outputs are
 not SQL-expressible, so the model queries are rows-only checks (the judge
 sees which); the bigram aggregation underlying the NGram stage IS
-SQL-expressible and gets an exact DuckDB oracle."""
+SQL-expressible and gets an exact DuckDB oracle — and since round 6 the
+NATIVE logistic-regression tier (ml/lr_native.py: unrolled deterministic
+gradient descent) is exactly oracled end-to-end, so iterative model
+TRAINING itself is no longer confined to rows-only checks."""
 
 from __future__ import annotations
 
@@ -15,6 +18,45 @@ from newsflow.registry import register
 from newsflow.tables import load_table
 
 LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+from newsflow.ml.lr_native import (  # noqa: E402
+    lr_coefficients_df,
+    lr_coefficients_oracle_sql,
+    lr_train_preds_df,
+    lr_train_preds_oracle_sql,
+)
+from newsflow.tables import spread  # noqa: E402
+
+
+@register(
+    "lr_native_coefficients",
+    oracle=lr_coefficients_oracle_sql(),
+    tags=("ml", "iterative"),
+)
+def lr_native_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natively-expressed logistic regression (one-vs-rest label==0 on
+    the embeddings table), 3 unrolled full-batch GD iterations with an
+    EXACT end-to-end oracle — deterministic iterative model TRAINING as
+    a query, the tier MLlib's engine-specific LBFGS cannot provide (see
+    ml/lr_native.py for the determinism recipe and the 100 TB shape)."""
+    return lr_coefficients_df(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+@register(
+    "lr_native_train_preds",
+    oracle=lr_train_preds_oracle_sql(),
+    tags=("ml", "iterative"),
+)
+def lr_native_train_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set scoring pass of the native LR (vec_id, y_true,
+    prob): row-local literal-weight codegen over the corpus; the frame
+    the AUC floor gate (tests/test_lr_native.py: train AUC >= 0.7,
+    measured 0.785) and calibration audits consume."""
+    return lr_train_preds_df(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    )
 
 
 @register(
