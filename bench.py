@@ -81,6 +81,7 @@ HEADLINE = [
     "knn_cosine_pq",            # PQ/ADC ANN (codes-only scan + re-rank)
     "dsir_importance_weights",  # hashed-ngram importance scoring (DSIR)
     "lr_native_coefficients",   # oracled iterative GD model training
+    "knn_cosine_ivfpq",         # residual IVF-PQ (probe-bounded ADC)
 ]
 
 

@@ -59,63 +59,75 @@ def _unit(embeddings: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
-def _sub_d2(sub: int, centroid: list[float]) -> F.Column:
+def _sub_d2(
+    sub: int, centroid: list[float], dsub: int = PQ_DSUB
+) -> F.Column:
     """Squared distance of the ``sub``-th subvector of unit column `u`
     to a literal codeword — row-local sequential fold."""
     arr = "array(" + ", ".join(f"{x!r}D" for x in centroid) + ")"
-    lo = sub * PQ_DSUB + 1
+    lo = sub * dsub + 1
     return F.expr(
-        f"aggregate(zip_with(slice(u, {lo}, {PQ_DSUB}), {arr},"
+        f"aggregate(zip_with(slice(u, {lo}, {dsub}), {arr},"
         " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
     )
 
 
-def _assign_codes(units: DataFrame, cents: dict) -> DataFrame:
+def _assign_codes(
+    units: DataFrame,
+    cents: dict,
+    n_subs: int = PQ_SUBS,
+    dsub: int = PQ_DSUB,
+    k: int = PQ_K,
+) -> DataFrame:
     """+ `codes` array<int> (one codeword id per subspace): literal-
     codebook argmin on (rounded d², codeword id) — row-local codegen,
     zero shuffle over the corpus."""
     per_sub = []
-    for s in range(PQ_SUBS):
+    for s in range(n_subs):
         structs = [
             F.struct(
-                dround(_sub_d2(s, cents[(s, c)]), ROUND_DIST).alias("d"),
+                dround(_sub_d2(s, cents[(s, c)], dsub), ROUND_DIST).alias(
+                    "d"
+                ),
                 F.lit(c).alias("c"),
             )
-            for c in range(PQ_K)
+            for c in range(k)
         ]
         per_sub.append(F.array_min(F.array(*structs))["c"])
     return units.withColumn("codes", F.array(*per_sub))
 
 
-def pq_fit(embeddings: DataFrame) -> tuple[DataFrame, dict]:
-    """Deterministic per-subspace Lloyd fit on unit vectors. Returns the
-    encoded corpus (id, u, codes) and the codebook dict
-    {(sub, codeword): [PQ_DSUB floats]} — the literal state the ADC
-    lookup tables and the SQL oracle's c1 relation both derive from.
+def subspace_fit(
+    units: DataFrame,
+    n_subs: int = PQ_SUBS,
+    dsub: int = PQ_DSUB,
+    k: int = PQ_K,
+) -> tuple[DataFrame, dict]:
+    """Deterministic per-subspace Lloyd fit over a (vec_id, u) frame —
+    the shared engine for the PQ codebooks (16 subspaces of 4 dims),
+    the IVF-PQ coarse quantizer (ONE subspace of 64 dims = plain
+    unit-space k-means through the same code path), and the IVF-PQ
+    residual codebooks. Returns the encoded frame (vec_id, u, codes)
+    and the codebook dict {(sub, codeword): [dsub floats]}.
 
     Scale shape: same as sim/kmeans.py per iteration — assignment is
     row-local with literal codebooks; recomputation is one
     posexplode + groupBy(sub, codeword, dim) shuffle of
-    PQ_SUBS·PQ_K·PQ_DSUB decimal partial sums (map-side combined) and
-    an O(1k-row) collect."""
-    units = _unit(embeddings, "vec_id")
-    seed_rows = (
-        units.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
-    )
+    n_subs·k·dsub decimal partial sums (map-side combined) and an
+    O(1k-row) collect."""
+    seed_rows = units.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = {
-        (s, int(r["vec_id"])): list(
-            r["u"][s * PQ_DSUB : (s + 1) * PQ_DSUB]
-        )
+        (s, int(r["vec_id"])): list(r["u"][s * dsub : (s + 1) * dsub])
         for r in seed_rows
-        for s in range(PQ_SUBS)
+        for s in range(n_subs)
     }
-    assigned = _assign_codes(units, cents)
+    assigned = _assign_codes(units, cents, n_subs, dsub, k)
     for _ in range(PQ_ITERS - 1):
         dims = assigned.select(
             "codes", F.posexplode("u").alias("i", "val")
         ).select(
-            (F.col("i") / PQ_DSUB).cast("int").alias("sub"),
-            (F.col("i") % PQ_DSUB).alias("dim"),
+            (F.col("i") / dsub).cast("int").alias("sub"),
+            (F.col("i") % dsub).alias("dim"),
             "val",
             "codes",
         )
@@ -138,12 +150,17 @@ def pq_fit(embeddings: DataFrame) -> tuple[DataFrame, dict]:
             )
             .collect()
         )
-        new_cents = {k: list(v) for k, v in cents.items()}
+        new_cents = {key: list(v) for key, v in cents.items()}
         for r in rows:
             new_cents[(r["sub"], r["cw"])][r["dim"]] = r["val"]
         cents = new_cents
-        assigned = _assign_codes(units, cents)
+        assigned = _assign_codes(units, cents, n_subs, dsub, k)
     return assigned, cents
+
+
+def pq_fit(embeddings: DataFrame) -> tuple[DataFrame, dict]:
+    """PQ codebook fit on unit vectors (see `subspace_fit`)."""
+    return subspace_fit(_unit(embeddings, "vec_id"))
 
 
 def pq_topk(
@@ -254,14 +271,17 @@ def pq_topk(
     )
 
 
-def pq_ctes_sql() -> str:
-    """The PQ build chain as a reusable WITH body (unit vectors →
-    subspace dims → seed codebooks c0 → assignment a0 → decimal means
-    m1 → codebooks c1 → final codes a1 → per-(sub,codeword) codeword
-    arrays cvecs) — the per-subspace generalization of
-    sim/kmeans.kmeans_ctes_sql (subspace id is a grouping key, so the
-    chain's size does not grow with PQ_SUBS or PQ_K)."""
+def subspace_ctes_sql(prefix: str, dims_rel: str, k: int) -> str:
+    """The per-subspace unrolled-Lloyd chain over an EXISTING dims
+    relation ``dims_rel`` (vec_id, sub, dim, val), emitting
+    {prefix}c0 → {prefix}a0 → {prefix}m1 → {prefix}c1 → {prefix}a1 →
+    {prefix}cvecs. Shared by the PQ codebooks, the IVF-PQ coarse
+    quantizer (one 64-dim subspace = plain unit-space k-means through
+    the same SQL), and the IVF-PQ residual codebooks — subspace id is a
+    grouping key, so chain size is constant in subspace/codeword
+    counts."""
     assert PQ_ITERS == 2, "oracle is unrolled for exactly 2 iterations"
+    p = prefix
 
     def dist_stage(cents_rel: str) -> str:
         return f"""
@@ -274,13 +294,43 @@ def pq_ctes_sql() -> str:
       SELECT d.vec_id, d.sub, c.cluster,
              round(sum((d.val - c.val) * (d.val - c.val)) + 1e-9,
                    {ROUND_DIST}) + 0.0 AS d2
-      FROM udims d JOIN {cents_rel} c
+      FROM {dims_rel} d JOIN {cents_rel} c
         ON c.sub = d.sub AND c.dim = d.dim
       GROUP BY 1, 2, 3
     )
   ) WHERE rn = 1
     """
 
+    return f"""{p}c0 AS (
+      SELECT vec_id AS cluster, sub, dim, val FROM {dims_rel}
+      WHERE vec_id < {k}
+    ),
+    {p}a0 AS ({dist_stage(p + "c0")}),
+    {p}m1 AS (
+      SELECT a.sub, a.cluster, d.dim,
+             round(cast(sum(cast(d.val AS DECIMAL(28,12))) as double)
+                   / count(*) + 1e-9, {ROUND_CENTROID}) + 0.0 AS val
+      FROM {p}a0 a JOIN {dims_rel} d
+        ON d.vec_id = a.vec_id AND d.sub = a.sub
+      GROUP BY 1, 2, 3
+    ),
+    {p}c1 AS (
+      SELECT {p}c0.cluster, {p}c0.sub, {p}c0.dim,
+             COALESCE({p}m1.val, {p}c0.val) AS val
+      FROM {p}c0 LEFT JOIN {p}m1
+        ON {p}m1.cluster = {p}c0.cluster AND {p}m1.sub = {p}c0.sub
+       AND {p}m1.dim = {p}c0.dim
+    ),
+    {p}a1 AS ({dist_stage(p + "c1")}),
+    {p}cvecs AS (
+      SELECT sub, cluster, list(val ORDER BY dim) AS cvec
+      FROM {p}c1 GROUP BY 1, 2
+    )"""
+
+
+def unit_dims_ctes_sql() -> str:
+    """pv (raw arrays) → pu (unit arrays) → udims (subspace dims at
+    the PQ_DSUB granularity) — the shared input relations."""
     return f"""pv AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ),
@@ -293,32 +343,17 @@ def pq_ctes_sql() -> str:
       SELECT vec_id, CAST(i // {PQ_DSUB} AS INT) AS sub,
              i % {PQ_DSUB} AS dim, ue[i + 1] AS val
       FROM pu, UNNEST(range(len(ue))) AS t(i)
-    ),
-    pc0 AS (
-      SELECT vec_id AS cluster, sub, dim, val FROM udims
-      WHERE vec_id < {PQ_K}
-    ),
-    pa0 AS ({dist_stage("pc0")}),
-    pm1 AS (
-      SELECT a.sub, a.cluster, d.dim,
-             round(cast(sum(cast(d.val AS DECIMAL(28,12))) as double)
-                   / count(*) + 1e-9, {ROUND_CENTROID}) + 0.0 AS val
-      FROM pa0 a JOIN udims d
-        ON d.vec_id = a.vec_id AND d.sub = a.sub
-      GROUP BY 1, 2, 3
-    ),
-    pc1 AS (
-      SELECT pc0.cluster, pc0.sub, pc0.dim,
-             COALESCE(pm1.val, pc0.val) AS val
-      FROM pc0 LEFT JOIN pm1
-        ON pm1.cluster = pc0.cluster AND pm1.sub = pc0.sub
-       AND pm1.dim = pc0.dim
-    ),
-    pa1 AS ({dist_stage("pc1")}),
-    cvecs AS (
-      SELECT sub, cluster, list(val ORDER BY dim) AS cvec
-      FROM pc1 GROUP BY 1, 2
     )"""
+
+
+def pq_ctes_sql() -> str:
+    """The PQ build chain as a reusable WITH body (see
+    `subspace_ctes_sql`; cvecs lives at ``pcvecs``)."""
+    return (
+        unit_dims_ctes_sql()
+        + ",\n    "
+        + subspace_ctes_sql("p", "udims", PQ_K)
+    )
 
 
 def pq_oracle_sql(
@@ -343,7 +378,7 @@ def pq_oracle_sql(
              round(list_dot_product(
                qu.ue[cv.sub * {PQ_DSUB} + 1 : cv.sub * {PQ_DSUB} + {PQ_DSUB}],
                cv.cvec) + 1e-9, {ROUND_PART}) + 0.0 AS part
-      FROM pu qu, cvecs cv
+      FROM pu qu, pcvecs cv
       WHERE qu.vec_id < {max_query_id}
     ),
     adc AS (

@@ -501,6 +501,110 @@ def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from newsflow.sim.ivfpq import ivfpq_oracle_sql, ivfpq_topk  # noqa: E402
+
+# The IVF-PQ tier is a DOUBLE approximation (probe misses + residual
+# quantization), so it carries its own floors below the shared KNN ones:
+# measured at sf0.01 with 2/8 cells probed: mean 0.9, min 0.6.
+IVFPQ_MEAN_RECALL_FLOOR = 0.85
+IVFPQ_QUERY_RECALL_FLOOR = 0.5
+
+
+def ivfpq_recall_floor_violations(recall_df: DataFrame) -> list[str]:
+    """Floor violations over a `knn_ivfpq_recall_eval`-shaped frame
+    (bounded collect; empty frame is itself a violation)."""
+    rows = recall_df.collect()
+    out: list[str] = []
+    if not rows:
+        return ["recall frame is empty — evaluation is vacuous"]
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    if mean < IVFPQ_MEAN_RECALL_FLOOR:
+        out.append(
+            f"mean recall@k {mean:.4f} < floor {IVFPQ_MEAN_RECALL_FLOOR}"
+        )
+    for r in rows:
+        if r.recall_at_k < IVFPQ_QUERY_RECALL_FLOOR:
+            out.append(
+                f"query {r.query_id}: recall@k {r.recall_at_k} < "
+                f"floor {IVFPQ_QUERY_RECALL_FLOOR}"
+            )
+    return out
+
+
+@register(
+    "knn_cosine_ivfpq",
+    oracle=ivfpq_oracle_sql(),
+    tags=("similarity", "ivf", "pq", "iterative"),
+)
+def knn_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate cosine top-5 — the residual-quantization
+    composition a production vector index ships (coarse cells + PQ
+    codes of the residuals + probe-bounded ADC + exact re-rank), with
+    an EXACT end-to-end oracle composing the coarse and residual
+    unrolled-Lloyd chains (sim/ivfpq.py). 2 of 8 cells probed and the
+    scan reads cell + 16 nibble codes per vector, so both the compute
+    AND the memory story of the 100 TB index are real here."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "knn_ivfpq_recall_eval",
+    # FULLY COMPOSED oracle (same form as the IVF/PQ evals).
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS ({ivfpq_oracle_sql(k=5, max_query_id=8)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS k,
+           (round(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "ivf", "pq", "evaluation"),
+)
+def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF-PQ tier against the brute-force
+    baseline, recomputed end-to-end by the composed oracle. Floors
+    (`ivfpq_recall_floor_violations`) are the tier's own — looser than
+    the single-approximation tiers because probe misses bound recall —
+    and red-on-misconfig is proven in tests/test_recall_gates.py."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivfpq_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 @register(
     "contrastive_hard_negatives",
     oracle=f"""

@@ -173,3 +173,58 @@ def test_pq_degraded_config_trips_floor(spark):
         )
     )
     assert knn_recall_floor_violations(recall) != []
+
+
+def test_ivfpq_recall_floor(spark):
+    """The IVF-PQ tier at its shipped config (2/8 cells probed, 16x16
+    residual codebooks, top-32 re-rank) must hold its own floors
+    (mean >= 0.85, per-query >= 0.5; measured 0.9 / 0.6 at sf0.01)."""
+    from newsflow.sim.queries import (
+        ivfpq_recall_floor_violations,
+        knn_ivfpq_recall_eval,
+    )
+
+    assert (
+        ivfpq_recall_floor_violations(knn_ivfpq_recall_eval(spark, SF_ORACLE))
+        == []
+    )
+
+
+def test_ivfpq_degraded_config_trips_floor(spark):
+    """Single-cell probing with no re-rank headroom (n_probe=1, r=k)
+    must TURN THE GATE RED — the tier's floors are tripwires."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim.ivfpq import ivfpq_topk
+    from newsflow.sim.knn import cosine_topk
+    from newsflow.sim.queries import ivfpq_recall_floor_violations
+    from newsflow.tables import load_table, spread
+
+    emb = spread(load_table(spark, SF_ORACLE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(emb, queries, k=5, n_probe=1, r=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    recall = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k")
+        )
+    )
+    assert ivfpq_recall_floor_violations(recall) != []
