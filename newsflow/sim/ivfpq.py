@@ -40,7 +40,7 @@ from newsflow.sim.pq import (
     PQ_SUBS,
     ROUND_ADC,
     ROUND_PART,
-    _sub_d2,
+    _qtab_expr,
     _unit,
     subspace_ctes_sql,
     subspace_fit,
@@ -101,23 +101,21 @@ def ivfpq_topk(
     )
 
     qunits = _unit(queries, "query_id")
-    probe_structs = F.array(
-        *[
-            F.struct(
-                dround(
-                    _sub_d2(0, ccents[(0, c)], EMB_DIM), ROUND_DIST
-                ).alias("d"),
-                F.lit(c).alias("c"),
-            )
-            for c in range(IVFPQ_CELLS)
-        ]
+    # Runtime cell ranking over the literal centroid array — compact
+    # codegen (same rationale as pq.books_sql).
+    probe_sorted = F.expr(
+        f"array_sort(transform(sequence(0, {IVFPQ_CELLS - 1}), c -> "
+        f"named_struct("
+        f"'d', round(aggregate(zip_with(u, {carr}[c],"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+        f" + 1e-09, {ROUND_DIST}) + 0.0,"
+        f"'c', CAST(c AS INT))))"
     )
     probed = qunits.withColumn(
         "cell",
         F.explode(
             F.transform(
-                F.slice(F.array_sort(probe_structs), 1, n_probe),
-                lambda s: s["c"],
+                F.slice(probe_sorted, 1, n_probe), lambda s: s["c"]
             )
         ),
     )
@@ -129,29 +127,7 @@ def ivfpq_topk(
         ).alias("qc"),
         F.expr(f"zip_with(u, {carr}[cell], (x, y) -> x - y)").alias("qr"),
     )
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    dround(
-                        dot_expr(
-                            F.slice("qr", s * PQ_DSUB + 1, PQ_DSUB),
-                            F.expr(
-                                "array("
-                                + ", ".join(
-                                    f"{x!r}D" for x in books[(s, c)]
-                                )
-                                + ")"
-                            ),
-                        ),
-                        ROUND_PART,
-                    )
-                    for c in range(PQ_K)
-                ]
-            )
-            for s in range(PQ_SUBS)
-        ]
-    )
+    qtab = _qtab_expr("qr", books, PQ_SUBS, PQ_DSUB, PQ_K)
     qside = F.broadcast(
         qres.select("query_id", "cell", "qc", qtab.alias("qtab"))
     )

@@ -72,6 +72,25 @@ def _sub_d2(
     )
 
 
+def books_sql(cents: dict, n_subs: int, k: int) -> str:
+    """The codebook as ONE literal 3D array constant
+    (sub → codeword → dims), indexed at runtime. Keeping the codebook
+    as data instead of unrolling n_subs·k codeword expressions is what
+    keeps whole-stage codegen SMALL: the unrolled form generated ~256
+    copies of the distance fold and Janino compilation became the
+    dominant cost — a fixed ~10 s per query REGARDLESS of data size
+    (measured: knn_cosine_pq 12.3 s at sf0.1 → 4.1 s after this
+    rewrite; BENCH_sf1.md round-6 section)."""
+    subs = []
+    for s in range(n_subs):
+        cws = [
+            "array(" + ", ".join(f"{x!r}D" for x in cents[(s, c)]) + ")"
+            for c in range(k)
+        ]
+        subs.append("array(" + ", ".join(cws) + ")")
+    return "array(" + ", ".join(subs) + ")"
+
+
 def _assign_codes(
     units: DataFrame,
     cents: dict,
@@ -79,22 +98,21 @@ def _assign_codes(
     dsub: int = PQ_DSUB,
     k: int = PQ_K,
 ) -> DataFrame:
-    """+ `codes` array<int> (one codeword id per subspace): literal-
-    codebook argmin on (rounded d², codeword id) — row-local codegen,
-    zero shuffle over the corpus."""
-    per_sub = []
-    for s in range(n_subs):
-        structs = [
-            F.struct(
-                dround(_sub_d2(s, cents[(s, c)], dsub), ROUND_DIST).alias(
-                    "d"
-                ),
-                F.lit(c).alias("c"),
-            )
-            for c in range(k)
-        ]
-        per_sub.append(F.array_min(F.array(*structs))["c"])
-    return units.withColumn("codes", F.array(*per_sub))
+    """+ `codes` (one codeword id per subspace): runtime argmin over
+    the literal codebook array on (rounded d², codeword id) — row-local,
+    zero shuffle over the corpus, compact codegen (see `books_sql`)."""
+    books = books_sql(cents, n_subs, k)
+    expr = (
+        f"transform(sequence(0, {n_subs - 1}), s -> "
+        f"array_min(transform(sequence(0, {k - 1}), c -> "
+        f"named_struct("
+        f"'d', round(aggregate(zip_with("
+        f"slice(u, CAST(s * {dsub} + 1 AS INT), {dsub}), {books}[s][c],"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+        f" + 1e-09, {ROUND_DIST}) + 0.0,"
+        f"'c', CAST(c AS INT)))).c)"
+    )
+    return units.withColumn("codes", F.expr(expr))
 
 
 def subspace_fit(
@@ -114,7 +132,18 @@ def subspace_fit(
     row-local with literal codebooks; recomputation is one
     posexplode + groupBy(sub, codeword, dim) shuffle of
     n_subs·k·dsub decimal partial sums (map-side combined) and an
-    O(1k-row) collect."""
+    O(1k-row) collect.
+
+    The input frame is CACHED (MEMORY_AND_DISK, session-scoped, evicted
+    by the bench harness's clearCache between runs): the fit reads it
+    4+ times (seeds, per-iteration recompute, assignments, the caller's
+    downstream scan), and without the materialization barrier Catalyst
+    INLINES the input's expression tree into every one of the n_subs·k
+    codeword-distance expressions — for IVF-PQ's residual tier that
+    re-evaluates the whole coarse-quantizer argmin per codeword per
+    row, measured 178 s vs ~7 s at sf1 (BENCH_sf1.md round-6 section).
+    At 100 TB this cache IS the persisted index-build intermediate."""
+    units = units.cache()
     seed_rows = units.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = {
         (s, int(r["vec_id"])): list(r["u"][s * dsub : (s + 1) * dsub])
@@ -163,6 +192,23 @@ def pq_fit(embeddings: DataFrame) -> tuple[DataFrame, dict]:
     return subspace_fit(_unit(embeddings, "vec_id"))
 
 
+def _qtab_expr(
+    vec_col: str, cents: dict, n_subs: int, dsub: int, k: int
+) -> F.Column:
+    """Per-row ADC lookup table: n_subs × k rounded partial dots of the
+    row's subvectors against the literal codebook — runtime loops over
+    the 3D codebook constant (compact codegen, see `books_sql`)."""
+    books = books_sql(cents, n_subs, k)
+    return F.expr(
+        f"transform(sequence(0, {n_subs - 1}), s -> "
+        f"transform(sequence(0, {k - 1}), c -> "
+        f"round(aggregate(zip_with("
+        f"slice({vec_col}, CAST(s * {dsub} + 1 AS INT), {dsub}),"
+        f" {books}[s][c], (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        f" + 1e-09, {ROUND_PART}) + 0.0))"
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -189,29 +235,7 @@ def pq_topk(
     )
 
     qunits = _unit(queries, "query_id")
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    dround(
-                        dot_expr(
-                            F.slice("u", s * PQ_DSUB + 1, PQ_DSUB),
-                            F.expr(
-                                "array("
-                                + ", ".join(
-                                    f"{x!r}D" for x in cents[(s, c)]
-                                )
-                                + ")"
-                            ),
-                        ),
-                        ROUND_PART,
-                    )
-                    for c in range(PQ_K)
-                ]
-            )
-            for s in range(PQ_SUBS)
-        ]
-    )
+    qtab = _qtab_expr("u", cents, PQ_SUBS, PQ_DSUB, PQ_K)
     qs = F.broadcast(qunits.select("query_id", qtab.alias("qtab")))
 
     adc = (
