@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 
 from newsflow.functions.scalars import dround, sql_dround
 from newsflow.sim.knn import as_double_array, dot_expr
@@ -120,6 +121,135 @@ def lr_train_preds_df(embeddings: DataFrame) -> DataFrame:
         F.col("y").cast("long").alias("y_true"),
         _prob_col(w).alias("prob"),
     )
+
+
+ROUND_LOSS = 7
+ROUND_METRIC = 6
+
+
+def lr_train_metrics_df(embeddings: DataFrame) -> DataFrame:
+    """One-row training metrics for the native LR: (n, auc,
+    avg_log_loss) — the evaluation itself as an exactly-oracled query
+    (the same move as the ANN recall evals: the METRIC is recomputed
+    independently by the oracle, not asserted).
+
+    AUC is the exact Mann-Whitney statistic with average-rank tie
+    handling, computed from the DISTINCT-probability table: per rounded
+    prob, (count, positives); cnt_less via a running sum ordered by
+    prob; rank-sum contributions cpos·(cnt_less + (cnt+1)/2) are exact
+    half-integers (< 2^53), so their sum is order-independent without
+    decimal casts. The only single-partition window runs over the
+    distinct-prob table, BOUNDED by the 9-dp probability key space —
+    at 100 TB coarsen ROUND_PROB (or swap in the two-pass
+    ops/scale.distributed_rank cumsum) to keep that table broadcast-
+    sized; the corpus-side work is one groupBy(prob).
+
+    Log-loss clamps probabilities to [1e-9, 1-1e-9] (9-dp rounding can
+    saturate a sigmoid to exactly 0 or 1), rounds the per-row loss at
+    {ROUND_LOSS} (the ln-ulp discipline), and takes a decimal-exact
+    mean."""
+    preds = lr_train_preds_df(embeddings)
+    g = preds.groupBy("prob").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y_true").alias("cpos"),
+    )
+    w = Window.orderBy("prob").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.withColumn(
+        "cnt_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    rank_sum = cum.agg(
+        F.sum(
+            F.col("cpos")
+            * (F.col("cnt_less") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rs")
+    )
+    totals = preds.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y_true").alias("npos")
+    )
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.least(c, F.lit(1.0 - 1e-9)), F.lit(1e-9)
+    )
+    ll = preds.select(
+        dround(
+            -(
+                F.col("y_true") * F.log(clamp(F.col("prob")))
+                + (1 - F.col("y_true"))
+                * F.log(clamp(F.lit(1.0) - F.col("prob")))
+            ),
+            ROUND_LOSS,
+        ).alias("l")
+    ).agg(
+        dround(
+            F.sum(F.col("l").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1)),
+            ROUND_METRIC,
+        ).alias("avg_log_loss")
+    )
+    auc = (
+        F.col("rs") - F.col("npos") * (F.col("npos") + 1) / 2.0
+    ) / (F.col("npos") * (F.col("n") - F.col("npos")))
+    return (
+        totals.crossJoin(rank_sum)
+        .crossJoin(ll)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            dround(auc, ROUND_METRIC).alias("auc"),
+            "avg_log_loss",
+        )
+    )
+
+
+def lr_train_metrics_oracle_sql() -> str:
+    clamp = "greatest(least({p}, 1.0 - 1e-9), 1e-9)"
+    return f"""
+    WITH {lr_ctes_sql()},
+    preds AS (
+      SELECT ev.vec_id, ev.y AS y_true, {_sql_sigmoid(f"w{LR_ITERS}")} AS prob
+      FROM ev, w{LR_ITERS}
+    ),
+    g AS (
+      SELECT prob, count(*) AS cnt, sum(y_true) AS cpos
+      FROM preds GROUP BY prob
+    ),
+    cum AS (
+      SELECT prob, cnt, cpos,
+             coalesce(sum(cnt) OVER (
+               ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cnt_less
+      FROM g
+    ),
+    ranks AS (
+      SELECT sum(cpos * (cnt_less + (cnt + 1) / 2.0)) AS rs FROM cum
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(y_true) AS npos FROM preds
+    ),
+    ll AS (
+      SELECT {sql_dround(
+          "-(y_true * ln(" + clamp.format(p="prob") + ")"
+          " + (1 - y_true) * ln(" + clamp.format(p="1.0 - prob") + "))",
+          ROUND_LOSS,
+      )} AS l
+      FROM preds
+    ),
+    lls AS (
+      SELECT {sql_dround(
+          "CAST(sum(CAST(l AS DECIMAL(25,10))) AS DOUBLE) / count(*)",
+          ROUND_METRIC,
+      )} AS avg_log_loss FROM ll
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           {sql_dround(
+               "(ranks.rs - tot.npos * (tot.npos + 1) / 2.0)"
+               " / (tot.npos * (tot.n - tot.npos))",
+               ROUND_METRIC,
+           )} AS auc,
+           lls.avg_log_loss
+    FROM tot, ranks, lls
+    """
 
 
 def _sql_sigmoid(w_rel: str) -> str:

@@ -22,6 +22,8 @@ LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 from newsflow.ml.lr_native import (  # noqa: E402
     lr_coefficients_df,
     lr_coefficients_oracle_sql,
+    lr_train_metrics_df,
+    lr_train_metrics_oracle_sql,
     lr_train_preds_df,
     lr_train_preds_oracle_sql,
 )
@@ -96,6 +98,24 @@ def lr_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "metric string, value double, n_train bigint, n_test bigint,"
         " label_order string",
+    )
+
+
+@register(
+    "lr_native_train_metrics",
+    oracle=lr_train_metrics_oracle_sql(),
+    tags=("ml", "iterative", "evaluation"),
+)
+def lr_native_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, auc, avg_log_loss) of the native LR on its training set —
+    the model evaluation as an exactly-oracled query: exact
+    tie-corrected Mann-Whitney AUC and clamped log-loss, both
+    recomputed independently by DuckDB from the unrolled GD chain
+    (ml/lr_native.py::lr_train_metrics_df for the determinism and
+    scale notes). The MLlib `lr_model_metrics` stays as the rows-only
+    API-parity twin."""
+    return lr_train_metrics_df(
+        spread(load_table(spark, sf_dir, "embeddings"))
     )
 
 

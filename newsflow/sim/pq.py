@@ -79,8 +79,8 @@ def books_sql(cents: dict, n_subs: int, k: int) -> str:
     keeps whole-stage codegen SMALL: the unrolled form generated ~256
     copies of the distance fold and Janino compilation became the
     dominant cost — a fixed ~10 s per query REGARDLESS of data size
-    (measured: knn_cosine_pq 12.3 s at sf0.1 → 4.1 s after this
-    rewrite; BENCH_sf1.md round-6 section)."""
+    (measured: knn_cosine_pq 12.3 s at sf0.1 → 2.16 s after this
+    rewrite; BENCH_sf1.md round-6 section, hazard #4)."""
     subs = []
     for s in range(n_subs):
         cws = [

@@ -69,3 +69,16 @@ def test_lr_fit_weights_move_every_iteration(spark):
     assert len(w) == N_COEF
     assert w[0] != 0.0
     assert LR_ITERS >= 2
+
+
+def test_lr_metrics_query_agrees_with_reference_auc(spark):
+    """The oracled metrics query's AUC must equal the pure-Python
+    Mann-Whitney reference on the same predictions (both tie-corrected),
+    up to the query's 6-dp rounding."""
+    specs = all_specs()
+    rows = specs["lr_native_train_preds"].build(spark, SF_ORACLE).collect()
+    expected = _auc(rows)
+    m = specs["lr_native_train_metrics"].build(spark, SF_ORACLE).collect()[0]
+    assert m.n == len(rows)
+    assert abs(m.auc - expected) < 1e-6
+    assert 0.0 < m.avg_log_loss < 1.0
