@@ -201,6 +201,65 @@ def lr_train_metrics_df(embeddings: DataFrame) -> DataFrame:
     )
 
 
+N_CALIB_BINS = 10
+
+
+def lr_calibration_df(embeddings: DataFrame) -> DataFrame:
+    """Reliability-diagram bins: predictions bucketed into
+    {N_CALIB_BINS} equal-width probability bins, each with its count,
+    decimal-exact mean predicted probability, and observed positive
+    rate — the calibration audit that decides whether the model's
+    scores can be used as probabilities (e.g. as DSIR-style sampling
+    weights). prob = 1.0 lands in the top bin (least()).
+
+    Scale shape: one groupBy over at most {N_CALIB_BINS} keys,
+    map-side combined; corpus never shuffles."""
+    preds = lr_train_preds_df(embeddings)
+    bin_id = F.least(
+        F.floor(F.col("prob") * N_CALIB_BINS).cast("long"),
+        F.lit(N_CALIB_BINS - 1).cast("long"),
+    )
+    return (
+        preds.withColumn("bin", bin_id)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(
+                F.sum(F.col("prob").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                ROUND_METRIC,
+            ).alias("mean_prob"),
+            dround(
+                F.sum("y_true").cast("double") / F.count(F.lit(1)),
+                ROUND_METRIC,
+            ).alias("frac_positive"),
+        )
+    )
+
+
+def lr_calibration_oracle_sql() -> str:
+    return f"""
+    WITH {lr_ctes_sql()},
+    preds AS (
+      SELECT ev.vec_id, ev.y AS y_true, {_sql_sigmoid(f"w{LR_ITERS}")} AS prob
+      FROM ev, w{LR_ITERS}
+    )
+    SELECT CAST(least(floor(prob * {N_CALIB_BINS}), {N_CALIB_BINS - 1})
+                AS BIGINT) AS bin,
+           count(*) AS n,
+           {sql_dround(
+               "CAST(sum(CAST(prob AS DECIMAL(25,10))) AS DOUBLE)"
+               " / count(*)",
+               ROUND_METRIC,
+           )} AS mean_prob,
+           {sql_dround(
+               "CAST(sum(y_true) AS DOUBLE) / count(*)", ROUND_METRIC
+           )} AS frac_positive
+    FROM preds
+    GROUP BY 1
+    """
+
+
 def lr_train_metrics_oracle_sql() -> str:
     clamp = "greatest(least({p}, 1.0 - 1e-9), 1e-9)"
     return f"""

@@ -20,6 +20,8 @@ from newsflow.tables import load_table
 LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 from newsflow.ml.lr_native import (  # noqa: E402
+    lr_calibration_df,
+    lr_calibration_oracle_sql,
     lr_coefficients_df,
     lr_coefficients_oracle_sql,
     lr_train_metrics_df,
@@ -115,6 +117,21 @@ def lr_native_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale notes). The MLlib `lr_model_metrics` stays as the rows-only
     API-parity twin."""
     return lr_train_metrics_df(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+@register(
+    "lr_native_calibration",
+    oracle=lr_calibration_oracle_sql(),
+    tags=("ml", "iterative", "evaluation"),
+)
+def lr_native_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins of the native LR's training predictions
+    (bin, n, mean_prob, frac_positive) — the calibration audit, exactly
+    oracled like the rest of the native-LR family
+    (ml/lr_native.py::lr_calibration_df)."""
+    return lr_calibration_df(
         spread(load_table(spark, sf_dir, "embeddings"))
     )
 
