@@ -82,6 +82,7 @@ HEADLINE = [
     "dsir_importance_weights",  # hashed-ngram importance scoring (DSIR)
     "lr_native_coefficients",   # oracled iterative GD model training
     "knn_cosine_ivfpq",         # residual IVF-PQ (probe-bounded ADC)
+    "bpe_merge_table",          # tokenizer training (oracled BPE merges)
 ]
 
 

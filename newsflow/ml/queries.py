@@ -19,6 +19,7 @@ from newsflow.tables import load_table
 
 LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
+from newsflow.ml import bpe  # noqa: E402, F401  (registers bpe_* queries)
 from newsflow.ml.lr_native import (  # noqa: E402
     lr_calibration_df,
     lr_calibration_oracle_sql,
