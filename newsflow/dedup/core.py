@@ -238,7 +238,10 @@ def shared_span_pairs(
 
 
 def span_dedup_rewrite(
-    docs: DataFrame, n: int = 20, max_gram_df: int = 100
+    docs: DataFrame,
+    n: int = 20,
+    max_gram_df: int = 100,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """REMOVAL form of span-level dedup (`shared_span_pairs` finds the
     documents; this rewrites them): every ``n``-token gram occurring in
@@ -269,7 +272,15 @@ def span_dedup_rewrite(
     row-local: sorted starts fold into disjoint merged intervals
     (adjacent/overlapping [q, q+n-1] windows coalesce), and each token
     checks `exists(intervals)` — O(len x intervals), intervals bounded
-    by distinct removed spans, NOT by raw gram hits."""
+    by distinct removed spans, NOT by raw gram hits.
+
+    ``hash_grams=True`` is the SCALE knob (same opt-in pattern and
+    verified-equivalence argument as `shared_span_pairs`): the gram
+    stats and the occurrence join key on xxhash64(gram) — 8 bytes
+    instead of the ~100-byte 20-token string, and the string itself is
+    never materialized (only positions flow downstream), at a
+    ~2^-64-per-gram-pair collision risk. tests/test_dedup.py asserts
+    hash-form output == string-form output at the check SF."""
     empty_starts = F.expr("CAST(array() AS array<int>)")
     toks = docs.select(
         "doc_id",
@@ -280,11 +291,17 @@ def span_dedup_rewrite(
     # Positional grams: (doc_id, pos, s) for every n-token window. The
     # CASE guard is load-bearing for the same InferFiltersFromGenerate +
     # eager-CSE reason as shingles_expr (see functions/text.py).
+    gram_expr = f"array_join(slice(t, i, {n}), ' ')"
+    if hash_grams:
+        gram_expr = f"xxhash64({gram_expr})"
+        gram_type = "bigint"
+    else:
+        gram_type = "string"
     span_structs = F.expr(
         f"CASE WHEN size(t) >= {n} THEN "
         f"transform(sequence(1, size(t) - {n - 1}),"
-        f" i -> named_struct('pos', i, 's', array_join(slice(t, i, {n}), ' '))) "
-        f"ELSE CAST(array() AS array<struct<pos:int,s:string>>) END"
+        f" i -> named_struct('pos', i, 's', {gram_expr})) "
+        f"ELSE CAST(array() AS array<struct<pos:int,s:{gram_type}>>) END"
     )
     grams = toks.select("doc_id", F.explode(span_structs).alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.s").alias("s")

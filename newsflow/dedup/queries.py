@@ -477,11 +477,18 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicated substring beats dropping whole documents). One row
     per document with n_tokens / n_removed_tokens / n_removed_spans /
     cleaned_text; see `dedup/core.py::span_dedup_rewrite` for the
-    row-local interval-merge rewrite and the scale argument."""
+    row-local interval-merge rewrite and the scale argument.
+
+    Runs the ``hash_grams`` form (xxhash64 keys — the gram string is
+    never materialized; positions alone flow downstream); the
+    string-form SQL remains a true oracle under the same verified-
+    equivalence argument as `shared_span_pairs` (hash == string output
+    asserted exactly at the check SF, tests/test_dedup.py)."""
     return core.span_dedup_rewrite(
         spread(load_table(spark, sf_dir, "documents")),
         n=SPAN_N,
         max_gram_df=SPAN_MAX_GRAM_DF,
+        hash_grams=True,
     )
 
 

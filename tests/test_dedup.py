@@ -304,3 +304,21 @@ def test_incremental_neardup_max_key_df_drops_hot_keys(spark):
         max_key_df=0,
     )
     assert inc.count() == 0
+
+
+def test_span_rewrite_hash_form_matches_string_form(spark):
+    """The span-rewrite hash_grams scale knob must be output-equivalent
+    at the check SF (same argument as shared_span_pairs: xxhash64
+    collisions are ~2^-64 per gram pair)."""
+    from newsflow.dedup.core import span_dedup_rewrite
+    from newsflow.tables import load_table, spread
+    from tests.conftest import SF_ORACLE
+
+    docs = spread(load_table(spark, SF_ORACLE, "documents"))
+    key = lambda r: tuple(r)  # noqa: E731
+    strings = sorted(map(key, span_dedup_rewrite(docs).collect()))
+    hashed = sorted(
+        map(key, span_dedup_rewrite(docs, hash_grams=True).collect())
+    )
+    assert strings == hashed
+    assert any(r[2] > 0 for r in strings)  # non-vacuous: removals exist
