@@ -303,3 +303,50 @@ def test_approx_bounds_sketches_never_keyed_by_distinct_column(spark):
     assert all(k == "1" for k in sketch_keys), (
         f"sketch aggregate keyed by more than the group column: {plan}"
     )
+
+
+def test_span_rewrite_no_python_no_cartesian(spark):
+    """Round-6 span rewrite: fully JVM-side, no cartesian product, and
+    the final doc-keyed attach of removal starts joins — the rewrite
+    itself must be expression-level, not a corpus-token shuffle."""
+    plan = plan_of(spark, "span_dedup_rewrite")
+    assert "Cartesian" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_incremental_neardup_no_cartesian_udf_free(spark):
+    """The batch-vs-index probe must be an equi-join on (band, key) —
+    never a cartesian — and stay JVM-side."""
+    plan = plan_of(spark, "incremental_neardup_new_docs")
+    assert "Cartesian" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_dsir_ratio_join_broadcasts(spark):
+    """The bucket log-ratio table (<= 4096 rows by construction) must
+    broadcast onto the per-doc bucket counts — the corpus-sized side
+    never shuffles for the ratio attach."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_pq_adc_scan_broadcasts_queries(spark):
+    """PQ/ADC: the query-side lookup tables broadcast; the corpus codes
+    scan is never shuffled for scoring; everything JVM-side."""
+    plan = plan_of(spark, "knn_cosine_pq")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
+
+
+def test_ivfpq_probe_join_is_cell_keyed(spark):
+    """IVF-PQ: candidates come from an equi-join on the cell id (the
+    layout key) — no cartesian, no Python."""
+    plan = plan_of(spark, "knn_cosine_ivfpq")
+    assert "Cartesian" not in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
