@@ -605,6 +605,88 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_INDEX_MAX_VEC_ID = 250
+
+from newsflow.sim.pq import PQ_K as _PQ_K  # noqa: E402
+from newsflow.sim.pq import subspace_ctes_sql as _subspace_ctes_sql  # noqa: E402
+
+
+@register(
+    "pq_encode_new_vectors",
+    # The batch is encoded against codebooks fit on the INDEX side only
+    # (vec_id < 250) — the oracle replays the index-side fit chain and
+    # then assigns the batch vectors against its c1 relation, exactly
+    # the no-refit append path.
+    oracle=f"""
+    WITH pv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    pu AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
+      FROM pv
+    ),
+    alldims AS (
+      SELECT vec_id, CAST(i // 4 AS INT) AS sub, i % 4 AS dim,
+             ue[i + 1] AS val
+      FROM pu, UNNEST(range(len(ue))) AS t(i)
+    ),
+    udims AS (
+      SELECT * FROM alldims WHERE vec_id < {PQ_INDEX_MAX_VEC_ID}
+    ),
+    {_subspace_ctes_sql("p", "udims", _PQ_K)},
+    batch_assign AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+               row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, cluster
+               ) AS rn
+        FROM (
+          SELECT d.vec_id, d.sub, c.cluster,
+                 round(sum((d.val - c.val) * (d.val - c.val)) + 1e-9, 4)
+                   + 0.0 AS d2
+          FROM alldims d JOIN pc1 c
+            ON c.sub = d.sub AND c.dim = d.dim
+          WHERE d.vec_id >= {PQ_INDEX_MAX_VEC_ID}
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(cluster ORDER BY sub), '-') AS code_string
+    FROM batch_assign
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "pq", "incremental"),
+)
+def pq_encode_new_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance, PQ tier: encode a NEW vector
+    batch (vec_id >= {PQ_INDEX_MAX_VEC_ID}) against the EXISTING
+    codebooks (fit on vec_id < {PQ_INDEX_MAX_VEC_ID} only, no refit) —
+    the daily-append path of a production PQ index: per-batch cost is
+    the batch's own row-local assignment against broadcast codebook
+    literals, the ANN twin of `incremental_neardup_new_docs`.
+    Output: (vec_id, code_string) per batch vector, the rows appended
+    to the stored code table."""
+    from newsflow.sim.pq import _assign_codes, _unit, subspace_fit
+
+    units = _unit(
+        spread(load_table(spark, sf_dir, "embeddings")), "vec_id"
+    )
+    _, cents = subspace_fit(
+        units.filter(F.col("vec_id") < PQ_INDEX_MAX_VEC_ID)
+    )
+    encoded = _assign_codes(
+        units.filter(F.col("vec_id") >= PQ_INDEX_MAX_VEC_ID), cents
+    )
+    return encoded.select(
+        "vec_id",
+        F.expr(
+            "array_join(transform(codes, c -> cast(c as string)), '-')"
+        ).alias("code_string"),
+    )
+
+
 @register(
     "contrastive_hard_negatives",
     oracle=f"""
