@@ -395,3 +395,116 @@ def session_window_stats_stream_watermarked(
 
     result, _ = replay_events_watermarked(spark, sf_dir, session_stats)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest (round 6): the deployment form of
+# incremental_neardup_new_docs, EXECUTED and exactly oracled
+# ---------------------------------------------------------------------------
+
+from newsflow.corpus import EXISTING_MAX_DOC_ID  # noqa: E402
+from newsflow.dedup.queries import _JACCARD_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_neardup_ingest",
+    # Deterministic two-wave replay (one file per micro-batch, ascending
+    # mtimes, maxFilesPerTrigger=1) makes the sequential micro-batch
+    # semantics SQL-expressible: wave-1 batch-internal collapse (greedy
+    # doc_b-side losers), index <- wave-1 survivors, wave-2 internal
+    # collapse then index probe against the wave-1 SURVIVORS only. The
+    # exact-pair SQL is a true oracle via the same recall-1 equivalence
+    # arguments as the batch operators (banding + exact verification).
+    oracle=f"""
+    WITH p AS ({_JACCARD_ORACLE}),
+    k1 AS (
+      SELECT doc_id FROM documents d WHERE doc_id < {EXISTING_MAX_DOC_ID}
+        AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.doc_b = d.doc_id AND p.doc_a < {EXISTING_MAX_DOC_ID}
+        )
+    ),
+    k2a AS (
+      SELECT doc_id FROM documents d WHERE doc_id >= {EXISTING_MAX_DOC_ID}
+        AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.doc_b = d.doc_id AND p.doc_a >= {EXISTING_MAX_DOC_ID}
+        )
+    ),
+    k2 AS (
+      SELECT doc_id FROM k2a d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p JOIN k1 ON p.doc_a = k1.doc_id
+        WHERE p.doc_b = d.doc_id
+      )
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM k1
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS ingest_batch FROM k2
+    """,
+    tags=("streaming", "dedup", "incremental", "executed"),
+)
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest, EXECUTED: the documents table arrives
+    as two micro-batches (doc_id split at {EXISTING_MAX_DOC_ID});
+    each batch collapses its internal near-duplicates, probes the
+    stored band-signature index built from PRIOR batches' survivors,
+    and appends its own survivors' signatures — so a wave-2 near-dup of
+    a wave-1 KEPT document is dropped while a near-dup of a wave-1
+    LOSER survives (the index holds survivors only; the oracle's k1
+    join proves exactly that). Output: (doc_id, ingest_batch) for every
+    kept document.
+
+    Harness note: per-batch results live in batch=<id> parquet
+    partitions under temp dirs; the bounded final read-back
+    (corpus-row-count rows at check SF) is re-materialized so the temp
+    lifecycle can be cleaned before returning — the production form
+    (`streaming/ingest.py::neardup_ingest_stream`) writes to durable
+    paths and needs no such step."""
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.streaming.ingest import neardup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    wave1 = docs.filter(F.col("doc_id") < EXISTING_MAX_DOC_ID)
+    wave2 = docs.filter(F.col("doc_id") >= EXISTING_MAX_DOC_ID)
+
+    base = tempfile.mkdtemp(prefix="nf_neardup_ingest_")
+    replay = os.path.join(base, "replay")
+    os.makedirs(replay)
+    try:
+        for i, wave in enumerate((wave1, wave2)):
+            write_single_parquet_file(
+                wave,
+                os.path.join(replay, f"{i:02d}.parquet"),
+                mtime=1_000_000_000 + i * 1000,
+            )
+        schema = spark.read.parquet(
+            os.path.join(replay, "00.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay)
+        )
+        q = neardup_ingest_stream(
+            spark,
+            stream,
+            index_dir=os.path.join(base, "index"),
+            out_dir=os.path.join(base, "out"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("doc_id", "ingest_batch")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.ingest_batch) for r in rows],
+        "doc_id long, ingest_batch long",
+    )

@@ -64,3 +64,100 @@ def stream_merge_to_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> StreamingQuery:
+    """STREAMING near-dup ingest — the deployment form of
+    `incremental_neardup_new_docs`: each micro-batch (1) collapses
+    batch-internal near-duplicates (any doc near-dup of a smaller-id doc
+    in the same batch is dropped — the greedy doc_b-side rule, identical
+    in trainer and oracle), (2) probes the STORED band-signature index
+    and drops docs matching any already-indexed document, (3) appends
+    the survivors' shingle arrays + band signatures to the index and the
+    survivors themselves (tagged ``ingest_batch``) to ``out_dir``.
+
+    Exactly-once: every write targets a ``batch=<id>`` subdirectory in
+    overwrite mode, so a replayed micro-batch (at-least-once delivery)
+    rewrites its own partition idempotently — the same recipe as
+    `stream_merge_to_corpus`, without needing MERGE because batch ids
+    partition the output naturally.
+
+    Scale shape: per micro-batch cost = the batch's own shingle/
+    signature computation + the index probe join (batch side broadcast,
+    index scanned columnar, never shuffled) — cost tracks batch size,
+    not corpus size, exactly the property the batch-mode stress table
+    proves (BENCH_sf1.md round-6 section)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup import minhash
+    from newsflow.dedup.core import doc_shingle_arrays
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        losers = (
+            minhash.native_minhash_near_dup_pairs(
+                batch, n=n, threshold=threshold
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch.join(losers, "doc_id", "left_anti")
+        sigs_path = os.path.join(index_dir, "sigs")
+        arrays_path = os.path.join(index_dir, "arrays")
+        if os.path.exists(sigs_path):
+            # The batch=<id> layout adds a partition-discovery column —
+            # project it away so the stored tables match the in-flight
+            # frames' schemas.
+            matched = (
+                minhash.incremental_neardup_from_index(
+                    spark.read.parquet(sigs_path).select(
+                        "doc_id", "band", "key"
+                    ),
+                    spark.read.parquet(arrays_path).select(
+                        "doc_id", "shingles"
+                    ),
+                    survivors,
+                    n=n,
+                    threshold=threshold,
+                    num_hashes=num_hashes,
+                    rows_per_band=rows_per_band,
+                )
+                .select(F.col("new_doc_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(matched, "doc_id", "left_anti")
+        kept_arrays = doc_shingle_arrays(survivors, n).cache()
+        kept_arrays.write.mode("overwrite").parquet(
+            os.path.join(arrays_path, f"batch={batch_id}")
+        )
+        minhash.band_signatures(
+            kept_arrays, num_hashes, rows_per_band
+        ).write.mode("overwrite").parquet(
+            os.path.join(sigs_path, f"batch={batch_id}")
+        )
+        survivors.withColumn(
+            "ingest_batch", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        kept_arrays.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

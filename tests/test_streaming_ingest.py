@@ -106,3 +106,90 @@ def test_stream_merge_aborts_on_key_move(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="moves key"):
         q.awaitTermination()
     assert _corpus(spark, corpus) == before  # nothing written
+
+
+def test_neardup_ingest_stream_planted_semantics(spark, tmp_path):
+    """The streaming near-dup ingest's load-bearing behaviors, planted:
+    batch-internal collapse (greedy doc_b-side), index probe against
+    PRIOR survivors, index growth across batches, and availableNow
+    replay idempotency (same checkpoint -> nothing reprocessed)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.streaming.ingest import neardup_ingest_stream
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"alt{i}" for i in range(60))
+    third = " ".join(f"thr{i}" for i in range(60))
+    wave1 = spark.createDataFrame(
+        [
+            (1, base, "en", "s1"),
+            (2, base + " suffix", "en", "s1"),  # near-dup of 1 -> drop
+            (3, other, "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            (11, base + " tail", "en", "s3"),   # near-dup of KEPT 1 -> drop
+            (12, third, "en", "s3"),            # new content -> keep
+            (13, third + " coda", "en", "s3"),  # near-dup of 12 -> drop
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    replay = str(tmp_path / "replay")
+    os.makedirs(replay)
+    for i, wave in enumerate((wave1, wave2)):
+        write_single_parquet_file(
+            wave,
+            os.path.join(replay, f"{i:02d}.parquet"),
+            mtime=1_000_000_000 + i * 1000,
+        )
+    schema = spark.read.parquet(os.path.join(replay, "00.parquet")).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay)
+        )
+        q = neardup_ingest_stream(
+            spark,
+            stream,
+            index_dir=str(tmp_path / "index"),
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+    run()
+    out = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out == {(1, 0), (3, 0), (12, 1)}
+    indexed = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "index" / "arrays"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert indexed == {1, 3, 12}  # index holds SURVIVORS only, and grows
+
+    # Replay with the same checkpoint: availableNow finds no new files,
+    # output unchanged (exactly-once result).
+    run()
+    out2 = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out2 == out
