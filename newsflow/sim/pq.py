@@ -59,19 +59,6 @@ def _unit(embeddings: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
-def _sub_d2(
-    sub: int, centroid: list[float], dsub: int = PQ_DSUB
-) -> F.Column:
-    """Squared distance of the ``sub``-th subvector of unit column `u`
-    to a literal codeword — row-local sequential fold."""
-    arr = "array(" + ", ".join(f"{x!r}D" for x in centroid) + ")"
-    lo = sub * dsub + 1
-    return F.expr(
-        f"aggregate(zip_with(slice(u, {lo}, {dsub}), {arr},"
-        " (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
-    )
-
-
 def books_sql(cents: dict, n_subs: int, k: int) -> str:
     """The codebook as ONE literal 3D array constant
     (sub → codeword → dims), indexed at runtime. Keeping the codebook
