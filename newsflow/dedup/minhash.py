@@ -355,6 +355,14 @@ def incremental_neardup_from_index(
     )
     cands = (
         probes.join(index, ["band", "key"])
+        # Self-pair guard: when a batch's own signatures have already
+        # landed in the index (at-least-once replay of a foreachBatch
+        # whose writes committed before the checkpoint did), every
+        # survivor would candidate-match itself at jaccard=1 and be
+        # dropped. The stream layer also excludes the replayed batch's
+        # partition; this filter is the defense-in-depth for any other
+        # caller that probes an index containing the probe docs.
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -13,11 +13,16 @@ occurrence via non-overlapping left-to-right string replacement
 (' h a ' → ' ha ') — `replace()` has IDENTICAL semantics in Spark and
 DuckDB, which is what makes the whole trainer oracle-able.
 
-Documented variant: single-pass non-overlapping replacement merges
-runs of >= 3 identical adjacent symbols alternately (textbook greedy
-BPE merges them left-to-right compactly). The two coincide whenever no
-symbol run of length >= 3 exists — asserted for the check corpus in
-tests/test_bpe.py — and trainer and oracle agree ALWAYS, run or no run.
+Documented variant: single-pass non-overlapping replacement diverges
+from textbook greedy BPE wherever occurrences of the merged pair share
+a boundary in the spaced form — runs of >= 3 identical symbols (replace
+merges alternately, greedy compactly) AND consecutive occurrences of
+the pair itself, L R L R (e.g. 'banana' for merge (a, n): replace
+merges only the first, greedy merges both). The two coincide iff the
+merged pair never occurs twice in a row in any word's current
+segmentation — asserted per merge step for the check corpus in
+tests/test_bpe.py (plus char-level static screens) — and trainer and
+oracle agree ALWAYS, divergence or no, since both use replace().
 
 Scale shape: the corpus pays ONE tokenize + explode + groupBy(word);
 every iteration then runs on the VOCABULARY-sized word table (cached —

@@ -607,6 +607,8 @@ def knn_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_INDEX_MAX_VEC_ID = 250
 
+from newsflow.sim.kmeans import ROUND_DIST as _ROUND_DIST  # noqa: E402
+from newsflow.sim.pq import PQ_DSUB as _PQ_DSUB  # noqa: E402
 from newsflow.sim.pq import PQ_K as _PQ_K  # noqa: E402
 from newsflow.sim.pq import subspace_ctes_sql as _subspace_ctes_sql  # noqa: E402
 
@@ -627,8 +629,8 @@ from newsflow.sim.pq import subspace_ctes_sql as _subspace_ctes_sql  # noqa: E40
       FROM pv
     ),
     alldims AS (
-      SELECT vec_id, CAST(i // 4 AS INT) AS sub, i % 4 AS dim,
-             ue[i + 1] AS val
+      SELECT vec_id, CAST(i // {_PQ_DSUB} AS INT) AS sub,
+             i % {_PQ_DSUB} AS dim, ue[i + 1] AS val
       FROM pu, UNNEST(range(len(ue))) AS t(i)
     ),
     udims AS (
@@ -643,8 +645,8 @@ from newsflow.sim.pq import subspace_ctes_sql as _subspace_ctes_sql  # noqa: E40
                ) AS rn
         FROM (
           SELECT d.vec_id, d.sub, c.cluster,
-                 round(sum((d.val - c.val) * (d.val - c.val)) + 1e-9, 4)
-                   + 0.0 AS d2
+                 round(sum((d.val - c.val) * (d.val - c.val)) + 1e-9,
+                       {_ROUND_DIST}) + 0.0 AS d2
           FROM alldims d JOIN pc1 c
             ON c.sub = d.sub AND c.dim = d.dim
           WHERE d.vec_id >= {PQ_INDEX_MAX_VEC_ID}

@@ -66,6 +66,83 @@ def stream_merge_to_corpus(
     )
 
 
+def neardup_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> None:
+    """One micro-batch of the streaming near-dup ingest, module-level so
+    the at-least-once replay path (sink ran, checkpoint commit lost,
+    batch re-delivered with the same batch_id) is directly testable."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup import minhash
+    from newsflow.dedup.core import doc_shingle_arrays
+
+    if batch.isEmpty():
+        return
+    losers = (
+        minhash.native_minhash_near_dup_pairs(batch, n=n, threshold=threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = batch.join(losers, "doc_id", "left_anti")
+    sigs_path = os.path.join(index_dir, "sigs")
+    arrays_path = os.path.join(index_dir, "arrays")
+    if os.path.exists(sigs_path):
+        # Replay safety: on at-least-once re-execution of a batch whose
+        # index writes already landed (crash after the batch=<id>
+        # parquet commits but before the streaming checkpoint commit),
+        # the stored index CONTAINS this batch's own signatures —
+        # probing against them would self-match every survivor at
+        # jaccard=1 and silently drop the whole batch. Keep the batch
+        # partition-discovery column long enough to exclude the current
+        # batch_id, then project it away so the stored tables match the
+        # in-flight frames' schemas. (incremental_neardup_from_index
+        # additionally drops doc_a == doc_b pairs as defense in depth.)
+        matched = (
+            minhash.incremental_neardup_from_index(
+                spark.read.parquet(sigs_path)
+                .filter(F.col("batch") != F.lit(batch_id))
+                .select("doc_id", "band", "key"),
+                spark.read.parquet(arrays_path)
+                .filter(F.col("batch") != F.lit(batch_id))
+                .select("doc_id", "shingles"),
+                survivors,
+                n=n,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                rows_per_band=rows_per_band,
+            )
+            .select(F.col("new_doc_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = survivors.join(matched, "doc_id", "left_anti")
+    kept_arrays = doc_shingle_arrays(survivors, n).cache()
+    kept_arrays.write.mode("overwrite").parquet(
+        os.path.join(arrays_path, f"batch={batch_id}")
+    )
+    minhash.band_signatures(
+        kept_arrays, num_hashes, rows_per_band
+    ).write.mode("overwrite").parquet(
+        os.path.join(sigs_path, f"batch={batch_id}")
+    )
+    survivors.withColumn(
+        "ingest_batch", F.lit(batch_id).cast("long")
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+    kept_arrays.unpersist()
+
+
 def neardup_ingest_stream(
     spark: SparkSession,
     stream: DataFrame,
@@ -97,63 +174,18 @@ def neardup_ingest_stream(
     index scanned columnar, never shuffled) — cost tracks batch size,
     not corpus size, exactly the property the batch-mode stress table
     proves (BENCH_sf1.md round-6 section)."""
-    import os
-
-    import pyspark.sql.functions as F
-
-    from newsflow.dedup import minhash
-    from newsflow.dedup.core import doc_shingle_arrays
-
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        losers = (
-            minhash.native_minhash_near_dup_pairs(
-                batch, n=n, threshold=threshold
-            )
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        neardup_apply_batch(
+            spark,
+            batch,
+            batch_id,
+            index_dir=index_dir,
+            out_dir=out_dir,
+            n=n,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
         )
-        survivors = batch.join(losers, "doc_id", "left_anti")
-        sigs_path = os.path.join(index_dir, "sigs")
-        arrays_path = os.path.join(index_dir, "arrays")
-        if os.path.exists(sigs_path):
-            # The batch=<id> layout adds a partition-discovery column —
-            # project it away so the stored tables match the in-flight
-            # frames' schemas.
-            matched = (
-                minhash.incremental_neardup_from_index(
-                    spark.read.parquet(sigs_path).select(
-                        "doc_id", "band", "key"
-                    ),
-                    spark.read.parquet(arrays_path).select(
-                        "doc_id", "shingles"
-                    ),
-                    survivors,
-                    n=n,
-                    threshold=threshold,
-                    num_hashes=num_hashes,
-                    rows_per_band=rows_per_band,
-                )
-                .select(F.col("new_doc_id").alias("doc_id"))
-                .distinct()
-            )
-            survivors = survivors.join(matched, "doc_id", "left_anti")
-        kept_arrays = doc_shingle_arrays(survivors, n).cache()
-        kept_arrays.write.mode("overwrite").parquet(
-            os.path.join(arrays_path, f"batch={batch_id}")
-        )
-        minhash.band_signatures(
-            kept_arrays, num_hashes, rows_per_band
-        ).write.mode("overwrite").parquet(
-            os.path.join(sigs_path, f"batch={batch_id}")
-        )
-        survivors.withColumn(
-            "ingest_batch", F.lit(batch_id).cast("long")
-        ).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
-        kept_arrays.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -36,6 +36,21 @@ def _py_bpe_greedy(words: Counter, n_merges: int):
                 pc[(syms[i], syms[i + 1])] += words[w]
         (lhs, rhs), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((step, lhs, rhs, c))
+        # Exact precondition for single-pass-replace == textbook greedy
+        # at THIS step: no word contains the merged pair twice in a row
+        # (L R L R shares the boundary space in the spaced form, so
+        # non-overlapping replace merges only the first occurrence).
+        # Checked dynamically per step because multi-char symbols can
+        # form repeated pairs that no char-level regex on the raw word
+        # anticipates (e.g. 'abcabc' after merging (a,b) then (ab,c)).
+        for w, syms in segs.items():
+            for i in range(len(syms) - 3):
+                assert not (
+                    syms[i] == lhs
+                    and syms[i + 1] == rhs
+                    and syms[i + 2] == lhs
+                    and syms[i + 3] == rhs
+                ), (w, step, lhs, rhs)
         for w, syms in segs.items():
             out, i = [], 0
             while i < len(syms):
@@ -54,12 +69,18 @@ def _py_bpe_greedy(words: Counter, n_merges: int):
 
 
 def test_corpus_has_no_triple_symbol_runs(spark):
-    """The single-pass-replace variant equals textbook greedy BPE
-    whenever no >= 3-run of identical adjacent symbols appears — assert
-    that precondition holds on the check corpus so the next test is a
-    true textbook comparison."""
+    """Static screens for the single-pass-replace == textbook-greedy
+    precondition: no >= 3-run of identical symbols AND no repeated
+    adjacent char pair (L R L R shares the boundary space, so
+    non-overlapping replace merges only the first occurrence — e.g.
+    'banana' for merge (a, n)). These char-level screens are necessary
+    but not sufficient once symbols are multi-char; the EXACT per-step
+    condition (merged pair never occurs twice in a row in any word's
+    current segmentation) is asserted inside _py_bpe_greedy, which the
+    next test drives through every merge step."""
     for w in _py_words(spark):
         assert not re.search(r"(.)\1\1", w), w
+        assert not re.search(r"(.)(.)\1\2", w), w
 
 
 def test_merge_table_matches_textbook_reference(spark):

@@ -193,3 +193,35 @@ def test_neardup_ingest_stream_planted_semantics(spark, tmp_path):
         .collect()
     }
     assert out2 == out
+
+    # Sink-ran/offset-lost replay (the at-least-once case the
+    # availableNow rerun above does NOT exercise): the micro-batch's
+    # parquet writes all landed, the checkpoint commit was lost, and
+    # Structured Streaming re-delivers the SAME data with the SAME
+    # batch_id. The apply must exclude the batch's own already-written
+    # index partition — otherwise every survivor self-matches at
+    # jaccard=1 and the replay overwrites the batch with empty output.
+    from newsflow.streaming.ingest import neardup_apply_batch
+
+    neardup_apply_batch(
+        spark,
+        wave2,
+        1,
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "out"),
+    )
+    out3 = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out3 == out  # replay is a no-op, batch 1 survivors intact
+    indexed3 = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "index" / "arrays"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert indexed3 == {1, 3, 12}
