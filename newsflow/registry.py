@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     # 50-slot window until the current never-green set rotates out.
     "newsflow.quality",
     "newsflow.selection",
+    "newsflow.takedown",
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
     "newsflow.sim.health",

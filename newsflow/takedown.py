@@ -1,0 +1,545 @@
+"""Takedown / deletion propagation — the inverse of incremental ingest.
+
+A 100 TB training corpus carries a standing legal obligation the append
+path never exercises: given a delete-list of doc_ids (copyright claim,
+PII notice, opt-out), remove every trace of those documents from the
+corpus AND from every derived artifact, while touching as little of the
+lake as possible. This module propagates one delete-list through the
+four derived-table families the engine maintains:
+
+1. the deduped corpus itself (``batch=N``-partitioned survivor parquet,
+   the `neardup_ingest_stream` output layout);
+2. the MinHash signature index (``sigs``/``arrays``, same layout);
+3. vector code tables (PQ / IVF-PQ codes keyed by vec_id = doc_id);
+4. packed training sequences (shard-partitioned placements whose
+   offsets shift when a document vanishes mid-stream).
+
+Plus the genuinely hard case: **near-dup keeper re-election**. Deleting
+a keeper orphans every document that was dropped for matching it; a
+correct takedown re-admits any dropped document whose every matching
+keeper is now gone (re-running dedup among the re-admission candidates
+themselves — two orphans of one deleted keeper must not BOTH come
+back). Re-election reuses `neardup_apply_batch` verbatim: candidates
+form a batch, the batch probes the post-delete index, survivors append
+under a caller-supplied takedown batch id.
+
+Scale shape: the delete-list is broadcast (takedown lists are
+human-generated — thousands of rows, not billions); dirty partitions
+are found with a column-pruned key scan and only they are rewritten
+(dynamic partition overwrite + explicit tombstones for partitions the
+deletion empties, the `ops/merge.py::merge_upsert` recipe); the
+re-election probe costs one index scan + candidate-sized joins, the
+`incremental_neardup_from_index` shape. Nothing corpus-proportional
+runs on the driver.
+
+Idempotency: every step is a pure function of (stored state ∖
+delete-list), and the re-election batch excludes its OWN output
+partition when computing candidates and probing the index — a crashed
+takedown re-run with the same ``takedown_id`` rewrites identical bytes
+(tests/test_takedown.py replays it).
+
+Reference parity: the reference engine has no deletion story at all
+(append-only `build_datasets.py`); this is a scale-mandated extension
+in the spirit of its corpus-maintenance ETL.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.functions.text import sql_shingles_rel, sql_tokens
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+#: md5-prefix shard count of the packing layout (curation.py SEQ_LEN/
+#: N_PACK_SHARDS are imported lazily to avoid a module cycle).
+
+
+def _key_frame(delete_ids: DataFrame, key: str) -> DataFrame:
+    """Normalize a delete-list to one distinct column named ``key``."""
+    col = delete_ids.columns[0]
+    return delete_ids.select(F.col(col).alias(key)).distinct()
+
+
+def takedown_partitioned(
+    spark: SparkSession,
+    path: str,
+    delete_ids: DataFrame,
+    key: str = "doc_id",
+    partition_col: str | None = "batch",
+) -> dict[str, int]:
+    """Delete ``delete_ids`` rows from the parquet table at ``path``,
+    rewriting only the hive partitions that contain a deleted key.
+
+    ``partition_col=None`` degrades to a whole-table rewrite (for small
+    unpartitioned side tables like a code table); partitioned targets
+    pay one column-pruned (key, partition) scan to find dirty
+    partitions, then rewrite exactly those — partitions the deletion
+    empties are tombstoned explicitly, since dynamic overwrite cannot
+    emit an empty partition (see ops/merge.py for the full argument).
+
+    Returns {"deleted": n, "partitions": n_dirty}.
+    """
+    if not os.path.exists(path):
+        return {"deleted": 0, "partitions": 0}
+    dels = F.broadcast(_key_frame(delete_ids, key))
+    target = spark.read.parquet(path)
+
+    if partition_col is None or partition_col not in target.columns:
+        kept = target.join(dels, key, "left_anti").localCheckpoint(eager=True)
+        n_deleted = target.count() - kept.count()
+        if n_deleted:
+            kept.write.mode("overwrite").parquet(path)
+            spark.catalog.refreshByPath(path)
+        return {"deleted": int(n_deleted), "partitions": 1 if n_deleted else 0}
+
+    dirty = [
+        r[0]
+        for r in target.join(dels, key, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not dirty:
+        return {"deleted": 0, "partitions": 0}
+    affected = target.filter(F.col(partition_col).isin(dirty))
+    kept = affected.join(dels, key, "left_anti").localCheckpoint(eager=True)
+    n_deleted = affected.count() - kept.count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        emptied = set(dirty) - {
+            r[0] for r in kept.select(partition_col).distinct().collect()
+        }
+        for p in emptied:
+            (
+                kept.filter(F.lit(False))
+                .drop(partition_col)
+                .write.mode("overwrite")
+                .parquet(f"{path}/{partition_col}={p}")
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(path)
+    return {"deleted": int(n_deleted), "partitions": len(dirty)}
+
+
+def takedown_repack(
+    spark: SparkSession,
+    packs_path: str,
+    delete_ids: DataFrame,
+    added: DataFrame | None = None,
+) -> dict[str, int]:
+    """Propagate a takedown through the stored sequence-packing table
+    (`corpus_pack_sequences` layout: doc_id, shard, pack_id,
+    pack_offset, n_tokens — hive-partitioned by shard).
+
+    Removing (or re-admitting) a document shifts the pack offsets of
+    every LATER document in its md5 shard, so the dirty unit is the
+    shard, not the row: dirty shards = shards of deleted ∪ added docs;
+    each is rebuilt from (its surviving rows ∪ the added rows) with the
+    prefix-sum offsets recomputed in the canonical (md5(doc_id),
+    doc_id) order. Untouched shards — the overwhelming majority under
+    any realistic delete-list — are never read. ``added`` needs only
+    (doc_id, n_tokens); shard is re-derived from doc_id.
+    """
+    from newsflow.curation import N_PACK_SHARDS, SEQ_LEN
+    from pyspark.sql import Window
+
+    if not os.path.exists(packs_path):
+        return {"deleted": 0, "added": 0, "partitions": 0}
+    dels = F.broadcast(_key_frame(delete_ids, "doc_id"))
+    packs = spark.read.parquet(packs_path)
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard_of = (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS).cast("long")
+
+    dirty_del = packs.join(dels, "doc_id", "left_semi").select("shard")
+    added_rows = None
+    if added is not None:
+        added_rows = added.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            shard_of.alias("shard"),
+        ).localCheckpoint(eager=True)
+        dirty_shards = {
+            r[0]
+            for r in dirty_del.union(added_rows.select("shard"))
+            .distinct()
+            .collect()
+        }
+    else:
+        dirty_shards = {r[0] for r in dirty_del.distinct().collect()}
+    if not dirty_shards:
+        return {"deleted": 0, "added": 0, "partitions": 0}
+
+    affected = packs.filter(F.col("shard").isin(list(dirty_shards)))
+    kept = affected.join(dels, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "shard"
+    )
+    n_added = 0
+    if added_rows is not None:
+        adds = added_rows.filter(F.col("shard").isin(list(dirty_shards)))
+        n_added = adds.count()
+        # Upsert semantics: on a same-takedown-id replay the re-elected
+        # docs already sit in the stored table — replacing (not
+        # appending) their rows keeps the repack idempotent.
+        kept = kept.join(
+            F.broadcast(adds.select("doc_id")), "doc_id", "left_anti"
+        ).unionByName(adds)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rebuilt = (
+        kept.withColumn(
+            "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.expr(f"offset div {SEQ_LEN}").alias("pack_id"),
+            (F.col("offset") % SEQ_LEN).alias("pack_offset"),
+            "n_tokens",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_deleted = affected.join(dels, "doc_id", "left_semi").count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt.write.mode("overwrite").partitionBy("shard").parquet(
+            packs_path
+        )
+        emptied = dirty_shards - {
+            r[0] for r in rebuilt.select("shard").distinct().collect()
+        }
+        for p in emptied:
+            (
+                rebuilt.filter(F.lit(False))
+                .drop("shard")
+                .write.mode("overwrite")
+                .parquet(f"{packs_path}/shard={p}")
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(packs_path)
+    return {
+        "deleted": int(n_deleted),
+        "added": int(n_added),
+        "partitions": len(dirty_shards),
+    }
+
+
+def corpus_takedown(
+    spark: SparkSession,
+    delete_ids: DataFrame,
+    *,
+    out_dir: str,
+    index_dir: str,
+    takedown_id: int,
+    raw_docs: DataFrame | None = None,
+    codes_path: str | None = None,
+    packs_path: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> dict[str, int]:
+    """Propagate one delete-list through every derived artifact.
+
+    Steps, in dependency order:
+
+    1. delete from the survivor corpus (``out_dir``) and both MinHash
+       index tables (``index_dir``/sigs, /arrays) — partition-pruned;
+    2. **keeper re-election** (only when ``raw_docs``, the retained raw
+       ingest layer, is supplied): candidates = raw ∖ current survivors
+       ∖ delete-list, pushed through `neardup_apply_batch` under
+       ``batch=takedown_id`` — batch-internal greedy collapse, probe of
+       the post-delete index, survivors + their signatures appended;
+    3. delete from the vector code table (``codes_path``; re-encoding
+       re-elected vectors is the existing `pq_encode_new_vectors`
+       append path, composed by the caller — codes are delete-only
+       here);
+    4. rebuild dirty shards of the packing table (``packs_path``),
+       dropping deleted docs and inserting re-elected ones.
+
+    ``takedown_id`` must be unique per logical takedown (it namespaces
+    the re-election output partition) but a crashed run may be REPLAYED
+    with the same id: candidate computation excludes ``batch=
+    takedown_id`` from the survivor set, and `neardup_apply_batch`
+    excludes it from the index probe, so the replay recomputes and
+    rewrites the identical partition. Returns per-artifact counts.
+    """
+    from newsflow.functions.text import tokens_expr
+    from newsflow.streaming.ingest import neardup_apply_batch
+
+    dels = _key_frame(delete_ids, "doc_id").localCheckpoint(eager=True)
+    audit = {
+        "corpus_deleted": takedown_partitioned(
+            spark, out_dir, dels, partition_col="batch"
+        )["deleted"],
+        "index_sigs_deleted": takedown_partitioned(
+            spark, os.path.join(index_dir, "sigs"), dels,
+            partition_col="batch",
+        )["deleted"],
+        "index_arrays_deleted": takedown_partitioned(
+            spark, os.path.join(index_dir, "arrays"), dels,
+            partition_col="batch",
+        )["deleted"],
+        "reelected": 0,
+    }
+
+    reelected_docs = None
+    if raw_docs is not None:
+        survivors_now = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("batch") != F.lit(takedown_id))
+            .select("doc_id")
+        )
+        candidates = raw_docs.join(
+            F.broadcast(dels), "doc_id", "left_anti"
+        ).join(survivors_now, "doc_id", "left_anti")
+        neardup_apply_batch(
+            spark,
+            candidates,
+            takedown_id,
+            index_dir=index_dir,
+            out_dir=out_dir,
+            n=n,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+        )
+        reelect_path = os.path.join(out_dir, f"batch={takedown_id}")
+        if os.path.exists(reelect_path):
+            reelected_docs = (
+                spark.read.parquet(reelect_path)
+                .select(
+                    "doc_id",
+                    F.size(tokens_expr("text")).cast("long").alias(
+                        "n_tokens"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            audit["reelected"] = reelected_docs.count()
+
+    if codes_path is not None:
+        audit["codes_deleted"] = takedown_partitioned(
+            spark,
+            codes_path,
+            dels.select(F.col("doc_id").alias("vec_id")),
+            key="vec_id",
+            partition_col=None,
+        )["deleted"]
+    if packs_path is not None:
+        rp = takedown_repack(spark, packs_path, dels, added=reelected_docs)
+        audit["packs_deleted"] = rp["deleted"]
+        audit["packs_added"] = rp["added"]
+        audit["packs_dirty_shards"] = rp["partitions"]
+    return audit
+
+
+# ---------------------------------------------------------------------------
+# Oracled audit query: the SEMANTIC contract of takedown, replayed by
+# DuckDB from the base tables. The physical operator above is tested
+# against planted artifacts (tests/test_takedown.py); this query pins
+# the batch-mode meaning of "takedown + keeper re-election" so both
+# engines agree on WHAT the post-delete state must be.
+# ---------------------------------------------------------------------------
+
+#: Deterministic planted delete-list, derivable in any engine: every
+#: even-id KEEPER side of a near-dup pair (forces re-election of the
+#: losers that matched only deleted keepers) plus every 97th doc
+#: (plain rows with no dup involvement — the untouched-partition case).
+_TAKEDOWN_DEL_SQL = """
+  SELECT DISTINCT doc_a AS doc_id FROM pairs WHERE doc_a % 2 = 0
+  UNION
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+"""
+
+
+@register(
+    "corpus_takedown_audit",
+    oracle=f"""
+    WITH sh AS ({sql_shingles_rel(n=3)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    del AS ({_TAKEDOWN_DEL_SQL}),
+    survivors AS (
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM del)
+    ),
+    losers_before AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    pairs_after AS (
+      SELECT * FROM pairs
+      WHERE doc_a NOT IN (SELECT doc_id FROM del)
+        AND doc_b NOT IN (SELECT doc_id FROM del)
+    ),
+    losers_after AS (SELECT DISTINCT doc_b AS doc_id FROM pairs_after),
+    reelected AS (
+      SELECT doc_id FROM losers_before
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers_after)
+        AND doc_id NOT IN (SELECT doc_id FROM del)
+    )
+    SELECT 'deleted_docs' AS metric, count(*)::BIGINT AS value FROM del
+    UNION ALL SELECT 'docs_after', count(*)::BIGINT FROM survivors
+    UNION ALL SELECT 'pairs_before', count(*)::BIGINT FROM pairs
+    UNION ALL SELECT 'pairs_after', count(*)::BIGINT FROM pairs_after
+    UNION ALL SELECT 'losers_before', count(*)::BIGINT FROM losers_before
+    UNION ALL SELECT 'losers_after', count(*)::BIGINT FROM losers_after
+    UNION ALL SELECT 'reelected_keepers', count(*)::BIGINT FROM reelected
+    UNION ALL SELECT 'keepers_after',
+      (SELECT count(*) FROM survivors)::BIGINT
+      - (SELECT count(*) FROM losers_after)::BIGINT
+    UNION ALL SELECT 'deleted_traces_after', count(*)::BIGINT FROM del
+      WHERE doc_id IN (SELECT doc_id FROM survivors)
+    UNION ALL SELECT 'survivor_checksum',
+      sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 8))
+          ::BIGINT)::BIGINT
+      FROM survivors
+    UNION ALL SELECT 'dirty_pack_shards',
+      count(DISTINCT ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 16)
+      ::BIGINT FROM del
+    UNION ALL SELECT 'pack_tokens_after',
+      sum(len({sql_tokens()}))::BIGINT FROM survivors
+    """,
+    tags=("curation", "takedown", "dedup"),
+)
+def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode takedown semantics, audited end to end for a planted
+    deterministic delete-list (every even-id near-dup keeper + every
+    97th doc): corpus/pair/loser counts before and after, the count of
+    RE-ELECTED keepers (losers whose every matching keeper was
+    deleted), a zero-trace check derived as an actual intersection (not
+    asserted by construction), an md5 checksum over every surviving
+    (doc_id, text) — the untouched-rows-byte-identical proxy both
+    engines must reproduce — and the dirty-shard / token totals the
+    repack step must land on.
+
+    Scale shape: ONE cached shingle projection feeds the pair
+    self-join (the only expensive stage, shared with the other dedup
+    audits via `_shared_shingle_arrays`); the pair table is
+    materialized once (`localCheckpoint`) and re-filtered for the
+    before/after views; the delete-list and loser sets are
+    pair-bounded, so every join against them broadcasts. The survivor
+    scan runs once, computing count + checksum + token total in a
+    single aggregate.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    from newsflow.dedup import core
+    from newsflow.dedup.queries import _shared_shingle_arrays
+    from newsflow.functions.text import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shared_shingle_arrays(spark, sf_dir)
+    pairs = (
+        core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    dels = (
+        pairs.filter(F.col("doc_a") % 2 == 0)
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+        .distinct()
+    )
+    dels_b = F.broadcast(dels)
+    survivors = docs.join(dels_b, "doc_id", "left_anti")
+    losers_before = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    pairs_after = pairs.join(
+        dels_b.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+    ).join(
+        dels_b.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti"
+    )
+    losers_after = pairs_after.select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    reelected = losers_before.join(losers_after, "doc_id", "left_anti").join(
+        dels_b, "doc_id", "left_anti"
+    )
+
+    checksum_term = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "text")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    surv_agg = survivors.agg(
+        F.count(F.lit(1)).alias("docs_after"),
+        F.sum(checksum_term).alias("survivor_checksum"),
+        F.sum(F.size(tokens_expr("text")).cast("long")).alias(
+            "pack_tokens_after"
+        ),
+    )
+    del_agg = dels.agg(
+        F.count(F.lit(1)).alias("deleted_docs"),
+        F.countDistinct(
+            F.ascii(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            )
+            % 16
+        ).alias("dirty_pack_shards"),
+    )
+    traces = dels.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("deleted_traces_after"))
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    wide = (
+        surv_agg.crossJoin(del_agg)
+        .crossJoin(_cnt(pairs, "pairs_before"))
+        .crossJoin(_cnt(pairs_after, "pairs_after"))
+        .crossJoin(_cnt(losers_before, "losers_before"))
+        .crossJoin(_cnt(losers_after, "losers_after"))
+        .crossJoin(_cnt(reelected, "reelected_keepers"))
+        .crossJoin(traces)
+    )
+    metrics = [
+        "deleted_docs",
+        "docs_after",
+        "pairs_before",
+        "pairs_after",
+        "losers_before",
+        "losers_after",
+        "reelected_keepers",
+        "deleted_traces_after",
+        "survivor_checksum",
+        "dirty_pack_shards",
+        "pack_tokens_after",
+    ]
+    stack = ", ".join(
+        f"'{m}', cast({m} as bigint)" for m in metrics
+    ) + ", 'keepers_after', cast(docs_after - losers_after as bigint)"
+    return wide.selectExpr(
+        f"stack({len(metrics) + 1}, {stack}) as (metric, value)"
+    )

@@ -1,0 +1,230 @@
+"""Physical takedown propagation (newsflow/takedown.py): planted
+corpus + index + codes + packs, delete a near-dup KEEPER, assert
+zero traces, keeper re-election, untouched-partition byte-identity,
+and same-id replay idempotency."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from newsflow.functions.text import tokens_expr
+from newsflow.streaming.ingest import neardup_apply_batch
+from newsflow.takedown import corpus_takedown
+
+
+def _partition_bytes(path: str) -> dict[str, bytes]:
+    out = {}
+    for p in sorted(Path(path).rglob("*.parquet")):
+        out[str(p.relative_to(path))] = p.read_bytes()
+    return out
+
+
+def _build_state(spark, tmp_path):
+    base = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"alt{i}" for i in range(60))
+    third = " ".join(f"thr{i}" for i in range(60))
+    wave1 = spark.createDataFrame(
+        [
+            (1, base, "en", "s1"),
+            (2, base + " suffix", "en", "s1"),  # dropped: near-dup of 1
+            (3, other, "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    wave2 = spark.createDataFrame(
+        [
+            (11, base + " tail", "en", "s3"),  # dropped: near-dup of 1
+            (12, third, "en", "s3"),
+            (13, third + " coda", "en", "s3"),  # dropped: near-dup of 12
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    raw = wave1.unionByName(wave2)
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    neardup_apply_batch(spark, wave1, 0, index_dir=index_dir, out_dir=out_dir)
+    neardup_apply_batch(spark, wave2, 1, index_dir=index_dir, out_dir=out_dir)
+
+    # Derived artifacts over the survivor set {1, 3, 12}: a code table
+    # (vec_id = doc_id) and a shard-partitioned packing table.
+    codes_path = str(tmp_path / "codes")
+    spark.createDataFrame(
+        [(1, "0-3-1"), (3, "2-2-0"), (12, "1-0-3")],
+        "vec_id long, code_string string",
+    ).write.parquet(codes_path)
+    packs_path = str(tmp_path / "packs")
+    _fresh_packs(spark, spark.read.parquet(out_dir)).write.partitionBy(
+        "shard"
+    ).parquet(packs_path)
+    return raw, index_dir, out_dir, codes_path, packs_path
+
+
+def _fresh_packs(spark, docs):
+    """Reference packing over ``docs`` — the from-scratch recomputation
+    the partition-pruned repack must coincide with."""
+    from pyspark.sql import Window
+
+    from newsflow.curation import N_PACK_SHARDS, SEQ_LEN
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.expr(f"offset div {SEQ_LEN}").alias("pack_id"),
+            (F.col("offset") % SEQ_LEN).alias("pack_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def _pack_rows(spark, packs_path):
+    return {
+        (r.doc_id, r.shard, r.pack_id, r.pack_offset, r.n_tokens)
+        for r in spark.read.parquet(packs_path).collect()
+    }
+
+
+def test_takedown_keeper_reelection_and_propagation(spark, tmp_path):
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+    assert {
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    } == {1, 3, 12}
+    untouched_before = _partition_bytes(os.path.join(out_dir, "batch=1"))
+
+    # Delete keeper 1: docs 2 and 11 were both dropped for matching it.
+    # Re-election must re-admit exactly ONE of them (greedy smaller-id:
+    # 2), because they are near-dups of each other; 13 stays dropped
+    # (its keeper 12 survives).
+    dels = spark.createDataFrame([(1,)], "doc_id long")
+    audit = corpus_takedown(
+        spark,
+        dels,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=90,
+        raw_docs=raw,
+        codes_path=codes_path,
+        packs_path=packs_path,
+    )
+    assert audit["corpus_deleted"] == 1
+    assert audit["index_arrays_deleted"] == 1
+    assert audit["index_sigs_deleted"] > 0
+    assert audit["reelected"] == 1
+    assert audit["codes_deleted"] == 1
+    assert audit["packs_deleted"] == 1
+    assert audit["packs_added"] == 1
+
+    out_rows = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out_rows == {(3, 0), (12, 1), (2, 90)}
+    indexed = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(index_dir, "arrays"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert indexed == {3, 12, 2}
+    assert {
+        r.vec_id for r in spark.read.parquet(codes_path).collect()
+    } == {3, 12}
+
+    # Packing table equals a from-scratch repack over the final corpus.
+    final_docs = spark.read.parquet(out_dir).select("doc_id", "text")
+    expected = {
+        (r.doc_id, r.shard, r.pack_id, r.pack_offset, r.n_tokens)
+        for r in _fresh_packs(spark, final_docs).collect()
+    }
+    assert _pack_rows(spark, packs_path) == expected
+
+    # Untouched corpus partition (batch=1 — no deleted, no re-elected
+    # rows) is byte-identical.
+    assert (
+        _partition_bytes(os.path.join(out_dir, "batch=1"))
+        == untouched_before
+    )
+
+    # Same-takedown-id replay (crash retry): recomputes and rewrites the
+    # identical state — nothing lost, nothing duplicated.
+    state_before = {
+        p: _partition_bytes(p)
+        for p in (out_dir, index_dir, codes_path, packs_path)
+    }
+    audit2 = corpus_takedown(
+        spark,
+        dels,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=90,
+        raw_docs=raw,
+        codes_path=codes_path,
+        packs_path=packs_path,
+    )
+    assert audit2["corpus_deleted"] == 0  # already gone
+    assert audit2["reelected"] == 1  # same survivor re-derived
+    out_rows2 = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out_rows2 == out_rows
+    assert _pack_rows(spark, packs_path) == expected
+    # Artifacts not touched by the replay's rewrites keep their bytes
+    # (the re-elect partition is legitimately rewritten with identical
+    # logical content; compare logical state instead of bytes there).
+    assert _partition_bytes(codes_path) == state_before[codes_path]
+
+
+def test_takedown_without_raw_layer_is_delete_only(spark, tmp_path):
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+    dels = spark.createDataFrame([(12,)], "doc_id long")
+    audit = corpus_takedown(
+        spark,
+        dels,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=91,
+        codes_path=codes_path,
+        packs_path=packs_path,
+    )
+    assert audit["corpus_deleted"] == 1
+    assert audit["reelected"] == 0
+    assert {
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    } == {1, 3}
+    assert {
+        r.vec_id for r in spark.read.parquet(codes_path).collect()
+    } == {1, 3}
+    # 13 (dropped for matching 12) is NOT re-elected without the raw
+    # layer — its text no longer exists anywhere in the stored state.
+    assert 13 not in {
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    }
