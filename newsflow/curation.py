@@ -48,9 +48,12 @@ KEEP_LANGS = ("en",)
 NEAR_DUP_JACCARD = 0.8
 
 
-def _scored(docs: DataFrame) -> DataFrame:
-    """documents + (n_tokens, quality score q) as pure row-local columns."""
-    t = tokens_expr("text")
+def _scored_from_tokens(base: DataFrame) -> DataFrame:
+    """`_scored` over a pre-tokenized frame carrying a ``t`` array
+    column — lets the composed pipeline (`newsflow.pipeline`) share ONE
+    tokenize pass between quality scoring, near-dup shingling, and DSIR
+    featurization instead of re-deriving tokens per consumer."""
+    t = F.col("t")
     n = F.size(t)
     stop_ratio = stopword_ratio_expr(t)
     distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1))
@@ -59,14 +62,23 @@ def _scored(docs: DataFrame) -> DataFrame:
         + 0.3 * (F.lit(1.0) - stop_ratio)
         + 0.3 * distinct_ratio
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         "lang",
         "source",
         "text",
+        "t",
         n.alias("n_tokens"),
         q.alias("q"),
     )
+
+
+def _scored(docs: DataFrame) -> DataFrame:
+    """documents + (n_tokens, quality score q) as pure row-local columns."""
+    base = docs.select(
+        "doc_id", "lang", "source", "text", tokens_expr("text").alias("t")
+    )
+    return _scored_from_tokens(base).drop("t")
 
 
 class ExpectationFailure(ValueError):

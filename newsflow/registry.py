@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "newsflow.quality",
     "newsflow.selection",
     "newsflow.takedown",
+    "newsflow.pipeline",
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
     "newsflow.sim.health",

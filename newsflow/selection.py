@@ -65,13 +65,10 @@ def _sql_bucket(col: str) -> str:
     return f"CAST({nib[0]} * 256 + {nib[1]} * 16 + {nib[2]} AS INT)"
 
 
-def _feature_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, bucket): one row per hashed unigram+bigram
-    occurrence — the DSIR feature stream, row-local (explode + md5,
-    no shuffle)."""
-    toks = docs.select(
-        "doc_id", "lang", tokens_expr("text").alias("t")
-    ).filter(F.size("t") > 0)
+def _feature_buckets_from_tokens(base: DataFrame) -> DataFrame:
+    """`_feature_buckets` over a pre-tokenized (doc_id, lang, t) frame —
+    shares the pipeline's single tokenize pass (`newsflow.pipeline`)."""
+    toks = base.select("doc_id", "lang", "t").filter(F.size("t") > 0)
     bigrams = F.expr(
         "CASE WHEN size(t) >= 2 THEN "
         "transform(sequence(1, size(t) - 1),"
@@ -84,6 +81,15 @@ def _feature_buckets(docs: DataFrame) -> DataFrame:
         F.explode(F.concat(F.col("t"), bigrams)).alias("f"),
     )
     return feats.select("doc_id", "lang", _bucket_expr("f").alias("bucket"))
+
+
+def _feature_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket): one row per hashed unigram+bigram
+    occurrence — the DSIR feature stream, row-local (explode + md5,
+    no shuffle)."""
+    return _feature_buckets_from_tokens(
+        docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    )
 
 
 _SQL_FEATS = f"""
@@ -138,8 +144,12 @@ _DSIR_WEIGHTS_ORACLE = f"""
 """
 
 
-def _dsir_weights(docs: DataFrame) -> DataFrame:
-    feats = _feature_buckets(docs)
+def _dsir_weights(docs: DataFrame, *, from_tokens: bool = False) -> DataFrame:
+    feats = (
+        _feature_buckets_from_tokens(docs)
+        if from_tokens
+        else _feature_buckets(docs)
+    )
     # ONE (doc, bucket)-keyed aggregation feeds BOTH the bucket count
     # tables AND the final per-doc weighting: the bucket-count branch
     # now consumes per-doc PRE-AGGREGATED rows instead of re-exploding
