@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "newsflow.selection",
     "newsflow.takedown",
     "newsflow.pipeline",
+    "newsflow.packing",
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
     "newsflow.sim.health",
