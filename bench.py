@@ -83,6 +83,11 @@ HEADLINE = [
     "lr_native_coefficients",   # oracled iterative GD model training
     "knn_cosine_ivfpq",         # residual IVF-PQ (probe-bounded ADC)
     "bpe_merge_table",          # tokenizer training (oracled BPE merges)
+    # Round-7 additions:
+    "corpus_pipeline_e2e",      # composed curate->DSIR->pack funnel
+                                # (shared tokenized base, plan reuse)
+    "corpus_pack_ffd",          # FFD bin packing (JVM aggregate fold)
+    "corpus_takedown_audit",    # deletion propagation semantics audit
 ]
 
 

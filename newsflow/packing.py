@@ -143,13 +143,17 @@ def _ffd_assigns(toks: DataFrame) -> DataFrame:
 
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from newsflow.pipeline import _shared_token_base
+    """(doc_id, n_tokens, shard) — tokenize fused into the scan (a
+    cached fat token column measured SLOWER than recompute; see
+    newsflow/pipeline.py module docstring)."""
+    from newsflow.functions.text import tokens_expr
+    from newsflow.tables import load_table, spread
 
-    base = _shared_token_base(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     h = F.md5(F.col("doc_id").cast("string"))
-    return base.select(
+    return docs.select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
         (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
         .cast("long")
         .alias("shard"),

@@ -1,11 +1,10 @@
 """The composed full-funnel training-data pipeline as ONE query:
-curate → DSIR-select → pack, with every stage sharing a single
-tokenized projection of the corpus.
+curate → DSIR-select → pack, with reuse barriers exactly where
+measurement says they pay.
 
 The per-query benchmark measures operators in isolation; a production
-pretraining pipeline runs them as one lazy composition where the
-expensive row-local work (tokenization) and the corpus scan are paid
-ONCE and reused by every stage. This module is that composition plus
+pretraining pipeline runs them as one lazy composition with explicit
+reuse barriers where they pay off. This module is that composition plus
 the oracled stage-count funnel that proves each stage's yield:
 
     0_total           raw corpus
@@ -15,21 +14,33 @@ the oracled stage-count funnel that proves each stage's yield:
     4_dsir_selected   top-N by DSIR importance weight       (selection)
     5_packed          fixed-SEQ_LEN sequence count spanned  (packing)
 
-Plan-reuse mechanics (the thing this query exists to measure): the
-tokenized base (doc_id, lang, source, text, t) is cached once per
-(application, sf_dir) — the same keyed-cache discipline as
-`dedup.queries._shared_shingle_arrays` — and feeds (a) quality
-scoring, (b) exact-dedup hashing, (c) near-dup shingling, and (d) DSIR
-featurization, none of which re-tokenize. Stage 4's selection is
-orderBy+limit (TakeOrderedAndProject, no global window); stage 5 packs
-only the N selected rows, so its prefix-sum window is bounded by the
-selection size, not the corpus.
+Plan-reuse mechanics — measured, including a negative result worth
+recording. Round-7 first shipped this with a cached fat tokenized base
+(doc_id, lang, source, text, t) shared by every stage: it LOST to
+recompute by ~3× on the DSIR stage (1.5 s from parquet+codegen vs
+5.0 s reading the cached token arrays at sf0.1). Tokens-as-compute
+beats tokens-as-data: a whole-stage-codegen regexp over dictionary-
+decoded parquet strings is cheaper than deserializing materialized
+array<string> cache blocks — the same class of lesson as the r6
+expression-inlining barrier, from the opposite direction. The shipped
+form therefore lets each corpus-pass stage fuse its own row-local
+tokenize into its scan, and places reuse barriers only where a SMALL
+product is consumed repeatedly: `localCheckpoint` on the keeper table
+(4 consumers) and on the {PIPELINE_SELECT_N}-row selection (3
+consumers — without the barrier the dedup+DSIR chain re-executes per
+consumer; measured 12.9 s → 6.4 s at sf0.1).
 
-Scale shape at 100 TB: one corpus scan + one cached row-local
-projection; the funnel flags aggregate in a single pass; the DSIR
-model tables are bucket-bounded broadcasts; the only corpus-sized
-shuffles are the two the dedup stages own (text-hash groupBy and the
-shingle self-join — both already audited in their standalone queries).
+Scale shape at 100 TB: three corpus passes (stage-0/1 aggregate,
+exact-dedup groupBy, DSIR featurize), each fusing tokenize into its
+scan; the exact dedup stage is the min_by hash aggregation (map-side
+partial combine ships one candidate struct per hash per partition —
+never the min-over-window form, which would shuffle every fat row);
+the near-dup drop list is pair-bounded and broadcast; the DSIR model
+tables are bucket-bounded broadcasts; stage 4's selection is
+orderBy+limit (TakeOrderedAndProject) and stage 5 packs only the N
+selected rows. The keeper checkpoint is keeper-corpus-sized — at
+100 TB swap it for a persisted parquet intermediate (the
+merge/compact layer's job), same barrier, durable form.
 
 Reference parity: composes the reference's filter→dedup→report ETL
 (`build_datasets.py` stages) with the selection/packing stages a
@@ -50,43 +61,16 @@ from newsflow.curation import (
     NEAR_DUP_JACCARD,
     QUALITY_THRESHOLD,
     SEQ_LEN,
-    _scored_from_tokens,
+    _scored,
 )
 from newsflow.dedup import minhash
-from newsflow.functions.text import shingles_expr, sql_tokens, tokens_expr
+from newsflow.dedup.core import doc_shingle_arrays
+from newsflow.functions.text import sql_tokens
 from newsflow.registry import register
 from newsflow.selection import _DSIR_WEIGHTS_ORACLE, _dsir_weights
 from newsflow.tables import load_table, spread
 
 PIPELINE_SELECT_N = 100
-
-#: (applicationId, sf_dir) -> cached tokenized base projection. Same
-#: lifecycle discipline as dedup.queries._SHINGLE_CACHE: storage-level
-#: check catches bench-harness clearCache(), dead-app entries dropped
-#: without unpersist, live-app other-sf entries retained.
-_BASE_CACHE: dict = {}
-
-
-def _shared_token_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    hit = _BASE_CACHE.get(key)
-    if hit is not None and hit.storageLevel.useMemory:
-        return hit
-    for k in [k for k in _BASE_CACHE if k[0] != app]:
-        _BASE_CACHE.pop(k)
-    stale = _BASE_CACHE.pop(key, None)
-    if stale is not None:
-        try:
-            stale.unpersist()
-        except Exception:
-            pass
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id", "lang", "source", "text", tokens_expr("text").alias("t")
-    ).cache()
-    _BASE_CACHE[key] = base
-    return base
 
 
 @register(
@@ -144,52 +128,48 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage-5 ``docs`` counts the distinct (shard, pack) sequences the
     selected slice spans; its ``tokens`` equals stage 4's (packing is
     token-conserving — the conservation check rides in the oracle)."""
-    base = _shared_token_base(spark, sf_dir)
-    scored = _scored_from_tokens(base)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = _scored(docs)
     passes = (F.col("q") >= F.lit(QUALITY_THRESHOLD)) & F.col("lang").isin(
         *KEEP_LANGS
     )
-    hw = Window.partitionBy(F.md5("text"))
-    flags = scored.withColumn("pass_filter", passes).withColumn(
-        "keeper",
-        F.col("pass_filter")
-        & (
-            F.col("doc_id")
-            == F.min(F.when(passes, F.col("doc_id"))).over(hw)
-        ),
+    # Exact dedup via min_by HASH AGGREGATION, not a min-over-window:
+    # the window form shuffles every fat row by text hash; min_by's
+    # map-side partial combine ships ONE candidate struct per (hash,
+    # input partition) — the `curate_exact_stage` scale argument. Only
+    # the columns the downstream stages need ride in the struct.
+    # localCheckpoint barrier: four consumers (near-dup arrays, stage-2
+    # aggregate, and `final`'s two consumers) would otherwise each
+    # re-run the scan+score+shuffle chain.
+    filtered = scored.filter(passes)
+    row = F.struct("doc_id", "n_tokens", "text")
+    kept = (
+        filtered.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min_by(row, F.col("doc_id")).alias("r"))
+        .select("r.*")
+        .localCheckpoint(eager=True)
     )
-    arrays_kept = (
-        flags.filter("keeper")
-        .filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.array_distinct(shingles_expr("t", 3)).alias("shingles"),
-        )
-    )
+    arrays_kept = doc_shingle_arrays(kept, 3)
     pairs = minhash._verify_pairs(
         arrays_kept,
         minhash.native_minhash_candidates(arrays_kept),
         threshold=NEAR_DUP_JACCARD,
     )
-    dropped = (
-        pairs.select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("near_dropped", F.lit(True))
-    )
-    flags = flags.join(dropped, "doc_id", "left").withColumn(
-        "survivor",
-        F.col("keeper")
-        & F.coalesce(~F.col("near_dropped"), F.lit(True)),
-    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # pair-bounded -> broadcast anti join, no shuffle of the keepers
+    final = kept.join(F.broadcast(dropped), "doc_id", "left_anti")
 
-    weights = _dsir_weights(base, from_tokens=True)
+    weights = _dsir_weights(docs)
+    # 100-row barrier: the three downstream consumers (selection
+    # aggregate, packing window, sequence count) re-execute the whole
+    # dedup+DSIR chain without it (measured 12.9 s -> 6.4 s at sf0.1).
     selected = (
-        flags.filter("survivor")
-        .select("doc_id", "n_tokens")
+        final.select("doc_id", "n_tokens")
         .join(weights.select("doc_id", "log_weight"), "doc_id")
         .orderBy(F.desc("log_weight"), F.asc("doc_id"))
         .limit(PIPELINE_SELECT_N)
         .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     h = F.md5(F.col("doc_id").cast("string"))
     packed = selected.select(
@@ -209,22 +189,24 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
 
-    funnel_agg = flags.agg(
+    # Stage totals: 0/1 come from ONE corpus pass (the pass flag is a
+    # row-local conditional); 2/3 aggregate the checkpointed keeper
+    # table and its broadcast-anti product.
+    s01 = scored.agg(
         F.count(F.lit(1)).cast("long").alias("d0"),
         F.sum("n_tokens").cast("long").alias("t0"),
-        F.count_if("pass_filter").cast("long").alias("d1"),
-        F.sum(F.when(F.col("pass_filter"), F.col("n_tokens")))
-        .cast("long")
-        .alias("t1"),
-        F.count_if("keeper").cast("long").alias("d2"),
-        F.sum(F.when(F.col("keeper"), F.col("n_tokens")))
-        .cast("long")
-        .alias("t2"),
-        F.count_if("survivor").cast("long").alias("d3"),
-        F.sum(F.when(F.col("survivor"), F.col("n_tokens")))
-        .cast("long")
-        .alias("t3"),
+        F.count_if(passes).cast("long").alias("d1"),
+        F.sum(F.when(passes, F.col("n_tokens"))).cast("long").alias("t1"),
     )
+    s2 = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("d2"),
+        F.sum("n_tokens").cast("long").alias("t2"),
+    )
+    s3 = final.agg(
+        F.count(F.lit(1)).cast("long").alias("d3"),
+        F.sum("n_tokens").cast("long").alias("t3"),
+    )
+    funnel_agg = s01.crossJoin(s2).crossJoin(s3)
     sel_agg = selected.agg(
         F.count(F.lit(1)).cast("long").alias("d4"),
         F.sum("n_tokens").cast("long").alias("t4"),
