@@ -88,6 +88,7 @@ HEADLINE = [
                                 # (shared tokenized base, plan reuse)
     "corpus_pack_ffd",          # FFD bin packing (JVM aggregate fold)
     "corpus_takedown_audit",    # deletion propagation semantics audit
+    "knn_cosine_sq8",           # int8 scalar-quantized ANN + exact re-rank
 ]
 
 
