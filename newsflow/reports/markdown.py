@@ -63,3 +63,36 @@ def network_report(
     for heading, pdf in sections:
         parts += ["", f"## {heading}", "", df_to_markdown(pdf)]
     return "\n".join(parts) + "\n"
+
+
+def packing_report(
+    waste: pd.DataFrame,
+    worst_fill: pd.DataFrame | None = None,
+    seq_len: int = 512,
+    title: str = "Sequence Packing — Exporter Comparison",
+) -> str:
+    """The packing-waste report (VERDICT r6 #4, report-layer form): the
+    `corpus_pack_waste_report` rows rendered with the decision framing a
+    pipeline owner needs — padding cost vs document-splitting cost at
+    the configured capacity — plus (optionally) the worst-filled FFD
+    sequences from `corpus_pack_ffd` for eyeballing stragglers. Fed by
+    collect_report-sized frames only (2 rows + top-k), like every
+    composer in this module."""
+    parts = [
+        f"# {title}",
+        "",
+        f"Sequence capacity: **{seq_len} tokens**. `ffd` packs whole "
+        "documents first-fit-decreasing (pads, never splits); "
+        "`fixed_window` concatenates in hash order (splits boundary "
+        "docs, pads only each shard's final window).",
+        "",
+        df_to_markdown(waste, float_fmt="{:.4f}"),
+    ]
+    if worst_fill is not None and len(worst_fill):
+        parts += [
+            "",
+            "## Worst-filled FFD sequences",
+            "",
+            df_to_markdown(worst_fill, float_fmt="{:.4f}"),
+        ]
+    return "\n".join(parts) + "\n"

@@ -59,3 +59,26 @@ def test_markdown_float_formatting():
     md = df_to_markdown(pdf)
     assert "| 1.23 |" in md
     assert md.splitlines()[1] == "|---|---|"
+
+
+def test_packing_report_renders_waste_comparison(spark):
+    from newsflow.registry import all_specs
+    from newsflow.reports.markdown import packing_report
+    from tests.conftest import SF_ORACLE
+
+    waste = (
+        all_specs()["corpus_pack_waste_report"]
+        .build(spark, SF_ORACLE)
+        .toPandas()
+    )
+    worst = (
+        all_specs()["corpus_pack_ffd"]
+        .build(spark, SF_ORACLE)
+        .orderBy("fill_pct")
+        .limit(3)
+        .toPandas()
+    )
+    md = packing_report(waste, worst)
+    assert "| packer |" in md and "ffd" in md and "fixed_window" in md
+    assert "Worst-filled FFD sequences" in md
+    assert "512 tokens" in md
