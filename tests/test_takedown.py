@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from newsflow.functions.text import tokens_expr
 from newsflow.streaming.ingest import neardup_apply_batch
 from newsflow.takedown import corpus_takedown
+from tests.conftest import SF_ORACLE
 
 
 def _partition_bytes(path: str) -> dict[str, bytes]:
@@ -228,3 +229,75 @@ def test_takedown_without_raw_layer_is_delete_only(spark, tmp_path):
     assert 13 not in {
         r.doc_id for r in spark.read.parquet(out_dir).collect()
     }
+
+
+def test_takedown_matches_batch_semantics_on_real_corpus(spark, tmp_path):
+    """Physical takedown == the oracled audit's batch-mode semantics,
+    end to end on the real sf0.01 corpus: ingest `documents` as ONE
+    batch (single-batch greedy == batch-global greedy doc_b rule),
+    apply `corpus_takedown_audit`'s planted delete-list, and assert the
+    physical survivor set equals keepers_after derived independently in
+    DuckDB (re-election included — 14 re-elected keepers at sf0.01)."""
+    import duckdb
+
+    from newsflow.dedup.queries import _JACCARD_ORACLE
+    from newsflow.tables import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_ORACLE}/documents.parquet'"
+    )
+    con.execute(f"CREATE TEMP TABLE pairs AS {_JACCARD_ORACLE}")
+    dels = {
+        r[0]
+        for r in con.execute(
+            """
+            SELECT DISTINCT doc_a FROM pairs WHERE doc_a % 2 = 0
+            UNION SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+            """
+        ).fetchall()
+    }
+    keepers_after = {
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT DISTINCT doc_b FROM pairs
+              WHERE doc_a NOT IN (
+                SELECT DISTINCT doc_a FROM pairs WHERE doc_a % 2 = 0
+                UNION SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+                AND doc_b NOT IN (
+                SELECT DISTINCT doc_a FROM pairs WHERE doc_a % 2 = 0
+                UNION SELECT doc_id FROM documents WHERE doc_id % 97 = 0))
+              AND doc_id NOT IN (
+                SELECT DISTINCT doc_a FROM pairs WHERE doc_a % 2 = 0
+                UNION SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+            """
+        ).fetchall()
+    }
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+    neardup_apply_batch(spark, docs, 0, index_dir=index_dir, out_dir=out_dir)
+
+    dels_df = spark.createDataFrame(
+        [(int(d),) for d in sorted(dels)], "doc_id long"
+    )
+    audit = corpus_takedown(
+        spark,
+        dels_df,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=77,
+        raw_docs=docs,
+    )
+    survivors = {
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    }
+    assert survivors == keepers_after
+    assert audit["reelected"] == 14  # the audit's reelected_keepers row
