@@ -508,3 +508,127 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.doc_id, r.ingest_batch) for r in rows],
         "doc_id long, ingest_batch long",
     )
+
+
+@register(
+    "streaming_takedown_exec",
+    # Deterministic replay: the whole documents table ingests as ONE
+    # batch (single-batch greedy == the batch-global doc_b rule), then
+    # TWO delete-list micro-batches drain through `takedown_stream`
+    # (D1 = even-id near-dup keepers, D2 = every 97th doc — the
+    # `corpus_takedown_audit` delete rule split in two). Sequential
+    # takedown+re-election with tombstones provably lands on the
+    # batch-global keeper set of documents ∖ (D1 ∪ D2), phase-by-phase
+    # (induction in tests/test_takedown.py::
+    # test_takedown_matches_batch_semantics_on_real_corpus), so every
+    # phase is SQL-expressible: initial = keepers(∅) ∖ D12,
+    # td0 = keepers(D1) ∖ keepers(∅) ∖ D2, td1 = keepers(D12) ∖
+    # keepers(D1).
+    oracle=f"""
+    WITH p AS ({_JACCARD_ORACLE}),
+    d1 AS (SELECT DISTINCT doc_a AS doc_id FROM p WHERE doc_a % 2 = 0),
+    d2 AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    d12 AS (SELECT doc_id FROM d1 UNION SELECT doc_id FROM d2),
+    k0 AS (
+      SELECT doc_id FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.doc_b = d.doc_id)
+    ),
+    k1 AS (
+      SELECT doc_id FROM documents d
+      WHERE doc_id NOT IN (SELECT doc_id FROM d1)
+        AND NOT EXISTS (
+          SELECT 1 FROM p WHERE p.doc_b = d.doc_id
+            AND p.doc_a NOT IN (SELECT doc_id FROM d1))
+    ),
+    k12 AS (
+      SELECT doc_id FROM documents d
+      WHERE doc_id NOT IN (SELECT doc_id FROM d12)
+        AND NOT EXISTS (
+          SELECT 1 FROM p WHERE p.doc_b = d.doc_id
+            AND p.doc_a NOT IN (SELECT doc_id FROM d12))
+    )
+    SELECT doc_id, 'initial' AS phase FROM k0
+      WHERE doc_id NOT IN (SELECT doc_id FROM d12)
+    UNION ALL
+    SELECT doc_id, 'td0' FROM k1
+      WHERE doc_id NOT IN (SELECT doc_id FROM k0)
+        AND doc_id NOT IN (SELECT doc_id FROM d2)
+    UNION ALL
+    SELECT doc_id, 'td1' FROM k12
+      WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+    """,
+    tags=("streaming", "takedown", "dedup", "executed"),
+)
+def streaming_takedown_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING takedown, EXECUTED end to end: ingest the documents
+    table as one near-dup-deduped batch, then drain two delete-list
+    micro-batches through `takedown_stream` — each runs a full
+    propagation (corpus + index + tombstones + keeper re-election).
+    Output: (doc_id, phase) for every final survivor, phase recording
+    WHEN the doc entered the corpus ('initial' ingest keeper, 'td0' /
+    'td1' re-elected by the respective takedown). The oracle replays
+    the whole cascade as three keeper predicates over the exact-pair
+    table — zombie-resurrection (a td1 re-election of a td0-deleted
+    doc) would surface as a phase mismatch."""
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.streaming.ingest import neardup_apply_batch
+    from newsflow.takedown import TAKEDOWN_BATCH_BASE, takedown_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = tempfile.mkdtemp(prefix="nf_takedown_stream_")
+    try:
+        index_dir = os.path.join(base, "index")
+        out_dir = os.path.join(base, "out")
+        neardup_apply_batch(
+            spark, docs, 0, index_dir=index_dir, out_dir=out_dir
+        )
+        from newsflow.dedup.minhash import native_minhash_near_dup_pairs
+
+        pairs = native_minhash_near_dup_pairs(docs, n=3, threshold=0.8)
+        d1 = (
+            pairs.filter(F.col("doc_a") % 2 == 0)
+            .select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+        )
+        d2 = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+
+        replay = os.path.join(base, "del_replay")
+        os.makedirs(replay)
+        for i, dl in enumerate((d1, d2)):
+            write_single_parquet_file(
+                dl,
+                os.path.join(replay, f"{i:02d}.parquet"),
+                mtime=1_000_000_000 + i * 1000,
+            )
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay)
+        )
+        q = takedown_stream(
+            spark,
+            stream,
+            out_dir=out_dir,
+            index_dir=index_dir,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            raw_docs=docs,
+        )
+        q.awaitTermination()
+        phase = (
+            F.when(F.col("batch") == TAKEDOWN_BATCH_BASE, "td0")
+            .when(F.col("batch") == TAKEDOWN_BATCH_BASE + 1, "td1")
+            .otherwise("initial")
+        )
+        rows = (
+            spark.read.parquet(out_dir)
+            .select("doc_id", phase.alias("phase"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.doc_id, r.phase) for r in rows], "doc_id long, phase string"
+    )

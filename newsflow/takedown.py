@@ -282,6 +282,17 @@ def corpus_takedown(
     takedown_id`` from the survivor set, and `neardup_apply_batch`
     excludes it from the index probe, so the replay recomputes and
     rewrites the identical partition. Returns per-artifact counts.
+
+    **Tombstones.** Every takedown appends its delete-list to
+    ``{index_dir}/tombstones/batch=<takedown_id>`` and re-election
+    candidates exclude the UNION of all stored tombstones — without
+    this, a LATER takedown would re-elect docs a PREVIOUS takedown
+    deleted (they still exist in the raw layer, they're absent from the
+    survivor set, and only the current delete-list excludes them): the
+    zombie-resurrection hole every deletion system with a retained raw
+    layer must close. Tombstones are takedown-list-sized, broadcast in
+    the exclusion join, and the partitioned layout makes the write
+    idempotent under same-id replay.
     """
     from newsflow.functions.text import tokens_expr
     from newsflow.streaming.ingest import neardup_apply_batch
@@ -301,6 +312,10 @@ def corpus_takedown(
         )["deleted"],
         "reelected": 0,
     }
+    tombstones_dir = os.path.join(index_dir, "tombstones")
+    dels.write.mode("overwrite").parquet(
+        os.path.join(tombstones_dir, f"batch={takedown_id}")
+    )
 
     reelected_docs = None
     if raw_docs is not None:
@@ -309,8 +324,11 @@ def corpus_takedown(
             .filter(F.col("batch") != F.lit(takedown_id))
             .select("doc_id")
         )
+        all_tombstones = (
+            spark.read.parquet(tombstones_dir).select("doc_id").distinct()
+        )
         candidates = raw_docs.join(
-            F.broadcast(dels), "doc_id", "left_anti"
+            F.broadcast(all_tombstones), "doc_id", "left_anti"
         ).join(survivors_now, "doc_id", "left_anti")
         neardup_apply_batch(
             spark,
@@ -542,4 +560,65 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) + ", 'keepers_after', cast(docs_after - losers_after as bigint)"
     return wide.selectExpr(
         f"stack({len(metrics) + 1}, {stack}) as (metric, value)"
+    )
+
+
+TAKEDOWN_BATCH_BASE = 10_000_000_000
+
+
+def takedown_stream(
+    spark: SparkSession,
+    delete_stream: DataFrame,
+    *,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    raw_docs: DataFrame | None = None,
+    codes_path: str | None = None,
+    packs_path: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+):
+    """STREAMING takedown — the deployment form of `corpus_takedown`,
+    and the exact inverse of `neardup_ingest_stream`: a stream of
+    delete-lists (doc_id rows — the queue a legal/PII intake process
+    feeds) drains through ``foreachBatch``, each micro-batch running
+    one full takedown (corpus + index + codes + packs + re-election)
+    under ``takedown_id = TAKEDOWN_BATCH_BASE + batch_id``.
+
+    The base offset keeps takedown partitions disjoint from ingest
+    batch ids, so ingest and takedown streams can share one corpus
+    layout. Exactly-once by the same argument as the ingest stream:
+    at-least-once micro-batch delivery × an apply that is idempotent
+    under same-takedown-id replay (partition-scoped overwrites,
+    replay-safe candidate/probe exclusions, tombstone partition per
+    batch) = exactly-once effect. Sequential-deletion correctness
+    (takedown N must not resurrect takedown N-1's docs) is carried by
+    the tombstone union — tests/test_takedown.py cascades two
+    takedowns and asserts no zombie returns."""
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        corpus_takedown(
+            spark,
+            batch,
+            out_dir=out_dir,
+            index_dir=index_dir,
+            takedown_id=TAKEDOWN_BATCH_BASE + batch_id,
+            raw_docs=raw_docs,
+            codes_path=codes_path,
+            packs_path=packs_path,
+            n=n,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+        )
+
+    return (
+        delete_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

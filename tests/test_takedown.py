@@ -301,3 +301,111 @@ def test_takedown_matches_batch_semantics_on_real_corpus(spark, tmp_path):
     }
     assert survivors == keepers_after
     assert audit["reelected"] == 14  # the audit's reelected_keepers row
+
+
+def test_sequential_takedowns_no_zombie_resurrection(spark, tmp_path):
+    """Takedown N must not re-elect docs takedown N-1 deleted: they are
+    in the raw layer and absent from the survivor set, so only the
+    tombstone union keeps them dead. Cascade: delete keeper 1 (2 is
+    re-elected), then delete 2 (11 — 2's orphan — is re-elected; 1 must
+    STAY deleted)."""
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+    corpus_takedown(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=90,
+        raw_docs=raw,
+    )
+    assert {
+        r.doc_id for r in spark.read.parquet(out_dir).collect()
+    } == {2, 3, 12}
+    audit2 = corpus_takedown(
+        spark,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=91,
+        raw_docs=raw,
+    )
+    assert audit2["reelected"] == 1  # 11, not 1
+    out = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out == {(3, 0), (12, 1), (11, 91)}  # 1 and 2 stay dead
+
+
+def test_takedown_stream_executed(spark, tmp_path):
+    """The streaming deployment form: two delete-list micro-batches
+    drain through foreachBatch (availableNow), each running a full
+    takedown with re-election; a checkpointed rerun is a no-op."""
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.takedown import TAKEDOWN_BATCH_BASE, takedown_stream
+
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+    replay = str(tmp_path / "del_replay")
+    os.makedirs(replay)
+    for i, ids in enumerate(([1], [2])):
+        write_single_parquet_file(
+            spark.createDataFrame([(d,) for d in ids], "doc_id long"),
+            os.path.join(replay, f"{i:02d}.parquet"),
+            mtime=1_000_000_000 + i * 1000,
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay)
+        )
+        q = takedown_stream(
+            spark,
+            stream,
+            out_dir=out_dir,
+            index_dir=index_dir,
+            checkpoint_dir=str(tmp_path / "td_ckpt"),
+            raw_docs=raw,
+            codes_path=codes_path,
+            packs_path=packs_path,
+        )
+        q.awaitTermination()
+
+    run()
+    out = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out == {
+        (3, 0),
+        (12, 1),
+        (11, TAKEDOWN_BATCH_BASE + 1),
+    }
+    assert {
+        r.vec_id for r in spark.read.parquet(codes_path).collect()
+    } == {3, 12}
+    # packs reflect the final corpus {3, 12, 11}
+    final_docs = spark.read.parquet(out_dir).select("doc_id", "text")
+    expected = {
+        (r.doc_id, r.shard, r.pack_id, r.pack_offset, r.n_tokens)
+        for r in _fresh_packs(spark, final_docs).collect()
+    }
+    assert _pack_rows(spark, packs_path) == expected
+    run()  # checkpointed rerun: no new files, nothing changes
+    out2 = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out2 == out
