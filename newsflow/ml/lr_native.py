@@ -63,10 +63,22 @@ def lr_fit(embeddings: DataFrame) -> list[float]:
     """Unrolled full-batch GD; returns the final weight vector (the
     literal state the scoring pass and the SQL oracle's w{LR_ITERS}
     relation both derive from)."""
-    xy = _xy(embeddings)
+    return lr_fit_xy(_xy(embeddings), N_COEF)
+
+
+def lr_fit_xy(
+    xy: DataFrame,
+    n_coef: int,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> list[float]:
+    """The GD loop over ANY (x: array<double> incl. bias, y: double)
+    frame — the generalized form `ml/quality_clf.py` trains its
+    text-feature classifier with. Same determinism recipe as the
+    embedding model (module docstring)."""
     n = xy.count()
-    w = [0.0] * N_COEF
-    for _ in range(LR_ITERS):
+    w = [0.0] * n_coef
+    for _ in range(iters):
         scored = xy.withColumn("p", _prob_col(w))
         # The weight update itself is computed ENGINE-side (element_at
         # against the previous literal weights, then dround) so the
@@ -88,14 +100,14 @@ def lr_fit(embeddings: DataFrame) -> list[float]:
                 "j0",
                 dround(
                     F.element_at(_w_literal(w), F.col("j0") + 1)
-                    - LR_RATE * (F.col("s").cast("double") / n),
+                    - rate * (F.col("s").cast("double") / n),
                     ROUND_WEIGHT,
                 ).alias("wj"),
             )
             .collect()
         )
         new_w = {r["j0"]: r["wj"] for r in rows}
-        w = [new_w[j] for j in range(N_COEF)]
+        w = [new_w[j] for j in range(n_coef)]
     return w
 
 
@@ -320,23 +332,44 @@ def _sql_sigmoid(w_rel: str) -> str:
     )
 
 
+_EMBED_EV_SQL = """ev AS (
+      SELECT vec_id, list_prepend(1.0, embedding::DOUBLE[]) AS x,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    )"""
+
+
 def lr_ctes_sql() -> str:
     """The unrolled GD chain as a WITH body: ev → w0 (zero literal) →
     p1/g1/w1 → … → w{LR_ITERS}. Weight relations are single-row
     DOUBLE[] lists (list(val ORDER BY j), the sim/pq.py cvecs trick),
     so z is the same sequential list_dot_product fold Spark computes
     against the literal arrays."""
-    zeros = "[" + ", ".join(["0.0"] * N_COEF) + "]"
+    return lr_ctes_sql_for(_EMBED_EV_SQL, N_COEF)
+
+
+def lr_ctes_sql_for(
+    ev_sql: str,
+    n_coef: int,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> str:
+    """`lr_ctes_sql` over ANY ``ev`` relation (vec_id/x/y — x a DOUBLE[]
+    with the bias prepended) — the oracle twin of `lr_fit_xy`.
+    ``ev_sql`` must be a complete ``ev AS (...)`` CTE definition."""
+    zeros = "[" + ", ".join(["0.0"] * n_coef) + "]"
+    # Each w{i} is referenced TWICE (by p{i+1} and by w{i+1}'s update
+    # expression): with default CTE inlining the chain re-evaluates
+    # 2^iters times — invisible at LR_ITERS=3, a wall at the quality
+    # classifier's 25 (the r6 expression-inlining lesson, DuckDB form).
+    # MATERIALIZED on every weight relation (one row each) caps the
+    # chain at one evaluation per level.
     parts = [
-        f"""ev AS (
-      SELECT vec_id, list_prepend(1.0, embedding::DOUBLE[]) AS x,
-             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
-      FROM embeddings
-    ),
+        f"""{ev_sql},
     nrows AS (SELECT count(*) AS n FROM ev),
-    w0 AS (SELECT {zeros}::DOUBLE[] AS w)"""
+    w0 AS MATERIALIZED (SELECT {zeros}::DOUBLE[] AS w)"""
     ]
-    for i in range(1, LR_ITERS + 1):
+    for i in range(1, iters + 1):
         prev = f"w{i - 1}"
         parts.append(
             f"""p{i} AS (
@@ -347,11 +380,11 @@ def lr_ctes_sql() -> str:
       SELECT j,
              CAST(sum(CAST((p - y) * x[j] AS DECIMAL(28,12))) AS DOUBLE)
                / (SELECT n FROM nrows) AS g
-      FROM p{i}, UNNEST(range(1, {N_COEF + 1})) AS u(j)
+      FROM p{i}, UNNEST(range(1, {n_coef + 1})) AS u(j)
       GROUP BY j
     ),
-    w{i} AS (
-      SELECT list({sql_dround(f"{prev}.w[g{i}.j] - {LR_RATE!r} * g{i}.g",
+    w{i} AS MATERIALIZED (
+      SELECT list({sql_dround(f"{prev}.w[g{i}.j] - {rate!r} * g{i}.g",
                               ROUND_WEIGHT)}
                   ORDER BY g{i}.j) AS w
       FROM g{i}, {prev}

@@ -8,23 +8,31 @@ Cross-contamination", 2021).
 Algorithm (classic FFD, per shard): documents sort by (n_tokens DESC,
 doc_id ASC); each doc goes into the FIRST open sequence with enough
 remaining capacity, else opens a new one. Deterministic given the sort
-order, so both engines replay it exactly: Spark runs it as a pure
-JVM-side ``aggregate`` fold over the shard's sorted (n_tokens, doc_id)
-list — no Python UDF, no per-row state shuffle — and the DuckDB oracle
-replays the identical fold as a recursive CTE carrying the open-bin
-remainders as a list column.
+order, so every form replays it exactly: the shipped Spark path is an
+Arrow-batched ``applyInPandas`` per shard (mutate-in-place first-fit,
+O(n·bins)); a pure-JVM ``aggregate``-fold twin is kept as the UDF-free
+reference; and the DuckDB oracle replays the identical fold as a
+recursive CTE carrying the open-bin remainders as a list column.
 
-Scale shape: the fold's input is ONE row per shard holding an array of
-(int, int) pairs — bytes per doc, not the text — built by a single
-groupBy(shard) with map-side collect_list. Per-shard cost is the
-sequential FFD scan itself (inherent to first-fit; the sort is done by
-``array_sort`` inside the row). At 100 TB you raise the shard count
-with the cluster (as `corpus_pack_sequences` already documents), so
-per-shard arrays stay bounded and shards pack in parallel; packing
-quality is per-shard FFD either way. Docs longer than ``SEQ_LEN``
-open a sequence of their own (negative remainder — never reused),
-and are reported as ``split_docs`` by the waste report, since a real
-exporter must truncate or split exactly those.
+Why the UDF wins HERE (multi-scale measurement, the r6 lesson applied
+in reverse): Catalyst arrays are immutable, so the JVM fold copies
+both state arrays every step — O(n²) per shard. At sf0.1
+(300 docs/shard) that is 0.5 s and invisible; at sf1 (3000/shard) it
+is a 15.9 s wall (30× for 10× data). The Arrow form moves only
+(doc_id, n_tokens, shard) ints — never text — over the same
+groupBy(shard) exchange the fold needed anyway, and packs each shard
+with a mutable list: 10×-data cost tracks ~10×. "UDFs are the slow
+path" is a heuristic about per-row interpreter crossings, not a law
+about sequential stateful folds.
+
+Scale shape: per-shard cost is the sequential first-fit scan itself
+(inherent). At 100 TB you raise the shard count with the cluster (as
+`corpus_pack_sequences` already documents), so shards stay bounded and
+pack in parallel; packing quality is per-shard FFD either way. Docs
+longer than ``SEQ_LEN`` open a sequence of their own (negative
+remainder — never reused), and are reported as ``split_docs`` by the
+waste report, since a real exporter must truncate or split exactly
+those.
 
 Reference parity: no counterpart in the reference (its ETL stops at
 report CSVs); scale-mandated extension of the curation→export chain.
@@ -118,9 +126,14 @@ assigns AS (
 """
 
 
-def _ffd_assigns(toks: DataFrame) -> DataFrame:
-    """(shard, doc_id, n_tokens, bin_idx) FFD assignments from a
-    (doc_id, n_tokens, shard) frame."""
+def _ffd_assigns_jvm(toks: DataFrame) -> DataFrame:
+    """The pure-JVM ``aggregate``-fold form of `_ffd_assigns` — kept as
+    the UDF-free reference implementation and for the negative result
+    it measures: Catalyst arrays are immutable, so every fold step
+    copies both state arrays, making the fold O(n²) in shard size.
+    Measured: 0.5 s at sf0.1 (300 docs/shard) but 15.9 s at sf1
+    (3000/shard) — a 30× wall for 10× data. The Arrow form below is
+    the shipped path; this one pins its semantics in tests."""
     g = toks.groupBy("shard").agg(
         F.expr(
             "array_sort(collect_list("
@@ -139,6 +152,44 @@ def _ffd_assigns(toks: DataFrame) -> DataFrame:
         F.col("a.doc_id").alias("doc_id"),
         F.col("a.n_tokens").alias("n_tokens"),
         F.col("a.bin_idx").cast("long").alias("bin_idx"),
+    )
+
+
+def _ffd_assigns(toks: DataFrame) -> DataFrame:
+    """(shard, doc_id, n_tokens, bin_idx) FFD assignments from a
+    (doc_id, n_tokens, shard) frame.
+
+    Shipped as an Arrow-batched ``applyInPandas`` per shard — one of
+    the rare spots where the Python path BEATS the JVM expression:
+    first-fit is a sequential mutate-in-place scan (O(n·bins) with a
+    mutable list), while the `aggregate`-fold twin above pays an O(n²)
+    immutable-array copy per step (measured 30× slower at sf1). Only
+    (doc_id, n_tokens, shard) ints cross the Arrow boundary — never
+    text — and each shard is one batch, so the exchange is the same
+    groupBy(shard) the fold needed anyway. Semantics are pinned to the
+    JVM twin and the recursive-CTE oracle by tests/test_packing.py."""
+    import pandas as pd
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        bins: list[int] = []
+        out = []
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            for i, rem in enumerate(bins):
+                if rem >= n:
+                    bins[i] = rem - n
+                    out.append(i + 1)
+                    break
+            else:
+                bins.append(SEQ_LEN - n)
+                out.append(len(bins))
+        pdf = pdf.assign(bin_idx=out)
+        return pdf[["shard", "doc_id", "n_tokens", "bin_idx"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        ffd, "shard long, doc_id long, n_tokens long, bin_idx long"
     )
 
 

@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "newsflow.takedown",
     "newsflow.pipeline",
     "newsflow.packing",
+    "newsflow.ml.quality_clf",
     "newsflow.streaming.exec_queries",
     "newsflow.retrieval",
     "newsflow.sim.health",

@@ -318,7 +318,10 @@ def corpus_takedown(
     )
 
     reelected_docs = None
-    if raw_docs is not None:
+    # Re-election needs an existing survivor corpus: with no out_dir
+    # there is nothing to have lost to — takedown on an empty corpus is
+    # just the tombstone write above.
+    if raw_docs is not None and os.path.exists(out_dir):
         survivors_now = (
             spark.read.parquet(out_dir)
             .filter(F.col("batch") != F.lit(takedown_id))

@@ -94,3 +94,20 @@ def test_waste_report_tradeoff(spark):
     # (classic FFD bound is 11/9 OPT + 6/9; shard-local packing can
     # only add per-shard rounding).
     assert ffd.n_sequences <= 3 * fw.n_sequences
+
+
+def test_ffd_arrow_matches_jvm_fold(spark):
+    """The shipped Arrow FFD and the pure-JVM aggregate-fold reference
+    must produce identical assignments on the real corpus."""
+    from newsflow.packing import _ffd_assigns, _ffd_assigns_jvm, _toks
+
+    toks = _toks(spark, SF_ORACLE)
+    a = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in _ffd_assigns(toks).collect()
+    }
+    b = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in _ffd_assigns_jvm(toks).collect()
+    }
+    assert a == b
