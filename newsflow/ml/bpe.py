@@ -193,3 +193,66 @@ def bpe_word_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("s"), " ")).cast("long").alias("n_symbols"),
         F.trim("s").alias("segmented"),
     )
+
+
+@register(
+    "bpe_encode_corpus",
+    # Apply path oracle: the same unrolled training chain yields the
+    # final per-word segmentation (w{BPE_MERGES}); encoding is then a
+    # doc-side word explode joined against that vocabulary lookup.
+    oracle=f"""
+    WITH {{ctes}},
+    seg AS (
+      SELECT word,
+             CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sub
+      FROM w{BPE_MERGES}
+    ),
+    dw AS (
+      SELECT doc_id, unnest({sql_tokens("text")}) AS word FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(seg.n_sub) AS BIGINT) AS n_bpe_tokens,
+           (round(sum(seg.n_sub)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS subwords_per_word
+    FROM dw JOIN seg USING (word)
+    GROUP BY doc_id
+    """.format(ctes=_bpe_ctes_sql()),
+    tags=("ml", "tokenizer", "iterative"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained tokenizer — the apply path
+    that makes BPE training useful: per document, word count, total
+    subword-token count under the {BPE_MERGES} learned merges, and the
+    fertility ratio (subwords per word — the number tokenizer teams
+    track across corpora/languages).
+
+    Scale shape: this is exactly how production tokenizers deploy —
+    the trained segmentation is a VOCABULARY-sized lookup table
+    (word → n_subwords), broadcast against the corpus's exploded word
+    stream; the corpus pays one explode + one broadcast join + one
+    doc-keyed aggregation, and the training cost amortizes across
+    every encode run. No per-document merge replay."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _, words = bpe_fit(docs)
+    seg = words.select(
+        "word",
+        F.size(F.split(F.trim("s"), " ")).cast("long").alias("n_sub"),
+    )
+    dw = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            (
+                F.round(
+                    F.sum("n_sub").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("subwords_per_word"),
+        )
+    )

@@ -89,10 +89,23 @@ def neardup_apply_batch(
 
     if batch.isEmpty():
         return
+    internal_pairs = minhash.native_minhash_near_dup_pairs(
+        batch, n=n, threshold=threshold
+    ).select("doc_a", "doc_b")
     losers = (
-        minhash.native_minhash_near_dup_pairs(batch, n=n, threshold=threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        internal_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    # DROP LOG: record WHY each doc was dropped (every matched partner,
+    # internal and index). This is what makes takedown re-election a
+    # delete-list-proportional lookup instead of a raw-corpus scan —
+    # `corpus_takedown` finds re-admission candidates by semi-joining
+    # the log's matched_doc_id against the (broadcast-sized)
+    # delete-list. Append-only history; batch=<id> overwrite keeps the
+    # at-least-once replay idempotent like every other write here.
+    drop_rows = internal_pairs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("matched_doc_id"),
+        F.lit("batch").alias("reason"),
     )
     survivors = batch.join(losers, "doc_id", "left_anti")
     sigs_path = os.path.join(index_dir, "sigs")
@@ -108,24 +121,33 @@ def neardup_apply_batch(
         # batch_id, then project it away so the stored tables match the
         # in-flight frames' schemas. (incremental_neardup_from_index
         # additionally drops doc_a == doc_b pairs as defense in depth.)
-        matched = (
-            minhash.incremental_neardup_from_index(
-                spark.read.parquet(sigs_path)
-                .filter(F.col("batch") != F.lit(batch_id))
-                .select("doc_id", "band", "key"),
-                spark.read.parquet(arrays_path)
-                .filter(F.col("batch") != F.lit(batch_id))
-                .select("doc_id", "shingles"),
-                survivors,
-                n=n,
-                threshold=threshold,
-                num_hashes=num_hashes,
-                rows_per_band=rows_per_band,
+        index_matches = minhash.incremental_neardup_from_index(
+            spark.read.parquet(sigs_path)
+            .filter(F.col("batch") != F.lit(batch_id))
+            .select("doc_id", "band", "key"),
+            spark.read.parquet(arrays_path)
+            .filter(F.col("batch") != F.lit(batch_id))
+            .select("doc_id", "shingles"),
+            survivors,
+            n=n,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+        ).select("new_doc_id", "matched_doc_id")
+        drop_rows = drop_rows.unionByName(
+            index_matches.select(
+                F.col("new_doc_id").alias("doc_id"),
+                "matched_doc_id",
+                F.lit("index").alias("reason"),
             )
-            .select(F.col("new_doc_id").alias("doc_id"))
-            .distinct()
         )
+        matched = index_matches.select(
+            F.col("new_doc_id").alias("doc_id")
+        ).distinct()
         survivors = survivors.join(matched, "doc_id", "left_anti")
+    drop_rows.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "drops", f"batch={batch_id}")
+    )
     kept_arrays = doc_shingle_arrays(survivors, n).cache()
     kept_arrays.write.mode("overwrite").parquet(
         os.path.join(arrays_path, f"batch={batch_id}")

@@ -330,9 +330,52 @@ def corpus_takedown(
         all_tombstones = (
             spark.read.parquet(tombstones_dir).select("doc_id").distinct()
         )
-        candidates = raw_docs.join(
-            F.broadcast(all_tombstones), "doc_id", "left_anti"
-        ).join(survivors_now, "doc_id", "left_anti")
+        base = raw_docs
+        drops_dir = os.path.join(index_dir, "drops")
+        if os.path.exists(drops_dir):
+            # DROP-LOG fast path: only docs that were dropped FOR a
+            # now-deleted partner can possibly be re-elected (a doc
+            # with any surviving recorded match re-fails the index
+            # probe immediately). The log lookup is one column-pruned
+            # scan semi-joined against the broadcast delete-list —
+            # delete-list-proportional output — where the fallback
+            # below anti-joins the ENTIRE raw layer. Completeness
+            # holds because `neardup_apply_batch` logs every drop
+            # decision, including re-election batches' own internal
+            # collapses (so transitive chains — delete A, re-elect B,
+            # later delete B, re-elect C — stay discoverable).
+            cand_ids = (
+                spark.read.parquet(drops_dir)
+                # Replay safety: this takedown's OWN drops partition
+                # (written by a prior attempt of the same id) is this
+                # run's output, not history — and `neardup_apply_batch`
+                # will overwrite it mid-run, so it must never be in the
+                # candidate plan's lineage (partition-pruned out here).
+                .filter(F.col("batch") != F.lit(takedown_id))
+                .join(
+                    F.broadcast(
+                        dels.select(
+                            F.col("doc_id").alias("matched_doc_id")
+                        )
+                    ),
+                    "matched_doc_id",
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            base = raw_docs.join(cand_ids, "doc_id", "left_semi")
+        # Materialize before the apply: the apply rewrites the very
+        # partitions (out/, drops/, index batch=takedown_id) this plan
+        # reads, and a lazy re-execution after those writes would read
+        # replaced files.
+        candidates = (
+            base.join(
+                F.broadcast(all_tombstones), "doc_id", "left_anti"
+            )
+            .join(survivors_now, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
         neardup_apply_batch(
             spark,
             candidates,
