@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_pack_ffd",          # FFD bin packing (JVM aggregate fold)
     "corpus_takedown_audit",    # deletion propagation semantics audit
     "knn_cosine_sq8",           # int8 scalar-quantized ANN + exact re-rank
+    "bpe_encode_corpus",        # tokenizer APPLY (broadcast vocab lookup)
 ]
 
 
