@@ -243,6 +243,60 @@ def takedown_repack(
     }
 
 
+def _purge_drop_log(
+    spark: SparkSession, drops_dir: str, dels: DataFrame
+) -> int:
+    """Remove every drop-log row that references a deleted doc on
+    EITHER side (the dropped doc or its matched partner) — the
+    two-column form `takedown_partitioned` can't express. Same
+    partition-pruned recipe: find dirty batch partitions with a
+    column-pruned scan, rewrite only those, tombstone emptied ones."""
+    dels_b = F.broadcast(dels)
+    log = spark.read.parquet(drops_dir)
+    hit = log.join(dels_b, "doc_id", "left_semi").select("batch").union(
+        log.join(
+            dels_b.select(F.col("doc_id").alias("matched_doc_id")),
+            "matched_doc_id",
+            "left_semi",
+        ).select("batch")
+    )
+    dirty = [r[0] for r in hit.distinct().collect()]
+    if not dirty:
+        return 0
+    affected = log.filter(F.col("batch").isin(dirty))
+    kept = (
+        affected.join(dels_b, "doc_id", "left_anti")
+        .join(
+            dels_b.select(F.col("doc_id").alias("matched_doc_id")),
+            "matched_doc_id",
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_purged = affected.count() - kept.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy("batch").parquet(drops_dir)
+        emptied = set(dirty) - {
+            r[0] for r in kept.select("batch").distinct().collect()
+        }
+        for p in emptied:
+            (
+                kept.filter(F.lit(False))
+                .drop("batch")
+                .write.mode("overwrite")
+                .parquet(f"{drops_dir}/batch={p}")
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(drops_dir)
+    return int(n_purged)
+
+
 def corpus_takedown(
     spark: SparkSession,
     delete_ids: DataFrame,
@@ -400,6 +454,18 @@ def corpus_takedown(
                 .localCheckpoint(eager=True)
             )
             audit["reelected"] = reelected_docs.count()
+
+    # PII scrub of the drop log: a takedown must remove the deleted
+    # docs' identifiers from EVERY stored table, including history —
+    # rows naming a deleted doc on either side are purged
+    # (partition-pruned, like every delete here). Safe for future
+    # re-elections because this runs AFTER the re-election apply: any
+    # candidate that failed re-verification just had its CURRENT
+    # blockers freshly logged under batch=takedown_id, so the purged
+    # rows carry no information a later takedown still needs.
+    drops_dir = os.path.join(index_dir, "drops")
+    if os.path.exists(drops_dir):
+        audit["drop_log_purged"] = _purge_drop_log(spark, drops_dir, dels)
 
     if codes_path is not None:
         audit["codes_deleted"] = takedown_partitioned(

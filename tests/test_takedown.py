@@ -409,3 +409,44 @@ def test_takedown_stream_executed(spark, tmp_path):
         .collect()
     }
     assert out2 == out
+
+
+def test_takedown_purges_drop_log_references(spark, tmp_path):
+    """PII completeness: after a takedown, the drop log contains NO row
+    naming the deleted doc on either side — and the purge does not
+    break LATER re-elections, because failed candidates' current
+    blockers are re-logged under the takedown's own batch (the
+    sequential-cascade test exercises exactly that path end to end)."""
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+    drops_dir = os.path.join(index_dir, "drops")
+    before = spark.read.parquet(drops_dir)
+    assert before.filter(
+        (F.col("doc_id") == 1) | (F.col("matched_doc_id") == 1)
+    ).count() > 0  # 2 and 11 both dropped for matching keeper 1
+    audit = corpus_takedown(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=90,
+        raw_docs=raw,
+    )
+    assert audit["drop_log_purged"] >= 2
+    after = spark.read.parquet(drops_dir)
+    assert (
+        after.filter(
+            (F.col("doc_id") == 1) | (F.col("matched_doc_id") == 1)
+        ).count()
+        == 0
+    )
+    # The re-election batch re-logged the fresh blocker: 11 lost to
+    # candidate 2 during re-election, so (11, 2, 'batch') exists — the
+    # row a future takedown of 2 needs to find 11.
+    assert (
+        after.filter(
+            (F.col("doc_id") == 11) & (F.col("matched_doc_id") == 2)
+        ).count()
+        == 1
+    )
