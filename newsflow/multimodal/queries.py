@@ -124,3 +124,52 @@ def media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sq_norm"),
     )
+
+
+@register(
+    "media_ppm_channel_stats",
+    # The pixels are closed-form ((id*7 + i*13) % 256 at flat index i),
+    # so the oracle computes every decode statistic ANALYTICALLY while
+    # the Spark side round-trips through real PPM bytes: header
+    # emission, validating parse, raster reshape, channel sums. A
+    # decoder bug (off-by-one header skip, wrong stride, channel swap)
+    # breaks the hash match.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 7 + i * 13) % 256 AS v, i % 3 AS c
+      FROM m, UNNEST(range(w * h * 3)) AS u(i)
+    )
+    SELECT media_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY media_id
+    """,
+    tags=("multimodal", "image", "executed"),
+)
+def media_ppm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, exactly oracled: deterministic binary PPM
+    images synthesized per document id, decoded by the pure-stdlib
+    validating PPM codec (`multimodal/media.py::parse_ppm` — the image
+    path is no longer a stub for container-decodable formats), per-
+    channel exact pixel sums emitted. The oracle never sees the bytes:
+    it recomputes the sums from the closed-form pixel function, so the
+    hash comparison certifies the DECODER (header parse, raster
+    stride, channel order), not just the plumbing."""
+    from newsflow.multimodal.media import (
+        ppm_channel_stats,
+        synth_ppm_payloads,
+    )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return ppm_channel_stats(synth_ppm_payloads(ids))

@@ -76,3 +76,35 @@ def test_resize_images_rewrites_payload_and_meta(media):
     aud = out[2]
     assert bytes(aud["payload"]) == b"\x00\x01\x02\x03\x04\x05"
     assert aud["meta"]["sample_rate"] == 16000
+
+
+def test_ppm_codec_roundtrip_and_validation():
+    import numpy as np
+    import pytest
+
+    from newsflow.multimodal.media import encode_ppm, parse_ppm
+
+    a = (np.arange(6 * 4 * 3, dtype=np.int64) * 7 % 256).astype(
+        np.uint8
+    ).reshape(6, 4, 3)
+    assert (parse_ppm(encode_ppm(a)) == a).all()
+    # comments in the header are legal PPM
+    with_comment = b"P6\n# synthetic\n4 6\n255\n" + a.tobytes()
+    assert (parse_ppm(with_comment) == a).all()
+    with pytest.raises(ValueError):
+        parse_ppm(b"P5\n1 1\n255\n\x00")  # wrong magic (PGM)
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n4 4\n255\n\x00\x00")  # short raster
+    with pytest.raises(ValueError):
+        parse_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 12)  # 16-bit maxval
+
+
+def test_decode_media_really_decodes_ppm():
+    import numpy as np
+
+    from newsflow.multimodal.media import decode_media, encode_ppm
+
+    a = np.zeros((2, 3, 3), dtype=np.uint8)
+    a[1, 2, 0] = 200
+    out = decode_media(encode_ppm(a), "image")
+    assert out.shape == (2, 3, 3) and out[1, 2, 0] == 200
