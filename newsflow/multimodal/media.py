@@ -384,3 +384,14 @@ def ppm_channel_stats(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, PPM_STATS_SCHEMA)
+
+
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of a binary PPM: decode, index-map
+    (src = floor(dst * src_dim / dst_dim) — the standard NN grid), and
+    re-encode. Pure numpy fancy-indexing; no codec libraries."""
+    arr = parse_ppm(payload)
+    h, w, _ = arr.shape
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_ppm(arr[ys][:, xs])

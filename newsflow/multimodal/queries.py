@@ -173,3 +173,80 @@ def media_ppm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return ppm_channel_stats(synth_ppm_payloads(ids))
+
+
+RESIZE_W, RESIZE_H = 4, 4
+
+
+@register(
+    "media_ppm_resize_stats",
+    # Nearest-neighbor source indices are closed-form
+    # (src = dst * src_dim // dst_dim), so the oracle reproduces the
+    # ENTIRE decode -> resize -> re-decode chain analytically: for each
+    # output pixel (x, y, c) it evaluates the synthetic pixel function
+    # at the mapped source flat index. Any stride/rounding bug in the
+    # real resize breaks the hash.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id,
+             ((i // 3) // {RESIZE_W}) AS dy,
+             ((i // 3) % {RESIZE_W}) AS dx,
+             i % 3 AS c, w, h
+      FROM m, UNNEST(range({RESIZE_W} * {RESIZE_H} * 3)) AS u(i)
+    ),
+    v AS (
+      SELECT media_id, c,
+             (media_id * 7
+              + (((dy * h // {RESIZE_H}) * w + (dx * w // {RESIZE_W}))
+                 * 3 + c) * 13) % 256 AS val
+      FROM px
+    )
+    SELECT media_id,
+           CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b
+    FROM v GROUP BY media_id
+    """,
+    tags=("multimodal", "image", "executed"),
+)
+def media_ppm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, exactly oracled: synthetic PPMs are decoded,
+    nearest-neighbor-resized to {RESIZE_W}x{RESIZE_H} (numpy
+    fancy-indexing on the decoded raster), re-encoded, decoded AGAIN,
+    and channel-summed — two full codec round-trips plus the resample,
+    all certified against an analytic oracle that evaluates the pixel
+    function at the mapped source indices."""
+    import pandas as pd
+
+    from newsflow.multimodal.media import (
+        parse_ppm,
+        resize_ppm,
+        synth_ppm_payloads,
+    )
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = parse_ppm(
+                    resize_ppm(bytes(p), RESIZE_W, RESIZE_H)
+                )
+                s = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                out.append((int(m), int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sum_r", "sum_g", "sum_b"]
+            )
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return synth_ppm_payloads(ids).mapInPandas(
+        batches, "media_id long, sum_r long, sum_g long, sum_b long"
+    )

@@ -108,3 +108,17 @@ def test_decode_media_really_decodes_ppm():
     a[1, 2, 0] = 200
     out = decode_media(encode_ppm(a), "image")
     assert out.shape == (2, 3, 3) and out[1, 2, 0] == 200
+
+
+def test_resize_ppm_nearest_neighbor():
+    import numpy as np
+
+    from newsflow.multimodal.media import encode_ppm, parse_ppm, resize_ppm
+
+    a = np.arange(6 * 8 * 3, dtype=np.int64).astype(np.uint8).reshape(6, 8, 3)
+    out = parse_ppm(resize_ppm(encode_ppm(a), 4, 3))
+    assert out.shape == (3, 4, 3)
+    # spot-check the NN mapping: dst (y, x) <- src (y*6//3, x*8//4)
+    for y in range(3):
+        for x in range(4):
+            assert (out[y, x] == a[y * 6 // 3, x * 8 // 4]).all()
