@@ -404,6 +404,10 @@ def session_window_stats_stream_watermarked(
 
 from newsflow.corpus import EXISTING_MAX_DOC_ID  # noqa: E402
 from newsflow.dedup.queries import _JACCARD_ORACLE  # noqa: E402
+from newsflow.takedown import (  # noqa: E402
+    DEL_KEEPER_MOD as _DEL_MOD,
+    DEL_PLAIN_EVERY as _DEL_EVERY,
+)
 
 
 @register(
@@ -526,8 +530,10 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keepers(D1).
     oracle=f"""
     WITH p AS ({_JACCARD_ORACLE}),
-    d1 AS (SELECT DISTINCT doc_a AS doc_id FROM p WHERE doc_a % 2 = 0),
-    d2 AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    d1 AS (SELECT DISTINCT doc_a AS doc_id FROM p
+          WHERE doc_a % {_DEL_MOD} = 0),
+    d2 AS (SELECT doc_id FROM documents
+          WHERE doc_id % {_DEL_EVERY} = 0),
     d12 AS (SELECT doc_id FROM d1 UNION SELECT doc_id FROM d2),
     k0 AS (
       SELECT doc_id FROM documents d
@@ -588,11 +594,13 @@ def streaming_takedown_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         pairs = native_minhash_near_dup_pairs(docs, n=3, threshold=0.8)
         d1 = (
-            pairs.filter(F.col("doc_a") % 2 == 0)
+            pairs.filter(F.col("doc_a") % _DEL_MOD == 0)
             .select(F.col("doc_a").alias("doc_id"))
             .distinct()
         )
-        d2 = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+        d2 = docs.filter(F.col("doc_id") % _DEL_EVERY == 0).select(
+            "doc_id"
+        )
 
         replay = os.path.join(base, "del_replay")
         os.makedirs(replay)

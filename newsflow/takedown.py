@@ -50,12 +50,10 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from newsflow.curation import N_PACK_SHARDS
 from newsflow.functions.text import sql_shingles_rel, sql_tokens
 from newsflow.registry import register
 from newsflow.tables import load_table
-
-#: md5-prefix shard count of the packing layout (curation.py SEQ_LEN/
-#: N_PACK_SHARDS are imported lazily to avoid a module cycle).
 
 
 def _key_frame(delete_ids: DataFrame, key: str) -> DataFrame:
@@ -495,10 +493,17 @@ def corpus_takedown(
 #: even-id KEEPER side of a near-dup pair (forces re-election of the
 #: losers that matched only deleted keepers) plus every 97th doc
 #: (plain rows with no dup involvement — the untouched-partition case).
-_TAKEDOWN_DEL_SQL = """
-  SELECT DISTINCT doc_a AS doc_id FROM pairs WHERE doc_a % 2 = 0
+#: Delete-rule constants, interpolated into BOTH the Spark builders and
+#: the SQL oracles (takedown audit + streaming cascade) — the
+#: builder/oracle drift guard ADVICE r6 asked for on this pattern.
+DEL_KEEPER_MOD = 2   # even-id keeper side of a near-dup pair
+DEL_PLAIN_EVERY = 97  # every 97th doc: plain rows, no dup involvement
+
+_TAKEDOWN_DEL_SQL = f"""
+  SELECT DISTINCT doc_a AS doc_id FROM pairs
+  WHERE doc_a % {DEL_KEEPER_MOD} = 0
   UNION
-  SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+  SELECT doc_id FROM documents WHERE doc_id % {DEL_PLAIN_EVERY} = 0
 """
 
 
@@ -552,7 +557,8 @@ _TAKEDOWN_DEL_SQL = """
           ::BIGINT)::BIGINT
       FROM survivors
     UNION ALL SELECT 'dirty_pack_shards',
-      count(DISTINCT ascii(substr(md5(doc_id::VARCHAR), 1, 1)) % 16)
+      count(DISTINCT ascii(substr(md5(doc_id::VARCHAR), 1, 1))
+            % {N_PACK_SHARDS})
       ::BIGINT FROM del
     UNION ALL SELECT 'pack_tokens_after',
       sum(len({sql_tokens()}))::BIGINT FROM survivors
@@ -593,9 +599,13 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     dels = (
-        pairs.filter(F.col("doc_a") % 2 == 0)
+        pairs.filter(F.col("doc_a") % DEL_KEEPER_MOD == 0)
         .select(F.col("doc_a").alias("doc_id"))
-        .union(docs.filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+        .union(
+            docs.filter(F.col("doc_id") % DEL_PLAIN_EVERY == 0).select(
+                "doc_id"
+            )
+        )
         .distinct()
     )
     dels_b = F.broadcast(dels)
@@ -635,7 +645,7 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ascii(
                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
             )
-            % 16
+            % N_PACK_SHARDS
         ).alias("dirty_pack_shards"),
     )
     traces = dels.join(
