@@ -376,6 +376,22 @@ SEQ_LEN = 512
 N_PACK_SHARDS = 16
 
 
+def pack_shard_expr(doc_id_col: str = "doc_id") -> F.Column:
+    """Canonical packing-shard assignment (first md5 hex char mod
+    N_PACK_SHARDS) — THE formula; every packer/repacker/takedown site
+    uses this helper (and its SQL twin below) so the shard mapping can
+    never drift between modules."""
+    h = F.md5(F.col(doc_id_col).cast("string"))
+    return (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS).cast("long")
+
+
+def sql_pack_shard(doc_id_col: str = "doc_id") -> str:
+    return (
+        f"CAST(ascii(substr(md5({doc_id_col}::VARCHAR), 1, 1))"
+        f" % {N_PACK_SHARDS} AS BIGINT)"
+    )
+
+
 @register(
     "corpus_pack_sequences",
     oracle=f"""
@@ -425,9 +441,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
         h.alias("h"),
-        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
-        .cast("long")
-        .alias("shard"),
+        pack_shard_expr().alias("shard"),
     )
     w = (
         Window.partitionBy("shard")
@@ -781,9 +795,7 @@ def export_training_shards(
         split.alias("split"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         h.alias("h"),
-        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
-        .cast("long")
-        .alias("shard"),
+        pack_shard_expr().alias("shard"),
     )
     w = (
         Window.partitionBy("split", "shard")

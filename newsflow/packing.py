@@ -44,7 +44,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
-from newsflow.curation import N_PACK_SHARDS, SEQ_LEN
+from newsflow.curation import (
+    N_PACK_SHARDS,
+    SEQ_LEN,
+    pack_shard_expr,
+    sql_pack_shard,
+)
 from newsflow.functions.scalars import sql_dround
 from newsflow.functions.text import sql_tokens
 from newsflow.registry import register
@@ -82,8 +87,7 @@ aggregate(
 
 _SQL_TOKS = f"""
   SELECT doc_id, len({sql_tokens()}) AS n_tokens,
-         CAST(ascii(substr(md5(doc_id::VARCHAR), 1, 1))
-              % {N_PACK_SHARDS} AS BIGINT) AS shard
+         {sql_pack_shard()} AS shard
   FROM documents
 """
 
@@ -201,13 +205,10 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsflow.tables import load_table, spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    h = F.md5(F.col("doc_id").cast("string"))
     return docs.select(
         "doc_id",
         F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
-        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
-        .cast("long")
-        .alias("shard"),
+        pack_shard_expr().alias("shard"),
     )
 
 

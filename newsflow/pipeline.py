@@ -57,11 +57,12 @@ from pyspark.sql.window import Window
 from newsflow.curation import (
     _FUNNEL_CTES,
     KEEP_LANGS,
-    N_PACK_SHARDS,
     NEAR_DUP_JACCARD,
     QUALITY_THRESHOLD,
     SEQ_LEN,
     _scored,
+    pack_shard_expr,
+    sql_pack_shard,
 )
 from newsflow.dedup import minhash
 from newsflow.dedup.core import doc_shingle_arrays
@@ -86,8 +87,7 @@ PIPELINE_SELECT_N = 100
     ),
     packed AS (
       SELECT doc_id, n_tokens,
-             CAST(ascii(substr(md5(doc_id::VARCHAR), 1, 1))
-                  % {N_PACK_SHARDS} AS BIGINT) AS shard,
+             {sql_pack_shard()} AS shard,
              md5(doc_id::VARCHAR) AS h
       FROM sel
     ),
@@ -175,9 +175,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = selected.select(
         "doc_id",
         "n_tokens",
-        (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS)
-        .cast("long")
-        .alias("shard"),
+        pack_shard_expr().alias("shard"),
         h.alias("h"),
     )
     w = (

@@ -50,7 +50,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from newsflow.curation import N_PACK_SHARDS
+from newsflow.curation import pack_shard_expr, sql_pack_shard
 from newsflow.functions.text import sql_shingles_rel, sql_tokens
 from newsflow.registry import register
 from newsflow.tables import load_table
@@ -149,15 +149,14 @@ def takedown_repack(
     any realistic delete-list — are never read. ``added`` needs only
     (doc_id, n_tokens); shard is re-derived from doc_id.
     """
-    from newsflow.curation import N_PACK_SHARDS, SEQ_LEN
+    from newsflow.curation import SEQ_LEN, pack_shard_expr
     from pyspark.sql import Window
 
     if not os.path.exists(packs_path):
         return {"deleted": 0, "added": 0, "partitions": 0}
     dels = F.broadcast(_key_frame(delete_ids, "doc_id"))
     packs = spark.read.parquet(packs_path)
-    h = F.md5(F.col("doc_id").cast("string"))
-    shard_of = (F.ascii(F.substring(h, 1, 1)) % N_PACK_SHARDS).cast("long")
+    shard_of = pack_shard_expr()
 
     dirty_del = packs.join(dels, "doc_id", "left_semi").select("shard")
     added_rows = None
@@ -557,8 +556,7 @@ _TAKEDOWN_DEL_SQL = f"""
           ::BIGINT)::BIGINT
       FROM survivors
     UNION ALL SELECT 'dirty_pack_shards',
-      count(DISTINCT ascii(substr(md5(doc_id::VARCHAR), 1, 1))
-            % {N_PACK_SHARDS})
+      count(DISTINCT {sql_pack_shard()})
       ::BIGINT FROM del
     UNION ALL SELECT 'pack_tokens_after',
       sum(len({sql_tokens()}))::BIGINT FROM survivors
@@ -641,12 +639,7 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     del_agg = dels.agg(
         F.count(F.lit(1)).alias("deleted_docs"),
-        F.countDistinct(
-            F.ascii(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-            )
-            % N_PACK_SHARDS
-        ).alias("dirty_pack_shards"),
+        F.countDistinct(pack_shard_expr()).alias("dirty_pack_shards"),
     )
     traces = dels.join(
         survivors.select("doc_id"), "doc_id", "left_semi"
