@@ -91,22 +91,27 @@ _SQL_TOKS = f"""
   FROM documents
 """
 
-#: DuckDB replay of the same fold: one recursive step per shard rank,
-#: bins carried as a BIGINT[] column, first-fit via list_position over
-#: a boolean list_transform — the exact twin of `_FIT`.
-_SQL_FFD_ASSIGNS = f"""
-ranked AS (
+def sql_ffd_ctes(src: str = "toks", p: str = "") -> str:
+    """DuckDB replay of the same fold, as a reusable CTE chain: one
+    recursive step per shard rank, bins carried as a BIGINT[] column,
+    first-fit via list_position over a boolean list_transform — the
+    exact twin of `_FIT`. ``src`` is the (doc_id, n_tokens, shard)
+    relation to pack; ``p`` prefixes the CTE names so two FFD replays
+    (e.g. before/after a takedown) can coexist in one WITH RECURSIVE
+    block. Exposes ``{p}assigns`` (shard, doc_id, n_tokens, bin_idx)."""
+    return f"""
+{p}ranked AS (
   SELECT doc_id, n_tokens, shard,
          row_number() OVER (
            PARTITION BY shard ORDER BY n_tokens DESC, doc_id
          ) AS r
-  FROM toks
+  FROM {src}
 ),
-ffd AS (
+{p}ffd AS (
   SELECT shard, 0::BIGINT AS r, NULL::BIGINT AS doc_id,
          NULL::BIGINT AS n_tokens, NULL::BIGINT AS bin_idx,
          CAST([] AS BIGINT[]) AS bins
-  FROM (SELECT DISTINCT shard FROM ranked)
+  FROM (SELECT DISTINCT shard FROM {p}ranked)
   UNION ALL
   SELECT d.shard, d.r, d.doc_id, d.n_tokens,
          CASE WHEN l.fit = 0 THEN len(s.bins) + 1 ELSE l.fit END,
@@ -117,17 +122,20 @@ ffd AS (
                                  [s.bins[l.fit] - d.n_tokens]),
                      s.bins[l.fit+1:])
          END
-  FROM ffd s
-  JOIN ranked d ON d.shard = s.shard AND d.r = s.r + 1,
+  FROM {p}ffd s
+  JOIN {p}ranked d ON d.shard = s.shard AND d.r = s.r + 1,
   LATERAL (SELECT coalesce(list_position(
              list_transform(s.bins, b -> b >= d.n_tokens), true), 0)
            AS fit) l
 ),
-assigns AS (
-  SELECT shard, doc_id, n_tokens, bin_idx FROM ffd
+{p}assigns AS (
+  SELECT shard, doc_id, n_tokens, bin_idx FROM {p}ffd
   WHERE doc_id IS NOT NULL
 )
 """
+
+
+_SQL_FFD_ASSIGNS = sql_ffd_ctes()
 
 
 def _ffd_assigns_jvm(toks: DataFrame) -> DataFrame:
@@ -195,6 +203,36 @@ def _ffd_assigns(toks: DataFrame) -> DataFrame:
     return toks.groupBy("shard").applyInPandas(
         ffd, "shard long, doc_id long, n_tokens long, bin_idx long"
     )
+
+
+def ffd_pack_docs(docs: DataFrame) -> DataFrame:
+    """The persisted FFD pack table for a (doc_id, text, ...) corpus:
+    (shard, doc_id, n_tokens, bin_idx), one row per document. This is
+    the artifact `persist_ffd_packs` stores and
+    `takedown.takedown_repack_ffd` maintains under deletion — the
+    packed-layout twin of `corpus_pack_sequences`' offset table. FFD is
+    deterministic given the (n_tokens DESC, doc_id) sort, so a dirty
+    shard can always be rebuilt from its surviving (doc_id, n_tokens)
+    rows alone — no text re-scan."""
+    from newsflow.functions.text import tokens_expr
+
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        pack_shard_expr().alias("shard"),
+    )
+    return _ffd_assigns(toks)
+
+
+def persist_ffd_packs(spark: SparkSession, docs: DataFrame, path: str) -> int:
+    """Materialize `ffd_pack_docs` hive-partitioned by shard — the
+    layout takedown needs: a delete-list dirties only the shards its
+    docs hash to, and only those partitions are ever rewritten. Returns
+    the row count written."""
+    assigns = ffd_pack_docs(docs).localCheckpoint(eager=True)
+    assigns.write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark.catalog.refreshByPath(path)
+    return assigns.count()
 
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:

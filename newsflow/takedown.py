@@ -240,6 +240,102 @@ def takedown_repack(
     }
 
 
+def takedown_repack_ffd(
+    spark: SparkSession,
+    ffd_path: str,
+    delete_ids: DataFrame,
+    added: DataFrame | None = None,
+) -> dict[str, int]:
+    """Propagate a takedown through the stored FFD pack table
+    (`packing.persist_ffd_packs` layout: shard-partitioned
+    (doc_id, n_tokens, bin_idx)).
+
+    FFD is a per-shard fold over (n_tokens DESC, doc_id) — removing or
+    re-admitting one document can reshuffle every bin assignment in its
+    shard but CANNOT affect any other shard, so the dirty unit is the
+    shard, exactly as in `takedown_repack`: dirty shards = shards of
+    deleted ∪ added docs; each is re-packed from its surviving
+    (doc_id, n_tokens) rows ∪ the added rows by re-running the same
+    deterministic first-fit (`packing._ffd_assigns` — the Arrow
+    per-shard fold), then dynamic-partition-overwritten. Untouched
+    shards are never read; determinism makes a same-list replay rewrite
+    byte-identical logical content. ``added`` needs (doc_id, n_tokens);
+    shard is re-derived from doc_id so callers can't desync the
+    mapping.
+    """
+    from newsflow.curation import pack_shard_expr
+    from newsflow.packing import _ffd_assigns
+
+    if not os.path.exists(ffd_path):
+        return {"deleted": 0, "added": 0, "partitions": 0}
+    dels = F.broadcast(_key_frame(delete_ids, "doc_id"))
+    packs = spark.read.parquet(ffd_path)
+    shard_of = pack_shard_expr()
+
+    dirty_del = packs.join(dels, "doc_id", "left_semi").select("shard")
+    added_rows = None
+    if added is not None:
+        added_rows = added.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            shard_of.alias("shard"),
+        ).localCheckpoint(eager=True)
+        dirty_shards = {
+            r[0]
+            for r in dirty_del.union(added_rows.select("shard"))
+            .distinct()
+            .collect()
+        }
+    else:
+        dirty_shards = {r[0] for r in dirty_del.distinct().collect()}
+    if not dirty_shards:
+        return {"deleted": 0, "added": 0, "partitions": 0}
+
+    affected = packs.filter(F.col("shard").isin(list(dirty_shards)))
+    kept = affected.join(dels, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "shard"
+    )
+    n_added = 0
+    if added_rows is not None:
+        adds = added_rows.filter(F.col("shard").isin(list(dirty_shards)))
+        n_added = adds.count()
+        # Upsert semantics for same-takedown-id replay, as in
+        # `takedown_repack`.
+        kept = kept.join(
+            F.broadcast(adds.select("doc_id")), "doc_id", "left_anti"
+        ).unionByName(adds)
+    rebuilt = _ffd_assigns(kept).localCheckpoint(eager=True)
+    n_deleted = affected.join(dels, "doc_id", "left_semi").count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt.write.mode("overwrite").partitionBy("shard").parquet(
+            ffd_path
+        )
+        emptied = dirty_shards - {
+            r[0] for r in rebuilt.select("shard").distinct().collect()
+        }
+        for p in emptied:
+            (
+                rebuilt.filter(F.lit(False))
+                .drop("shard")
+                .write.mode("overwrite")
+                .parquet(f"{ffd_path}/shard={p}")
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    spark.catalog.refreshByPath(ffd_path)
+    return {
+        "deleted": int(n_deleted),
+        "added": int(n_added),
+        "partitions": len(dirty_shards),
+    }
+
+
 def _purge_drop_log(
     spark: SparkSession, drops_dir: str, dels: DataFrame
 ) -> int:
@@ -304,6 +400,9 @@ def corpus_takedown(
     raw_docs: DataFrame | None = None,
     codes_path: str | None = None,
     packs_path: str | None = None,
+    ffd_packs_path: str | None = None,
+    embeddings: DataFrame | None = None,
+    pq_codebooks: dict | None = None,
     n: int = 3,
     threshold: float = 0.8,
     num_hashes: int = 16,
@@ -320,12 +419,19 @@ def corpus_takedown(
        ∖ delete-list, pushed through `neardup_apply_batch` under
        ``batch=takedown_id`` — batch-internal greedy collapse, probe of
        the post-delete index, survivors + their signatures appended;
-    3. delete from the vector code table (``codes_path``; re-encoding
-       re-elected vectors is the existing `pq_encode_new_vectors`
-       append path, composed by the caller — codes are delete-only
-       here);
+    3. delete from the vector code table (``codes_path``) — and, when
+       ``embeddings`` (vec_id = doc_id rows for at least the raw layer)
+       and ``pq_codebooks`` (the stored `subspace_fit` codebook dict)
+       are supplied, RE-ENCODE the re-elected docs' vectors against the
+       existing codebooks (no refit — the `pq_encode_new_vectors`
+       append path) and upsert their code rows, so codes(vec_ids)
+       tracks the survivor set exactly;
     4. rebuild dirty shards of the packing table (``packs_path``),
-       dropping deleted docs and inserting re-elected ones.
+       dropping deleted docs and inserting re-elected ones;
+    5. rebuild dirty shards of the FFD pack table (``ffd_packs_path``,
+       the `packing.persist_ffd_packs` artifact) via
+       `takedown_repack_ffd` — deterministic per-shard re-pack over
+       survivors ∪ re-elected.
 
     ``takedown_id`` must be unique per logical takedown (it namespaces
     the re-election output partition) but a crashed run may be REPLAYED
@@ -465,18 +571,73 @@ def corpus_takedown(
         audit["drop_log_purged"] = _purge_drop_log(spark, drops_dir, dels)
 
     if codes_path is not None:
+        del_vecs = dels.select(F.col("doc_id").alias("vec_id"))
+        reencoded = None
+        if (
+            reelected_docs is not None
+            and embeddings is not None
+            and pq_codebooks is not None
+        ):
+            # Re-encode the re-elected docs' vectors against the STORED
+            # codebooks — the no-refit append path of a production PQ
+            # index (`pq_encode_new_vectors`). Upsert semantics: the
+            # re-elected vec_ids join the delete pass below (on a first
+            # run they aren't in the table — they were dropped docs; on
+            # a same-id replay this replaces the rows the prior attempt
+            # appended), then the fresh codes append. Cost is
+            # re-elected-batch-local: assignment is row-local against
+            # the broadcast codebook literal, no corpus scan.
+            from newsflow.sim.pq import _assign_codes, _unit
+
+            re_ids = reelected_docs.select(
+                F.col("doc_id").alias("vec_id")
+            )
+            units = _unit(
+                embeddings.join(
+                    F.broadcast(re_ids), "vec_id", "left_semi"
+                ),
+                "vec_id",
+            )
+            # Geometry is read off the codebook dict itself, so any
+            # `subspace_fit` parameterization round-trips unchanged.
+            n_subs = 1 + max(s for s, _ in pq_codebooks)
+            k = 1 + max(c for _, c in pq_codebooks)
+            dsub = len(next(iter(pq_codebooks.values())))
+            reencoded = (
+                _assign_codes(units, pq_codebooks, n_subs, dsub, k)
+                .select(
+                    "vec_id",
+                    F.expr(
+                        "array_join(transform(codes,"
+                        " c -> cast(c as string)), '-')"
+                    ).alias("code_string"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            del_vecs = del_vecs.union(re_ids).distinct()
         audit["codes_deleted"] = takedown_partitioned(
             spark,
             codes_path,
-            dels.select(F.col("doc_id").alias("vec_id")),
+            del_vecs,
             key="vec_id",
             partition_col=None,
         )["deleted"]
+        if reencoded is not None:
+            reencoded.write.mode("append").parquet(codes_path)
+            spark.catalog.refreshByPath(codes_path)
+            audit["codes_reencoded"] = reencoded.count()
     if packs_path is not None:
         rp = takedown_repack(spark, packs_path, dels, added=reelected_docs)
         audit["packs_deleted"] = rp["deleted"]
         audit["packs_added"] = rp["added"]
         audit["packs_dirty_shards"] = rp["partitions"]
+    if ffd_packs_path is not None:
+        rf = takedown_repack_ffd(
+            spark, ffd_packs_path, dels, added=reelected_docs
+        )
+        audit["ffd_deleted"] = rf["deleted"]
+        audit["ffd_added"] = rf["added"]
+        audit["ffd_dirty_shards"] = rf["partitions"]
     return audit
 
 
@@ -678,6 +839,259 @@ def corpus_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ffd_oracle_sql() -> str:
+    """Oracle for `corpus_takedown_ffd_audit`: replay the planted
+    delete-list + keeper re-election semantics, then replay FFD packing
+    (the recursive-CTE fold from packing.py) over the keeper set BEFORE
+    and AFTER the takedown, and compare clean-shard assignments
+    directly."""
+    from newsflow.curation import SEQ_LEN
+    from newsflow.packing import sql_ffd_ctes
+
+    chk = (
+        "('0x' || substr(md5(shard::VARCHAR || ':' || doc_id::VARCHAR"
+        " || ':' || bin_idx::VARCHAR), 1, 8))::BIGINT"
+    )
+    return f"""
+    WITH RECURSIVE sh AS ({sql_shingles_rel(n=3)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    del AS ({_TAKEDOWN_DEL_SQL}),
+    losers_before AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    pairs_after AS (
+      SELECT * FROM pairs
+      WHERE doc_a NOT IN (SELECT doc_id FROM del)
+        AND doc_b NOT IN (SELECT doc_id FROM del)
+    ),
+    losers_after AS (SELECT DISTINCT doc_b AS doc_id FROM pairs_after),
+    keepers_before AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers_before)
+    ),
+    keepers_after AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM del)
+        AND doc_id NOT IN (SELECT doc_id FROM losers_after)
+    ),
+    reelected AS (
+      SELECT doc_id FROM keepers_after
+      WHERE doc_id NOT IN (SELECT doc_id FROM keepers_before)
+    ),
+    dirty AS (
+      SELECT DISTINCT {sql_pack_shard()} AS shard FROM (
+        SELECT doc_id FROM del
+        WHERE doc_id IN (SELECT doc_id FROM keepers_before)
+        UNION ALL SELECT doc_id FROM reelected
+      )
+    ),
+    toks_b AS (
+      SELECT doc_id, len({sql_tokens()}) AS n_tokens,
+             {sql_pack_shard()} AS shard
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM keepers_before)
+    ),
+    toks_a AS (
+      SELECT doc_id, len({sql_tokens()}) AS n_tokens,
+             {sql_pack_shard()} AS shard
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM keepers_after)
+    ),
+    {sql_ffd_ctes("toks_b", "b")},
+    {sql_ffd_ctes("toks_a", "a")},
+    aseqs AS (
+      SELECT shard, bin_idx, sum(n_tokens) AS st
+      FROM aassigns GROUP BY 1, 2
+    ),
+    achk AS (
+      SELECT count(*)::BIGINT AS packed_docs_after,
+             sum({chk})::BIGINT AS assign_checksum_after,
+             sum(CASE WHEN shard NOT IN (SELECT shard FROM dirty)
+                 THEN {chk} ELSE 0 END)::BIGINT AS clean_after
+      FROM aassigns
+    ),
+    bchk AS (
+      SELECT sum(CASE WHEN shard NOT IN (SELECT shard FROM dirty)
+                 THEN {chk} ELSE 0 END)::BIGINT AS clean_before
+      FROM bassigns
+    )
+    SELECT 'deleted_docs' AS metric, count(*)::BIGINT AS value FROM del
+    UNION ALL SELECT 'reelected_keepers', count(*)::BIGINT FROM reelected
+    UNION ALL SELECT 'packed_docs_after', packed_docs_after FROM achk
+    UNION ALL SELECT 'dirty_ffd_shards', count(*)::BIGINT FROM dirty
+    UNION ALL SELECT 'ffd_seqs_after', count(*)::BIGINT FROM aseqs
+    UNION ALL SELECT 'ffd_padded_after',
+      CAST(sum(greatest(0, {SEQ_LEN} - st)) AS BIGINT) FROM aseqs
+    UNION ALL SELECT 'assign_checksum_after', assign_checksum_after
+      FROM achk
+    UNION ALL SELECT 'clean_shard_drift',
+      (SELECT clean_after FROM achk) - (SELECT clean_before FROM bchk)
+    """
+
+
+@register(
+    "corpus_takedown_ffd_audit",
+    oracle=_ffd_oracle_sql(),
+    tags=("curation", "takedown", "packing"),
+)
+def corpus_takedown_ffd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation through the FFD pack table, audited
+    semantically: for the planted delete-list (same rule as
+    `corpus_takedown_audit`), the post-takedown packed universe is the
+    keeper set AFTER deletion + re-election, and the FFD layout over it
+    must (a) land on exact sequence/padding totals, (b) hash to an
+    exact per-assignment checksum, and (c) be IDENTICAL to the
+    pre-takedown layout on every clean shard — ``clean_shard_drift``
+    is computed as an actual before/after checksum difference (both
+    engines re-pack both states), not asserted by construction. The
+    physical dirty-shard rebuild (`takedown_repack_ffd`) is pinned to
+    this semantics by tests/test_takedown.py, which also asserts
+    untouched shard partitions stay byte-identical on disk.
+
+    Scale shape: the pair stage reuses the shared cached shingle
+    projection; every keeper/delete set join broadcasts (pair-bounded);
+    the two FFD re-packs move only (doc_id, n_tokens, shard) ints
+    through the Arrow per-shard fold — text is read once for
+    tokenization and never shuffled."""
+    from newsflow.curation import SEQ_LEN
+    from newsflow.dedup import core
+    from newsflow.dedup.queries import _shared_shingle_arrays
+    from newsflow.functions.text import tokens_expr
+    from newsflow.packing import _ffd_assigns
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = _shared_shingle_arrays(spark, sf_dir)
+    pairs = (
+        core.jaccard_pairs_from_arrays(arrays, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    dels = (
+        pairs.filter(F.col("doc_a") % DEL_KEEPER_MOD == 0)
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(
+            docs.filter(F.col("doc_id") % DEL_PLAIN_EVERY == 0).select(
+                "doc_id"
+            )
+        )
+        .distinct()
+    )
+    dels_b = F.broadcast(dels)
+    losers_before = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    pairs_after = pairs.join(
+        dels_b.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_anti"
+    ).join(
+        dels_b.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_anti"
+    )
+    losers_after = pairs_after.select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    reelected = losers_before.join(
+        F.broadcast(losers_after), "doc_id", "left_anti"
+    ).join(dels_b, "doc_id", "left_anti")
+
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        pack_shard_expr().alias("shard"),
+    ).localCheckpoint(eager=True)
+    toks_before = toks.join(
+        F.broadcast(losers_before), "doc_id", "left_anti"
+    )
+    toks_after = toks.join(dels_b, "doc_id", "left_anti").join(
+        F.broadcast(losers_after), "doc_id", "left_anti"
+    )
+    dirty = (
+        toks_before.join(dels_b, "doc_id", "left_semi")
+        .select("shard")
+        .union(
+            toks.join(F.broadcast(reelected), "doc_id", "left_semi").select(
+                "shard"
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    assigns_a = _ffd_assigns(
+        toks_after.select("doc_id", "n_tokens", "shard")
+    ).localCheckpoint(eager=True)
+    assigns_b = _ffd_assigns(toks_before.select("doc_id", "n_tokens", "shard"))
+
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("shard").cast("string"),
+                    F.col("doc_id").cast("string"),
+                    F.col("bin_idx").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    dirty_flag = F.broadcast(dirty.withColumn("d", F.lit(1)))
+    a_agg = assigns_a.join(dirty_flag, "shard", "left").agg(
+        F.count(F.lit(1)).alias("packed_docs_after"),
+        F.sum(chk).alias("assign_checksum_after"),
+        F.sum(F.when(F.col("d").isNull(), chk).otherwise(F.lit(0))).alias(
+            "clean_after"
+        ),
+    )
+    b_agg = assigns_b.join(dirty_flag, "shard", "left").agg(
+        F.sum(F.when(F.col("d").isNull(), chk).otherwise(F.lit(0))).alias(
+            "clean_before"
+        )
+    )
+    seq_agg = (
+        assigns_a.groupBy("shard", "bin_idx")
+        .agg(F.sum("n_tokens").alias("st"))
+        .agg(
+            F.count(F.lit(1)).alias("ffd_seqs_after"),
+            F.sum(F.greatest(F.lit(0), SEQ_LEN - F.col("st")))
+            .cast("long")
+            .alias("ffd_padded_after"),
+        )
+    )
+    wide = (
+        dels.agg(F.count(F.lit(1)).alias("deleted_docs"))
+        .crossJoin(reelected.agg(F.count(F.lit(1)).alias("reelected_keepers")))
+        .crossJoin(dirty.agg(F.count(F.lit(1)).alias("dirty_ffd_shards")))
+        .crossJoin(a_agg)
+        .crossJoin(b_agg)
+        .crossJoin(seq_agg)
+    )
+    metrics = [
+        "deleted_docs",
+        "reelected_keepers",
+        "packed_docs_after",
+        "dirty_ffd_shards",
+        "ffd_seqs_after",
+        "ffd_padded_after",
+        "assign_checksum_after",
+    ]
+    stack = ", ".join(f"'{m}', cast({m} as bigint)" for m in metrics) + (
+        ", 'clean_shard_drift',"
+        " cast(clean_after - clean_before as bigint)"
+    )
+    return wide.selectExpr(
+        f"stack({len(metrics) + 1}, {stack}) as (metric, value)"
+    )
+
+
 TAKEDOWN_BATCH_BASE = 10_000_000_000
 
 
@@ -691,6 +1105,9 @@ def takedown_stream(
     raw_docs: DataFrame | None = None,
     codes_path: str | None = None,
     packs_path: str | None = None,
+    ffd_packs_path: str | None = None,
+    embeddings: DataFrame | None = None,
+    pq_codebooks: dict | None = None,
     n: int = 3,
     threshold: float = 0.8,
     num_hashes: int = 16,
@@ -725,6 +1142,9 @@ def takedown_stream(
             raw_docs=raw_docs,
             codes_path=codes_path,
             packs_path=packs_path,
+            ffd_packs_path=ffd_packs_path,
+            embeddings=embeddings,
+            pq_codebooks=pq_codebooks,
             n=n,
             threshold=threshold,
             num_hashes=num_hashes,

@@ -202,6 +202,210 @@ def test_takedown_keeper_reelection_and_propagation(spark, tmp_path):
     assert _partition_bytes(codes_path) == state_before[codes_path]
 
 
+def test_takedown_ffd_repack_and_pq_reencode(spark, tmp_path):
+    """The two round-9 composition closures: (a) the FFD pack table is
+    a persisted takedown-covered artifact — dirty shards re-packed,
+    untouched shard partitions byte-identical; (b) re-elected docs'
+    vectors are re-encoded against the stored PQ codebooks inside the
+    takedown, so codes(vec_ids) == survivor set with correct codes."""
+    from newsflow.packing import ffd_pack_docs, persist_ffd_packs
+    from newsflow.sim.pq import _assign_codes, _unit, subspace_fit
+
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+
+    # Stored PQ state: codebooks fit on a contiguous training batch
+    # (vec_id 0..3), survivor codes encoded against them.
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(8)]
+
+    train = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    _, books = subspace_fit(_unit(train, "vec_id"), n_subs=2, dsub=4, k=4)
+    emb = spark.createDataFrame(
+        [(i, vec(i + 20)) for i in (1, 2, 3, 11, 12, 13)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def encode(ids):
+        return {
+            (r.vec_id, r.code_string)
+            for r in _assign_codes(
+                _unit(emb.filter(F.col("vec_id").isin(ids)), "vec_id"),
+                books,
+                2,
+                4,
+                4,
+            )
+            .selectExpr(
+                "vec_id",
+                "array_join(transform(codes, c -> cast(c as string)), '-')"
+                " AS code_string",
+            )
+            .collect()
+        }
+
+    spark.createDataFrame(
+        list(encode([1, 3, 12])), "vec_id long, code_string string"
+    ).write.mode("overwrite").parquet(codes_path)
+
+    ffd_path = str(tmp_path / "ffd")
+    persist_ffd_packs(spark, spark.read.parquet(out_dir), ffd_path)
+    shards_before = {
+        p.name: _partition_bytes(str(p))
+        for p in Path(ffd_path).glob("shard=*")
+    }
+
+    dels = spark.createDataFrame([(1,)], "doc_id long")
+    audit = corpus_takedown(
+        spark,
+        dels,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=92,
+        raw_docs=raw,
+        codes_path=codes_path,
+        ffd_packs_path=ffd_path,
+        embeddings=emb,
+        pq_codebooks=books,
+    )
+    assert audit["reelected"] == 1  # doc 2 re-admitted
+    assert audit["ffd_deleted"] == 1
+    assert audit["ffd_added"] == 1
+    assert audit["codes_reencoded"] == 1
+
+    # (a) FFD table == from-scratch FFD over the final corpus; shards
+    # not dirtied by {1 out, 2 in} keep their exact bytes.
+    final = spark.read.parquet(out_dir)
+    expected = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in ffd_pack_docs(final).collect()
+    }
+    got = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in spark.read.parquet(ffd_path).collect()
+    }
+    assert got == expected
+    dirty = {
+        f"shard={r.shard}"
+        for r in spark.read.parquet(ffd_path)
+        .filter(F.col("doc_id").isin([1, 2]))
+        .select("shard")
+        .collect()
+    } | {
+        f"shard={r[0]}"
+        for r in ffd_pack_docs(raw.filter(F.col("doc_id") == 1))
+        .select("shard")
+        .collect()
+    }
+    for name, bts in shards_before.items():
+        if name not in dirty:
+            assert (
+                _partition_bytes(str(Path(ffd_path) / name)) == bts
+            ), f"clean shard {name} was rewritten"
+
+    # (b) codes track the survivor set exactly, with 2's code freshly
+    # assigned against the stored (unrefit) codebooks.
+    assert {
+        (r.vec_id, r.code_string)
+        for r in spark.read.parquet(codes_path).collect()
+    } == encode([2, 3, 12])
+
+    # Same-id replay converges to the identical logical state.
+    audit2 = corpus_takedown(
+        spark,
+        dels,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=92,
+        raw_docs=raw,
+        codes_path=codes_path,
+        ffd_packs_path=ffd_path,
+        embeddings=emb,
+        pq_codebooks=books,
+    )
+    assert audit2["reelected"] == 1
+    assert {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in spark.read.parquet(ffd_path).collect()
+    } == expected
+    assert {
+        (r.vec_id, r.code_string)
+        for r in spark.read.parquet(codes_path).collect()
+    } == encode([2, 3, 12])
+
+
+def test_takedown_repack_ffd_mid_bin_delete(spark, tmp_path):
+    """Deleting a doc mid-bin reshuffles ONLY its shard's assignments:
+    the rebuilt shard equals a from-scratch FFD over its survivors, and
+    every other shard partition is byte-identical on disk. 60 docs with
+    varied lengths guarantee multi-doc bins and multi-doc shards."""
+    from newsflow.curation import SEQ_LEN
+    from newsflow.packing import _ffd_assigns
+    from newsflow.takedown import takedown_repack_ffd
+
+    toks = spark.createDataFrame(
+        [(i, (i * 37) % 300 + 20) for i in range(1, 61)],
+        "doc_id long, n_tokens long",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "cast(ascii(substr(md5(cast(doc_id as string)), 1, 1)) % 16"
+        " as long) AS shard",
+    )
+    ffd_path = str(tmp_path / "ffd")
+    _ffd_assigns(toks).write.partitionBy("shard").parquet(ffd_path)
+
+    # Pick a victim that shares both its shard and its bin with another
+    # doc (a true mid-bin delete).
+    rows = spark.read.parquet(ffd_path).collect()
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r.shard, r.bin_idx), []).append(r.doc_id)
+    victim = None
+    for (shard, _), ids in by_bin.items():
+        if len(ids) >= 2:
+            victim, victim_shard = sorted(ids)[0], shard
+            break
+    assert victim is not None, "fixture produced no multi-doc bin"
+
+    before = {
+        p.name: _partition_bytes(str(p))
+        for p in Path(ffd_path).glob("shard=*")
+    }
+    res = takedown_repack_ffd(
+        spark, ffd_path, spark.createDataFrame([(victim,)], "doc_id long")
+    )
+    assert res == {"deleted": 1, "added": 0, "partitions": 1}
+
+    expected = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in _ffd_assigns(
+            toks.filter(F.col("doc_id") != victim)
+        ).collect()
+    }
+    got = {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in spark.read.parquet(ffd_path).collect()
+    }
+    assert got == expected
+    for name, bts in before.items():
+        if name != f"shard={victim_shard}":
+            assert _partition_bytes(str(Path(ffd_path) / name)) == bts
+    # Every bin still fits (no doc here exceeds SEQ_LEN).
+    overfull = (
+        spark.read.parquet(ffd_path)
+        .groupBy("shard", "bin_idx")
+        .agg(F.sum("n_tokens").alias("st"))
+        .filter(F.col("st") > SEQ_LEN)
+        .count()
+    )
+    assert overfull == 0
+
+
 def test_takedown_without_raw_layer_is_delete_only(spark, tmp_path):
     raw, index_dir, out_dir, codes_path, packs_path = _build_state(
         spark, tmp_path
