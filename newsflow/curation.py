@@ -145,42 +145,50 @@ def curate(
     )
 
 
-_FUNNEL_CTES = f"""
-WITH toks AS (
-  SELECT doc_id, lang, source, text, {sql_tokens()} AS t FROM documents),
-scored AS (
+def funnel_ctes_sql(src: str = "documents", p: str = "") -> str:
+    """The DuckDB funnel replay (quality gate → language gate → exact
+    dedup → near-dup removal) as a reusable CTE chain over relation
+    ``src``, with every CTE name prefixed by ``p`` so two funnels (e.g.
+    full-corpus vs a sampled teacher slice) compose in one WITH block.
+    Exposes ``{p}toks`` and ``{p}final``; no leading WITH keyword."""
+    return f"""{p}toks AS (
+  SELECT doc_id, lang, source, text, {sql_tokens()} AS t FROM {src}),
+{p}scored AS (
   SELECT doc_id, lang, source, text, t, len(t) AS n_tokens,
          0.4 * least(len(t) / 100.0, 1.0)
        + 0.3 * (1.0 - {sql_stopword_ratio("t")})
        + 0.3 * (len(list_distinct(t))::DOUBLE / greatest(len(t), 1)) AS q
-  FROM toks),
-filtered AS (
-  SELECT * FROM scored
+  FROM {p}toks),
+{p}filtered AS (
+  SELECT * FROM {p}scored
   WHERE q >= {QUALITY_THRESHOLD} AND lang IN ('en')),
-keepers AS (
-  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
-kept AS (
-  SELECT f.* FROM filtered f JOIN keepers k USING (doc_id)),
-sh AS (
+{p}keepers AS (
+  SELECT min(doc_id) AS doc_id FROM {p}filtered GROUP BY md5(text)),
+{p}kept AS (
+  SELECT f.* FROM {p}filtered f JOIN {p}keepers k USING (doc_id)),
+{p}sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
-  FROM kept, UNNEST(range(1, len(t) - 1)) AS u(i)
+  FROM {p}kept, UNNEST(range(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 3),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-common AS (
+{p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM {p}sh GROUP BY 1),
+{p}common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {p}sh a JOIN {p}sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-pairs AS (
+{p}pairs AS (
   SELECT doc_a, doc_b
-  FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
+  FROM {p}common
+  JOIN {p}sizes sa ON sa.doc_id = doc_a
+  JOIN {p}sizes sb ON sb.doc_id = doc_b
   WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
         >= {NEAR_DUP_JACCARD}),
-final AS (
-  SELECT * FROM kept
-  WHERE doc_id NOT IN (SELECT doc_b FROM pairs))
+{p}final AS (
+  SELECT * FROM {p}kept
+  WHERE doc_id NOT IN (SELECT doc_b FROM {p}pairs))
 """
+
+
+_FUNNEL_CTES = "\nWITH " + funnel_ctes_sql()
 
 
 @register(

@@ -323,11 +323,12 @@ def lr_train_metrics_oracle_sql() -> str:
     """
 
 
-def _sql_sigmoid(w_rel: str) -> str:
+def _sql_sigmoid(w_rel: str, x_rel: str = "ev") -> str:
     """Per-row probability vs the ``w_rel`` weight list (one row, one
-    `w` DOUBLE[] column)."""
+    `w` DOUBLE[] column); ``x_rel`` names the feature relation (the
+    sampled-teacher eval scores a relation other than the training ev)."""
     return sql_dround(
-        f"1.0 / (1.0 + exp(-list_dot_product(ev.x, {w_rel}.w)))",
+        f"1.0 / (1.0 + exp(-list_dot_product({x_rel}.x, {w_rel}.w)))",
         ROUND_PROB,
     )
 

@@ -104,7 +104,14 @@ def _features_xy(docs: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
-_EV_SQL = f"""ev AS MATERIALIZED (
+def _ev_sql(
+    toks: str = "toks", final: str = "final", name: str = "ev"
+) -> str:
+    """The (vec_id, x, y) training/eval relation as a CTE over a funnel
+    instance's ``toks``/``final`` pair — parameterized so the sampled-
+    teacher query can build a TRAINING ev from the sampled funnel and an
+    EVAL ev from the full one in the same WITH block."""
+    return f"""{name} AS MATERIALIZED (
       SELECT t.doc_id AS vec_id,
              [1.0,
               least(len(t.t) / 100.0, 1.0),
@@ -117,8 +124,11 @@ _EV_SQL = f"""ev AS MATERIALIZED (
               CASE WHEN t.lang = 'en' THEN 1.0 ELSE 0.0 END
              ] AS x,
              CASE WHEN f.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS y
-      FROM toks t LEFT JOIN final f ON f.doc_id = t.doc_id
+      FROM {toks} t LEFT JOIN {final} f ON f.doc_id = t.doc_id
     )"""
+
+
+_EV_SQL = _ev_sql()
 
 def _fit(spark: SparkSession, sf_dir: str, xy: DataFrame | None = None):
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -187,7 +197,10 @@ def quality_clf_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     xy = _features_xy(docs, spark).localCheckpoint(eager=True)
     w = _fit(spark, sf_dir, xy=xy)
-    scored = xy.select("vec_id", "y", _prob_col(w).alias("prob"))
+    return _confusion(xy.select("vec_id", "y", _prob_col(w).alias("prob")))
+
+
+def _confusion(scored: DataFrame) -> DataFrame:
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count_if((F.col("y") == 1.0) & (F.col("prob") >= 0.5))
@@ -202,4 +215,88 @@ def quality_clf_filter_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if((F.col("y") == 0.0) & (F.col("prob") < 0.5))
         .cast("long")
         .alias("tn"),
+    )
+
+
+#: Sampled-teacher form: the teacher funnel runs on a deterministic
+#: 1-in-SAMPLE_MOD md5(doc_id) slice only. 10% is the production-shaped
+#: operating point the r7 verdict asked to certify.
+SAMPLE_MOD = 10
+
+
+def sampled_teacher_ctes(sample_mod: int) -> str:
+    """Full WITH block: full-corpus funnel (eval labels), sampled-docs
+    funnel (training labels), LR trained on the SAMPLED ev."""
+    from newsflow.curation import funnel_ctes_sql
+
+    return (
+        "\nWITH "
+        + funnel_ctes_sql()
+        + f""",
+    sdocs AS (
+      SELECT * FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % {sample_mod} = 0),
+    """
+        + funnel_ctes_sql("sdocs", "s")
+        + ",\n    "
+        + lr_ctes_sql_for(
+            _ev_sql("stoks", "sfinal", "ev"),
+            N_COEF_Q,
+            iters=Q_ITERS,
+            rate=Q_RATE,
+        )
+        + ",\n    "
+        + _ev_sql("toks", "final", "fev")
+    )
+
+
+@register(
+    "quality_clf_sampled_teacher_eval",
+    oracle=f"""
+    {sampled_teacher_ctes(SAMPLE_MOD)},
+    clf_scored AS (
+      SELECT fev.vec_id, fev.y,
+             {_sql_sigmoid(f"w{Q_ITERS}", "fev")} AS prob
+      FROM fev, w{Q_ITERS}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(y = 1.0 AND prob >= 0.5) AS BIGINT) AS tp,
+           CAST(count_if(y = 0.0 AND prob >= 0.5) AS BIGINT) AS fp,
+           CAST(count_if(y = 1.0 AND prob < 0.5) AS BIGINT) AS fn,
+           CAST(count_if(y = 0.0 AND prob < 0.5) AS BIGINT) AS tn
+    FROM clf_scored
+    """,
+    tags=("ml", "quality", "curation", "iterative", "evaluation"),
+)
+def quality_clf_sampled_teacher_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB deployment form of the distilled quality filter: the
+    EXPENSIVE teacher (full funnel incl. near-dup removal) labels only
+    a deterministic 1-in-{SAMPLE_MOD} md5(doc_id) sample; the student
+    trains on that slice and is then evaluated against the FULL-corpus
+    teacher labels — the confusion row quantifies exactly what the
+    sampling saves vs costs (tests/test_quality_clf.py holds the
+    recall/accuracy floors at this operating point; the
+    sample-fraction curve is recorded in BENCH_sf1.md).
+
+    The within-sample funnel is the honest sampled teacher: its dedup
+    stages see only the sample (near-dup prevalence scales down), which
+    is the real bias a sampled teacher carries in production.
+
+    Scale shape: teacher cost drops by the sample factor (the funnel's
+    pair stage by its square); training ev is sample-sized; full-corpus
+    scoring is the same one-projection deploy path as the unsampled
+    filter."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sample = docs.filter(u % SAMPLE_MOD == 0)
+    xy_s = _features_xy(sample, spark).localCheckpoint(eager=True)
+    w = lr_fit_xy(xy_s, N_COEF_Q, iters=Q_ITERS, rate=Q_RATE)
+    xy_full = _features_xy(docs, spark)
+    return _confusion(
+        xy_full.select("vec_id", "y", _prob_col(w).alias("prob"))
     )

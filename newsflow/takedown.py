@@ -336,6 +336,129 @@ def takedown_repack_ffd(
     }
 
 
+#: Reserved hive-partition value the maintenance pass merges settled
+#: tombstone/drop-log batches into. Negative, so it can never collide
+#: with an ingest batch id or a takedown id (TAKEDOWN_BATCH_BASE+).
+COMPACTED_BATCH = -1
+
+
+def _compact_batch_partitions(
+    spark: SparkSession,
+    path: str,
+    settled_before: int,
+    min_partitions: int = 2,
+) -> dict[str, int]:
+    """Merge every hive ``batch=<id>`` partition with id <
+    ``settled_before`` (plus any prior compaction output) into the
+    single reserved ``batch={COMPACTED_BATCH}`` partition, then delete
+    the merged directories. Rows are projected off their batch column
+    and made distinct — both consumers of these tables (the re-election
+    candidate lookup and `_purge_drop_log`) read set semantics, never
+    per-batch provenance.
+
+    Crash safety: the merged rows are materialized (localCheckpoint)
+    BEFORE the compacted partition is overwritten (the plan reads the
+    partition it replaces — the standing replay-safety rule), and the
+    write lands before any source directory is deleted; a crash between
+    the two leaves duplicate rows across partitions, which distinct()
+    semantics absorb and the next maintenance pass re-merges.
+
+    The ``settled_before`` watermark is the caller's promise that no
+    takedown/ingest with a smaller batch id can ever replay (e.g. the
+    streaming checkpoint's committed offset): partitions at or above it
+    are left alone so the per-batch ``batch != id`` replay exclusions
+    in the ingest/takedown paths keep working. Directory deletion goes
+    through the Hadoop FileSystem API so the same code maintains
+    file://, s3a:// or hdfs:// lakes.
+    """
+    if not os.path.exists(path):
+        return {"merged_partitions": 0, "rows": 0}
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    # Enumerate partitions from the FILESYSTEM, not from row values: a
+    # partition the PII purge emptied (explicit empty-parquet tombstone
+    # dir) has no rows to list a batch id from, yet is exactly the
+    # listing debris this maintenance exists to clear.
+    batches = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            b = int(name.split("=", 1)[1])
+            if b < settled_before:
+                batches.append(b)
+    if len(batches) < min_partitions:
+        return {"merged_partitions": 0, "rows": 0}
+    df = spark.read.parquet(path)
+    settled = df.filter(F.col("batch") < F.lit(settled_before))
+    merged = (
+        settled.drop("batch").distinct().coalesce(1).localCheckpoint(
+            eager=True
+        )
+    )
+    merged.write.mode("overwrite").parquet(
+        f"{path}/batch={COMPACTED_BATCH}"
+    )
+    for b in batches:
+        if b != COMPACTED_BATCH:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/batch={b}"), True
+            )
+    spark.catalog.refreshByPath(path)
+    return {
+        "merged_partitions": len(batches),
+        "rows": merged.count(),
+    }
+
+
+def takedown_maintenance(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    settled_before_batch: int,
+    min_partitions: int = 2,
+) -> dict[str, int]:
+    """Bound the two per-batch-forever partition families the takedown
+    machinery grows: ``{index_dir}/tombstones`` (one partition per
+    takedown) and ``{index_dir}/drops`` (one per ingest batch AND per
+    takedown's re-election). Without this, a corpus ingesting thousands
+    of micro-batches pays O(batches) file-listing on EVERY re-election
+    candidate lookup and tombstone-union scan — the classic small-files
+    decay `ops/layout.py::compact_files` exists for, here in its
+    hive-partition form with the replay-safety watermark this module's
+    invariants require (see `_compact_batch_partitions`).
+
+    Semantics preserved exactly: re-election reads the tombstone UNION
+    and the drop log's (doc_id, matched_doc_id) SET — both invariant
+    under merge+distinct. Retention-by-age (dropping old drop-log rows
+    outright) is deliberately NOT done here: a drop row is the only
+    pointer from a deleted keeper to its re-admissible orphans, so
+    discarding it silently weakens future takedowns; PII removal
+    already prunes the rows that must go (`_purge_drop_log`).
+
+    Returns per-family merged-partition and surviving-row counts.
+    """
+    t = _compact_batch_partitions(
+        spark,
+        os.path.join(index_dir, "tombstones"),
+        settled_before_batch,
+        min_partitions,
+    )
+    d = _compact_batch_partitions(
+        spark,
+        os.path.join(index_dir, "drops"),
+        settled_before_batch,
+        min_partitions,
+    )
+    return {
+        "tombstone_partitions_merged": t["merged_partitions"],
+        "tombstone_rows": t["rows"],
+        "drop_partitions_merged": d["merged_partitions"],
+        "drop_rows": d["rows"],
+    }
+
+
 def _purge_drop_log(
     spark: SparkSession, drops_dir: str, dels: DataFrame
 ) -> int:

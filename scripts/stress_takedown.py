@@ -31,7 +31,10 @@ import pyspark.sql.functions as F  # noqa: E402
 from newsflow.dedup import minhash  # noqa: E402
 from newsflow.dedup.core import doc_shingle_arrays  # noqa: E402
 from newsflow.session import get_spark  # noqa: E402
-from newsflow.takedown import corpus_takedown  # noqa: E402
+from newsflow.takedown import (  # noqa: E402
+    corpus_takedown,
+    takedown_maintenance,
+)
 
 N_BATCHES = 20
 N_DELETES = 10
@@ -141,6 +144,55 @@ def main() -> None:
                         "n_deletes": N_DELETES,
                         "wall_sec": round(wall, 2),
                         "audit": audit,
+                    }
+                ),
+                flush=True,
+            )
+            # Post-compaction phase: merge every settled tombstone/drop
+            # partition, then run a SECOND takedown that re-elects
+            # through the COMPACTED drop log (deleting the 10 keepers
+            # takedown 999 just re-elected orphans their remaining
+            # near-dups, whose drop rows now live in batch=-1).
+            drops_dir = os.path.join(root, "index", "drops")
+            parts_before = len(
+                [d for d in os.listdir(drops_dir) if d.startswith("batch=")]
+            )
+            t1 = time.perf_counter()
+            maint = takedown_maintenance(
+                spark,
+                os.path.join(root, "index"),
+                settled_before_batch=10**12,
+                min_partitions=1,
+            )
+            maint_wall = time.perf_counter() - t1
+            parts_after = len(
+                [d for d in os.listdir(drops_dir) if d.startswith("batch=")]
+            )
+            dels2 = spark.createDataFrame(
+                [(n + i,) for i in range(N_DELETES)], "doc_id long"
+            )
+            t2 = time.perf_counter()
+            audit2 = corpus_takedown(
+                spark,
+                dels2,
+                out_dir=os.path.join(root, "out"),
+                index_dir=os.path.join(root, "index"),
+                takedown_id=1000,
+                raw_docs=raw,
+            )
+            wall2 = time.perf_counter() - t2
+            print(
+                json.dumps(
+                    {
+                        "metric": "takedown_wall_post_compact",
+                        "scale": scale,
+                        "n_docs": n,
+                        "drop_partitions_before": parts_before,
+                        "drop_partitions_after": parts_after,
+                        "maintenance_wall_sec": round(maint_wall, 2),
+                        "maintenance": maint,
+                        "wall_sec": round(wall2, 2),
+                        "audit": audit2,
                     }
                 ),
                 flush=True,

@@ -58,3 +58,16 @@ def test_text_only_student_is_near_chance(spark):
     )
     majority = row.neg / row.n  # all-negative baseline accuracy
     assert row.correct / row.n <= majority + 0.05, row
+
+
+def test_sampled_teacher_floors(spark):
+    """The 1-in-10 sampled-teacher operating point holds the filter
+    floors against FULL-corpus teacher labels (measured 0.928/0.902 at
+    sf0.01 — see BENCH_sf1.md round-9 curve for both SFs)."""
+    from newsflow.ml.quality_clf import quality_clf_sampled_teacher_eval
+
+    row = quality_clf_sampled_teacher_eval(spark, SF_ORACLE).first()
+    recall = row.tp / (row.tp + row.fn)
+    acc = (row.tp + row.tn) / row.n
+    assert recall >= 0.90, (row, recall)
+    assert acc >= 0.87, (row, acc)

@@ -545,6 +545,93 @@ def test_sequential_takedowns_no_zombie_resurrection(spark, tmp_path):
     assert out == {(3, 0), (12, 1), (11, 91)}  # 1 and 2 stay dead
 
 
+def test_takedown_maintenance_compaction(spark, tmp_path):
+    """Tombstone/drop-log partition growth is bounded by
+    `takedown_maintenance`, and compaction changes NOTHING semantic:
+    the cascade (delete 1 → re-elect 2; compact; delete 2 → re-elect
+    11, with 1 staying dead) behaves identically to the uncompacted
+    run, because both consumers read set semantics the merge+distinct
+    preserves."""
+    from newsflow.takedown import (
+        COMPACTED_BATCH,
+        corpus_takedown,
+        takedown_maintenance,
+    )
+
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+    corpus_takedown(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id long"),
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=90,
+        raw_docs=raw,
+    )
+    drops_dir = os.path.join(index_dir, "drops")
+    tombs_dir = os.path.join(index_dir, "tombstones")
+    drop_set_before = {
+        (r.doc_id, r.matched_doc_id)
+        for r in spark.read.parquet(drops_dir).collect()
+    }
+    tomb_set_before = {
+        r.doc_id for r in spark.read.parquet(tombs_dir).collect()
+    }
+    assert len(list(Path(drops_dir).glob("batch=*"))) >= 2
+
+    res = takedown_maintenance(
+        spark, index_dir, settled_before_batch=1_000, min_partitions=1
+    )
+    assert res["tombstone_partitions_merged"] == 1
+    assert res["drop_partitions_merged"] >= 2
+    # One partition dir each, content-identical as sets.
+    assert [p.name for p in Path(drops_dir).glob("batch=*")] == [
+        f"batch={COMPACTED_BATCH}"
+    ]
+    assert [p.name for p in Path(tombs_dir).glob("batch=*")] == [
+        f"batch={COMPACTED_BATCH}"
+    ]
+    assert {
+        (r.doc_id, r.matched_doc_id)
+        for r in spark.read.parquet(drops_dir).collect()
+    } == drop_set_before
+    assert {
+        r.doc_id for r in spark.read.parquet(tombs_dir).collect()
+    } == tomb_set_before
+
+    # Post-compaction cascade: 11 re-elected via the COMPACTED drop
+    # log; 1 stays dead via the COMPACTED tombstones.
+    audit2 = corpus_takedown(
+        spark,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=91,
+        raw_docs=raw,
+    )
+    assert audit2["reelected"] == 1
+    out = {
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(out_dir)
+        .select("doc_id", "ingest_batch")
+        .collect()
+    }
+    assert out == {(3, 0), (12, 1), (11, 91)}
+
+    # Idempotent: a second pass with nothing new to merge is a no-op
+    # for tombstones (single compacted partition already) and merges
+    # only the fresh takedown-91 partitions.
+    res2 = takedown_maintenance(
+        spark, index_dir, settled_before_batch=1_000, min_partitions=2
+    )
+    assert res2["tombstone_partitions_merged"] == 2  # batch=-1 + batch=91
+    out_after = {
+        r.doc_id for r in spark.read.parquet(tombs_dir).collect()
+    }
+    assert out_after == tomb_set_before | {2}
+
+
 def test_takedown_stream_executed(spark, tmp_path):
     """The streaming deployment form: two delete-list micro-batches
     drain through foreachBatch (availableNow), each running a full
