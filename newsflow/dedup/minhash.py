@@ -189,6 +189,7 @@ def native_minhash_candidates(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Candidate pairs via NATIVE minhash signatures — no MLlib, no
     vectors: banded LSH over per-document min-hash signatures
@@ -224,15 +225,41 @@ def native_minhash_candidates(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    star_pairs = None
     if max_bucket is not None:
         # Degenerate-bucket cap (same bound as simhash.py): a bucket of k
         # members expands k(k-1)/2 structs inside ONE row, so a band key
-        # shared by tens of thousands of docs is a per-task OOM. Dropping
-        # over-cap buckets trades recall on "everything matches
-        # everything" keys for bounded memory — default None because the
-        # registered query's oracle asserts recall 1 (no bucket at the
-        # check SF comes near any sane cap); pass a cap at real scale.
+        # shared by tens of thousands of docs (one viral boilerplate
+        # string) is a per-task OOM. Two policies for over-cap buckets:
+        #
+        # - "drop" discards them — bounded memory, recall 0 on
+        #   "everything matches everything" keys;
+        # - "star" emits only (bucket-min, member) pairs — O(k) instead
+        #   of O(k²) per bucket, which PRESERVES the dedup outcome on a
+        #   genuine viral cluster: with keep-smallest-keeper semantics a
+        #   loser is any doc that verifies against a smaller clustermate,
+        #   and every over-cap member still gets verified against its
+        #   bucket's representative (recall is traded only for borderline
+        #   members that match some clustermate but not the rep —
+        #   measured 0 lost on the planted-skew stress,
+        #   BENCH_sf1.md round-9 section).
+        #
+        # Default None because the registered query's oracle asserts
+        # recall 1 (no bucket at the check SF comes near any sane cap);
+        # pass a cap at real scale.
+        over = buckets.filter(F.size("ids") > max_bucket)
         buckets = buckets.filter(F.size("ids") <= max_bucket)
+        if oversize == "star":
+            star_pairs = over.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(ids, 2, size(ids) - 1),"
+                        " y -> struct(ids[0] AS doc_a, y AS doc_b))"
+                    )
+                ).alias("p")
+            )
+        elif oversize != "drop":
+            raise ValueError(f"unknown oversize policy: {oversize!r}")
     pair_expr = F.flatten(
         F.transform(
             "ids",
@@ -242,11 +269,10 @@ def native_minhash_candidates(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    pairs = buckets.select(F.explode(pair_expr).alias("p"))
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def native_minhash_near_dup_pairs(
@@ -256,6 +282,7 @@ def native_minhash_near_dup_pairs(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Native-expression MinHash near-dup pairs: identical output
     contract (and, given recall 1, identical output) to
@@ -263,7 +290,7 @@ def native_minhash_near_dup_pairs(
     construction, no Python/MLlib model, every stage codegen'd."""
     arrays = doc_shingle_arrays(docs, n).cache()
     cands = native_minhash_candidates(
-        arrays, num_hashes, rows_per_band, max_bucket
+        arrays, num_hashes, rows_per_band, max_bucket, oversize
     )
     return _verify_pairs(arrays, cands, threshold)
 

@@ -322,3 +322,48 @@ def test_span_rewrite_hash_form_matches_string_form(spark):
     )
     assert strings == hashed
     assert any(r[2] > 0 for r in strings)  # non-vacuous: removals exist
+
+
+def test_star_capped_buckets_preserve_viral_drop_set(spark):
+    """Skew hardening: with `max_bucket` + ``oversize="star"``, an
+    over-cap LSH bucket (one viral boilerplate with K variants) expands
+    K-1 representative pairs instead of K(K-1)/2 — and the keep-smallest
+    drop outcome is unchanged, because every member still verifies
+    against its bucket's min-id representative
+    (scripts/stress_skew_neardup.py measures the same at K=2000)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup import minhash
+    from newsflow.dedup.core import doc_shingle_arrays
+
+    k = 30
+    boiler = " ".join(f"boiler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(j, f"{boiler} v{j}") for j in range(k)]
+        + [(100 + j, " ".join(f"w{100 + j}_{i}" for i in range(40)))
+           for j in range(20)],
+        "doc_id long, text string",
+    )
+    arrays = doc_shingle_arrays(docs, 3)
+    full = minhash.native_minhash_candidates(arrays)
+    star = minhash.native_minhash_candidates(
+        arrays, max_bucket=10, oversize="star"
+    )
+    assert full.count() == k * (k - 1) // 2
+    assert star.count() == k - 1  # bounded: one pair per non-rep member
+    drops_full = {
+        r[0]
+        for r in minhash.native_minhash_near_dup_pairs(docs, 3, 0.8)
+        .select("doc_b").distinct().collect()
+    }
+    drops_star = {
+        r[0]
+        for r in minhash.native_minhash_near_dup_pairs(
+            docs, 3, 0.8, max_bucket=10, oversize="star"
+        )
+        .select("doc_b").distinct().collect()
+    }
+    assert drops_star == drops_full == set(range(1, k))
+    assert (
+        star.agg(F.min("doc_a")).first()[0] == 0
+    )  # rep is the bucket min
