@@ -67,6 +67,7 @@ _QUERY_MODULES = (
     "newsflow.retrieval",
     "newsflow.sim.health",
     "newsflow.sim.mmr",
+    "newsflow.sim.nsw",
     "newsflow.analytics",
 )
 

@@ -1,0 +1,264 @@
+"""Graph ANN tier — NSW-style (Navigable Small World) beam search over
+a bounded-degree k-NN graph; the seventh index family in the engine's
+ANN ladder (exact / sign-LSH / MLlib LSH / IVF / PQ / IVF-PQ / SQ8 →
+graph), the shape HNSW builds on (Malkov & Yashunin, 2016).
+
+Two pieces:
+
+* **Graph build** (`nsw_graph_edges_df`): each indexed vector keeps its
+  ``GRAPH_M`` most-cosine-similar neighbors — a deterministic, exactly
+  oracle-able table (per-src top-M window over unit-vector dot
+  products). Like the PQ tier, the INDEX side is the ``vec_id <
+  {GRAPH_MAX_VEC_ID}`` slice, so query vectors are genuinely
+  out-of-index. At 100 TB the all-pairs build is batched per shard and
+  candidate-pruned through the IVF tier (find M-NN among probed cells
+  only) — the stored artifact is the same (src, dst, sim) table,
+  hive-partitioned/bucketed by src so each search hop's neighbor
+  expansion is a co-located lookup.
+
+* **Beam search** (`nsw_search_df`): greedy best-first from
+  ``GRAPH_N_ENTRIES`` id-spread entry points (the flat-graph stand-in
+  for HNSW's upper layers — see the function docstring for the
+  measured single- vs multi-entry recall gap): each hop expands the
+  current beam's graph neighbors, scores them against the query, and
+  keeps the top ``ef`` per query — ``GRAPH_HOPS`` bounded hops,
+  everything JVM-side (broadcast query vectors, edge join, rank
+  window), fully deterministic (rounded-sim DESC, node ASC tie rule).
+  Per-hop cost is |queries| x ef x M candidate rows — independent of
+  corpus size, which is the entire point of the graph tier: search
+  cost scales with beam geometry, not data volume.
+
+The search result is deterministic but its hop-by-hop beam state is not
+SQL-expressible (per-iteration top-ef windows inside a recursive CTE),
+so the search ships recall-floor-gated against the exact baseline
+(`nsw_ann_recall_eval`, floors in tests/test_sim.py) while the graph
+itself is exactly oracled — the same oracle discipline split as the
+MLlib LSH tier.
+
+Reference parity: no counterpart (the reference has no vector search);
+scale-mandated extension completing the production ANN families.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from newsflow.functions.scalars import dround
+from newsflow.registry import register
+from newsflow.sim.knn import dot_expr
+from newsflow.sim.pq import _unit
+from newsflow.tables import load_table, spread
+
+GRAPH_MAX_VEC_ID = 400  # indexed slice; queries are out-of-index
+GRAPH_M = 8             # graph degree
+GRAPH_EF = 48           # beam width
+GRAPH_HOPS = 8          # bounded greedy expansion
+GRAPH_N_ENTRIES = 16    # spread entry points (see nsw_search_df)
+N_GRAPH_QUERIES = 8     # vec_id in [GRAPH_MAX_VEC_ID, +8)
+
+
+def nsw_graph_edges_df(units: DataFrame, m: int = GRAPH_M) -> DataFrame:
+    """(src, dst, cosine_sim): each node's top-``m`` neighbors by
+    rounded cosine, deterministic tie-break on dst. ``units`` is a
+    (vec_id, u) unit-vector frame."""
+    a = units.select(F.col("vec_id").alias("src"), F.col("u").alias("ua"))
+    b = units.select(F.col("vec_id").alias("dst"), F.col("u").alias("ub"))
+    sims = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            dround(dot_expr(F.col("ua"), F.col("ub")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .drop("rn")
+    )
+
+
+def nsw_search_df(
+    units: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    ef: int = GRAPH_EF,
+    hops: int = GRAPH_HOPS,
+    n_entries: int = GRAPH_N_ENTRIES,
+) -> DataFrame:
+    """Beam search: (query_id, node, sim, rank) — the final beam per
+    query, rank 1 = best. ``queries`` is a (query_id, u) frame (small,
+    broadcast); ``units`` the indexed (vec_id, u) frame; ``edges`` the
+    stored graph. Each hop joins the current beam to its neighbors,
+    scores the NEW nodes only, and re-ranks — beam state stays
+    |queries| x ef rows, checkpointed per hop so the iterative plan
+    never re-derives earlier hops.
+
+    MULTI-ENTRY: the beam seeds from ``n_entries`` id-spread nodes
+    (ntile mins over the indexed ids), not one — the flat-graph
+    substitute for HNSW's upper layers. A pure k-NN graph has no
+    long-range links, so on an isotropic corpus a single entry's greedy
+    basin misses distant queries (measured: mean recall 0.40
+    single-entry vs 0.975 mean / 0.80 min per-query with 16 entries at
+    the shipped geometry, both SFs — BENCH_sf1.md round-9 section).
+    The ntile window runs over the index's id column only; a stored
+    deployment pins the entry list at build time instead."""
+    q = F.broadcast(
+        queries.select(F.col("query_id"), F.col("u").alias("qu"))
+    )
+    nodes = units.select(F.col("vec_id").alias("node"), "u")
+    tiles = (
+        nodes.select(
+            "node",
+            F.ntile(n_entries).over(Window.orderBy("node")).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.min("node").alias("node"))
+        .drop("t")
+    )
+    entry_nodes = F.broadcast(nodes.join(tiles, "node", "left_semi"))
+    state = (
+        q.crossJoin(entry_nodes)
+        .select(
+            "query_id",
+            "node",
+            dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node")
+    )
+    for _ in range(hops):
+        nbrs = (
+            state.join(edges, state["node"] == edges["src"])
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(state.select("query_id", "node"), ["query_id", "node"],
+                  "left_anti")
+        )
+        scored = (
+            nbrs.join(nodes, "node")
+            .join(q, "query_id")
+            .select(
+                "query_id",
+                "node",
+                dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
+            )
+        )
+        state = (
+            state.unionByName(scored)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ef)
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+    return state.withColumn("rank", F.row_number().over(w))
+
+
+def _index_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return _unit(emb.filter(F.col("vec_id") < GRAPH_MAX_VEC_ID), "vec_id")
+
+
+def _query_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return _unit(
+        emb.filter(
+            (F.col("vec_id") >= GRAPH_MAX_VEC_ID)
+            & (F.col("vec_id") < GRAPH_MAX_VEC_ID + N_GRAPH_QUERIES)
+        ),
+        "query_id",
+    ).select("query_id", "u")
+
+
+@register(
+    "nsw_graph_edges",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS u
+      FROM embeddings WHERE vec_id < {GRAPH_MAX_VEC_ID}
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             (round(list_dot_product(a.u, b.u) + 1e-9, 6) + 0.0)
+               AS cosine_sim
+      FROM u a JOIN u b ON a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, cosine_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine_sim DESC, dst
+      ) AS rn FROM sims
+    ) WHERE rn <= {GRAPH_M}
+    """,
+    tags=("similarity", "graph", "nsw"),
+)
+def nsw_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored NSW graph: top-{GRAPH_M} cosine neighbors per indexed
+    vector (vec_id < {GRAPH_MAX_VEC_ID}) — exactly oracled; the beam
+    search navigates this table."""
+    return nsw_graph_edges_df(_index_units(spark, sf_dir))
+
+
+@register(
+    "nsw_ann_recall_eval",
+    # No oracle: the hop-by-hop beam state (per-iteration top-ef window)
+    # is not SQL-expressible; recall floors vs the exact baseline are
+    # asserted in tests/test_sim.py (same split as the MLlib LSH tier).
+    tags=("similarity", "graph", "nsw", "evaluation"),
+)
+def nsw_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the graph beam search ({GRAPH_N_ENTRIES}
+    spread entries, ef={GRAPH_EF}, {GRAPH_HOPS} hops) against the exact
+    top-5 over the indexed slice — the index-quality row a production
+    graph tier monitors."""
+    units = _index_units(spark, sf_dir).localCheckpoint(eager=True)
+    queries = _query_units(spark, sf_dir)
+    edges = nsw_graph_edges_df(units).localCheckpoint(eager=True)
+    beam = nsw_search_df(units, edges, queries).filter(F.col("rank") <= 5)
+
+    qb = F.broadcast(queries.select("query_id", F.col("u").alias("qu")))
+    exact = (
+        units.select(F.col("vec_id").alias("node"), "u")
+        .crossJoin(qb)
+        .select(
+            "query_id",
+            "node",
+            dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node")
+    )
+    exact5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "node")
+    )
+    hits = exact5.join(
+        beam.select("query_id", "node", F.lit(1).alias("hit")),
+        ["query_id", "node"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("hit").alias("n_hits"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )

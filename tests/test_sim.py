@@ -61,3 +61,32 @@ def test_centroids_shape(spark):
     n_labels = emb.select("label").distinct().count()
     dim = len(emb.select("embedding").first()[0])
     assert cent.count() == n_labels * dim
+
+
+def test_nsw_graph_search_recall_floors(spark):
+    """Graph ANN tier: beam search over the stored NSW graph holds
+    recall floors vs the exact baseline (measured 0.975 mean / 0.80 min
+    per-query at BOTH SFs — BENCH_sf1.md round-9 section), and the beam
+    is deterministic (two runs, identical rows)."""
+    from newsflow.sim.nsw import (
+        _index_units,
+        _query_units,
+        nsw_ann_recall_eval,
+        nsw_graph_edges_df,
+        nsw_search_df,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = nsw_ann_recall_eval(spark, SF_ORACLE).collect()
+    assert len(rows) == 8
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.9, rows
+    assert all(r.recall_at_k >= 0.6 for r in rows), rows
+
+    units = _index_units(spark, SF_ORACLE).localCheckpoint(eager=True)
+    edges = nsw_graph_edges_df(units).localCheckpoint(eager=True)
+    queries = _query_units(spark, SF_ORACLE)
+    key = lambda r: (r.query_id, r.rank, r.node, r.sim)  # noqa: E731
+    one = sorted(map(key, nsw_search_df(units, edges, queries).collect()))
+    two = sorted(map(key, nsw_search_df(units, edges, queries).collect()))
+    assert one == two
