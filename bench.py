@@ -90,6 +90,12 @@ HEADLINE = [
     "corpus_takedown_audit",    # deletion propagation semantics audit
     "knn_cosine_sq8",           # int8 scalar-quantized ANN + exact re-rank
     "bpe_encode_corpus",        # tokenizer APPLY (broadcast vocab lookup)
+    # Round-9 additions:
+    "corpus_takedown_ffd_audit",  # FFD repack under takedown (2x Arrow
+                                  # per-shard fold + pair semantics)
+    "quality_clf_sampled_teacher_eval",  # 1/10-teacher distillation
+    "nsw_graph_edges",          # graph ANN index build (oracled top-M)
+    "nsw_ann_recall_eval",      # multi-entry beam search + recall audit
 ]
 
 

