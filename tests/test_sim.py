@@ -90,3 +90,107 @@ def test_nsw_graph_search_recall_floors(spark):
     one = sorted(map(key, nsw_search_df(units, edges, queries).collect()))
     two = sorted(map(key, nsw_search_df(units, edges, queries).collect()))
     assert one == two
+
+
+def test_nsw_incremental_insert_floors_and_invariants(spark):
+    """Graph append path: recall floors hold on the grown graph; the
+    eval is non-vacuous (inserted nodes enter the true top-5); edges of
+    nodes NOT touched by the insert are byte-identical; degree stays
+    bounded at M."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from newsflow.functions.scalars import dround
+    from newsflow.sim.knn import dot_expr
+    from newsflow.sim.nsw import (
+        GRAPH_M,
+        NSW_EF_CONSTRUCTION,
+        NSW_HOPS_CONSTRUCTION,
+        NSW_INSERT_HI,
+        NSW_INSERT_LO,
+        _index_units,
+        _query_units,
+        nsw_graph_edges_df,
+        nsw_incremental_insert_eval,
+        nsw_insert_batch,
+    )
+    from newsflow.sim.pq import _unit
+    from newsflow.tables import load_table, spread
+    from tests.conftest import SF_ORACLE
+
+    rows = nsw_incremental_insert_eval(spark, SF_ORACLE).collect()
+    assert len(rows) == 8
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.9, rows
+    assert all(r.recall_at_k >= 0.6 for r in rows), rows
+
+    emb = spread(load_table(spark, SF_ORACLE, "embeddings"))
+    units = _index_units(spark, SF_ORACLE).localCheckpoint(eager=True)
+    batch = _unit(
+        emb.filter(
+            (F.col("vec_id") >= NSW_INSERT_LO)
+            & (F.col("vec_id") < NSW_INSERT_HI)
+        ),
+        "vec_id",
+    ).localCheckpoint(eager=True)
+    edges0 = nsw_graph_edges_df(units).localCheckpoint(eager=True)
+    edges1 = nsw_insert_batch(
+        units, edges0, batch,
+        ef=NSW_EF_CONSTRUCTION, hops=NSW_HOPS_CONSTRUCTION,
+    ).localCheckpoint(eager=True)
+
+    # Non-vacuous: at least one inserted node is a TRUE top-5 neighbor
+    # of some query (measured 5 at sf0.01 / 2 at sf0.1).
+    allu = units.unionByName(batch)
+    q = F.broadcast(
+        _query_units(spark, SF_ORACLE).select(
+            "query_id", F.col("u").alias("qu")
+        )
+    )
+    exact = (
+        allu.select(F.col("vec_id").alias("node"), "u")
+        .crossJoin(q)
+        .select(
+            "query_id", "node",
+            dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node")
+    )
+    batch_in_top5 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") <= 5) & (F.col("node") >= NSW_INSERT_LO)
+        )
+        .count()
+    )
+    assert batch_in_top5 > 0
+
+    # Untouched srcs keep identical edge rows; every src stays <= M.
+    touched = edges1.join(edges0, ["src", "dst", "cosine_sim"], "left_anti")
+    touched_srcs = {r.src for r in touched.select("src").distinct().collect()}
+    # Every inserted node acquired forward edges.
+    assert set(range(NSW_INSERT_LO, NSW_INSERT_HI)) <= touched_srcs
+    untouched0 = edges0.join(
+        spark.createDataFrame(
+            [(s,) for s in sorted(touched_srcs)], "src long"
+        ),
+        "src",
+        "left_anti",
+    )
+    untouched1 = edges1.join(
+        spark.createDataFrame(
+            [(s,) for s in sorted(touched_srcs)], "src long"
+        ),
+        "src",
+        "left_anti",
+    )
+    key = lambda r: (r.src, r.dst, r.cosine_sim)  # noqa: E731
+    assert sorted(map(key, untouched0.collect())) == sorted(
+        map(key, untouched1.collect())
+    )
+    max_deg = (
+        edges1.groupBy("src").count().agg(F.max("count")).first()[0]
+    )
+    assert max_deg <= GRAPH_M

@@ -639,9 +639,13 @@ def test_takedown_stream_executed(spark, tmp_path):
     from newsflow.sources.sinks import write_single_parquet_file
     from newsflow.takedown import TAKEDOWN_BATCH_BASE, takedown_stream
 
+    from newsflow.packing import ffd_pack_docs, persist_ffd_packs
+
     raw, index_dir, out_dir, codes_path, packs_path = _build_state(
         spark, tmp_path
     )
+    ffd_path = str(tmp_path / "ffd")
+    persist_ffd_packs(spark, spark.read.parquet(out_dir), ffd_path)
     replay = str(tmp_path / "del_replay")
     os.makedirs(replay)
     for i, ids in enumerate(([1], [2])):
@@ -667,6 +671,7 @@ def test_takedown_stream_executed(spark, tmp_path):
             raw_docs=raw,
             codes_path=codes_path,
             packs_path=packs_path,
+            ffd_packs_path=ffd_path,
         )
         q.awaitTermination()
 
@@ -692,6 +697,14 @@ def test_takedown_stream_executed(spark, tmp_path):
         for r in _fresh_packs(spark, final_docs).collect()
     }
     assert _pack_rows(spark, packs_path) == expected
+    # FFD table tracks the final corpus through the streamed cascade.
+    assert {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in spark.read.parquet(ffd_path).collect()
+    } == {
+        (r.shard, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in ffd_pack_docs(final_docs).collect()
+    }
     run()  # checkpointed rerun: no new files, nothing changes
     out2 = {
         (r.doc_id, r.ingest_batch)
