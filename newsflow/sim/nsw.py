@@ -239,6 +239,192 @@ def nsw_insert_batch(
     return untouched.unionByName(repruned)
 
 
+def nsw_takedown_edges(
+    edges: DataFrame,
+    delete_ids: DataFrame,
+    units: DataFrame | None = None,
+    m: int = GRAPH_M,
+) -> DataFrame:
+    """Propagate a takedown through the stored graph: drop every edge
+    that TOUCHES a deleted id (zero-trace on both columns), then repair
+    locally with the classic deleted-node BRIDGE: each deleted node's
+    surviving neighbors become candidate edges AMONG THEMSELVES (they
+    were mutually near by transitivity through the deleted hub), scored
+    exactly and re-pruned with the affected srcs' remaining lists to
+    top-``m``. Candidate volume is |delete-list| x M² — delete-list-
+    proportional, never graph-proportional — and untouched srcs keep
+    byte-identical rows.
+
+    ``units`` (survivor unit vectors) powers the bridge scoring; without
+    it the repair is skipped and the result is the minimal zero-trace
+    delete (recall at the hole's rim degrades until the next repair or
+    insert pass — stated, not silent).
+
+    ``delete_ids``: one-column frame of vec_ids."""
+    dels = F.broadcast(
+        delete_ids.select(
+            F.col(delete_ids.columns[0]).alias("del_id")
+        ).distinct()
+    )
+    kept = edges.join(
+        dels.select(F.col("del_id").alias("src")), "src", "left_anti"
+    ).join(dels.select(F.col("del_id").alias("dst")), "dst", "left_anti")
+    # srcs that lost at least one neighbor to the deletion
+    lost = (
+        edges.join(dels.select(F.col("del_id").alias("dst")), "dst", "left_semi")
+        .join(dels.select(F.col("del_id").alias("src")), "src", "left_anti")
+        .select("src")
+        .distinct()
+    )
+    if units is None:
+        return kept
+    # Bridge: surviving neighbors of each deleted node, paired.
+    nbrs_of_deleted = (
+        edges.join(
+            dels.select(F.col("del_id").alias("src")), "src", "left_semi"
+        )
+        .join(dels.select(F.col("del_id").alias("dst")), "dst", "left_anti")
+        .select(F.col("src").alias("hub"), F.col("dst").alias("nbr"))
+        .distinct()
+    )
+    a = nbrs_of_deleted.select("hub", F.col("nbr").alias("src"))
+    b = nbrs_of_deleted.select("hub", F.col("nbr").alias("dst"))
+    cand = (
+        a.join(b, "hub")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ua = units.select(F.col("vec_id").alias("src"), F.col("u").alias("usrc"))
+    ub = units.select(F.col("vec_id").alias("dst"), F.col("u").alias("udst"))
+    bridge = (
+        cand.join(ua, "src")
+        .join(ub, "dst")
+        .select(
+            "src",
+            "dst",
+            dround(dot_expr(F.col("usrc"), F.col("udst")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    affected = lost.unionByName(bridge.select("src")).distinct()
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst")
+    )
+    repruned = (
+        kept.join(F.broadcast(affected), "src", "left_semi")
+        .unionByName(bridge)
+        .dropDuplicates(["src", "dst"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .drop("rn")
+    )
+    untouched = kept.join(F.broadcast(affected), "src", "left_anti")
+    return untouched.unionByName(repruned)
+
+
+def nsw_takedown_update(
+    spark: SparkSession,
+    graph_edges_path: str,
+    delete_ids: DataFrame,
+    embeddings: DataFrame | None = None,
+    reelected_ids: DataFrame | None = None,
+) -> dict[str, int]:
+    """Path-based takedown step for a persisted NSW graph, composed by
+    `takedown.corpus_takedown`: zero-trace edge delete + bridge repair
+    (`nsw_takedown_edges`), then `nsw_insert_batch` of re-elected docs'
+    vectors so the graph tracks the survivor set exactly. Whole-table
+    rewrite like the code table (the check-scale layout is a single
+    parquet dir; at scale the table is bucketed by src and only
+    affected buckets rewrite — same caveat as `takedown_partitioned`
+    with ``partition_col=None``). Idempotent under same-list replay:
+    the result is a pure function of (stored edges ∖ deletes, repair,
+    survivors' vectors)."""
+    import os
+
+    if not os.path.exists(graph_edges_path):
+        return {"deleted": 0, "inserted": 0}
+    edges = spark.read.parquet(graph_edges_path)
+    dels = delete_ids.select(
+        F.col(delete_ids.columns[0]).alias("vec_id")
+    ).distinct()
+    units = None
+    if embeddings is not None:
+        # Restrict to the graph's MEMBER set: the embeddings table may
+        # hold vectors that were never indexed here, and the multi-entry
+        # seeding in `nsw_search_df` spreads entries over whatever units
+        # frame it is given — a non-member would silently join the graph
+        # through the insert phase's reverse edges.
+        members = (
+            edges.select(F.col("src").alias("vec_id"))
+            .unionByName(edges.select(F.col("dst").alias("vec_id")))
+            .distinct()
+        )
+        units = _unit(
+            embeddings.join(members, "vec_id", "left_semi").join(
+                F.broadcast(dels), "vec_id", "left_anti"
+            ),
+            "vec_id",
+        ).localCheckpoint(eager=True)
+    n_before = edges.count()
+    updated = nsw_takedown_edges(edges, dels, units).localCheckpoint(
+        eager=True
+    )
+    # Net change of the delete+repair phase (repair can legitimately
+    # ADD bridge edges where deletion left under-degree rims).
+    n_removed_net = n_before - updated.count()
+    n_inserted = 0
+    if (
+        reelected_ids is not None
+        and embeddings is not None
+        and not reelected_ids.isEmpty()
+    ):
+        # Re-elected docs are usually NOT members yet (that's the point
+        # of inserting them) — unit-normalize them from the full
+        # embeddings frame, not the member-restricted units.
+        re_units = _unit(
+            embeddings.join(
+                F.broadcast(
+                    reelected_ids.select(
+                        F.col(reelected_ids.columns[0]).alias("vec_id")
+                    ).distinct()
+                ),
+                "vec_id",
+                "left_semi",
+            ),
+            "vec_id",
+        ).localCheckpoint(eager=True)
+        n_inserted = re_units.count()
+        if n_inserted:
+            # Replay safety: strip any prior attempt's rows for these
+            # ids, then insert against the remaining graph.
+            base = updated.join(
+                F.broadcast(re_units.select(F.col("vec_id").alias("src"))),
+                "src",
+                "left_anti",
+            )
+            graph_units = units.join(
+                F.broadcast(re_units.select("vec_id")),
+                "vec_id",
+                "left_anti",
+            )
+            updated = nsw_insert_batch(
+                graph_units,
+                base,
+                re_units,
+                ef=NSW_EF_CONSTRUCTION,
+                hops=NSW_HOPS_CONSTRUCTION,
+            )
+    updated = updated.localCheckpoint(eager=True)
+    updated.write.mode("overwrite").parquet(graph_edges_path)
+    spark.catalog.refreshByPath(graph_edges_path)
+    return {
+        "edges_removed_net": int(n_removed_net),
+        "inserted": int(n_inserted),
+    }
+
+
 def _index_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return _unit(emb.filter(F.col("vec_id") < GRAPH_MAX_VEC_ID), "vec_id")

@@ -526,6 +526,7 @@ def corpus_takedown(
     ffd_packs_path: str | None = None,
     embeddings: DataFrame | None = None,
     pq_codebooks: dict | None = None,
+    graph_edges_path: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
     num_hashes: int = 16,
@@ -554,7 +555,11 @@ def corpus_takedown(
     5. rebuild dirty shards of the FFD pack table (``ffd_packs_path``,
        the `packing.persist_ffd_packs` artifact) via
        `takedown_repack_ffd` — deterministic per-shard re-pack over
-       survivors ∪ re-elected.
+       survivors ∪ re-elected;
+    6. update the persisted NSW ANN graph (``graph_edges_path``):
+       zero-trace edge delete + deleted-hub bridge repair, then
+       `nsw_insert_batch` of re-elected vectors — the graph twin of
+       the codes step (see `sim.nsw.nsw_takedown_update`).
 
     ``takedown_id`` must be unique per logical takedown (it namespaces
     the re-election output partition) but a crashed run may be REPLAYED
@@ -761,6 +766,24 @@ def corpus_takedown(
         audit["ffd_deleted"] = rf["deleted"]
         audit["ffd_added"] = rf["added"]
         audit["ffd_dirty_shards"] = rf["partitions"]
+    if graph_edges_path is not None:
+        from newsflow.sim.nsw import nsw_takedown_update
+
+        gr = nsw_takedown_update(
+            spark,
+            graph_edges_path,
+            dels.select(F.col("doc_id").alias("vec_id")),
+            embeddings=embeddings,
+            reelected_ids=(
+                reelected_docs.select(
+                    F.col("doc_id").alias("vec_id")
+                )
+                if reelected_docs is not None
+                else None
+            ),
+        )
+        audit["graph_edges_removed_net"] = gr["edges_removed_net"]
+        audit["graph_nodes_inserted"] = gr["inserted"]
     return audit
 
 

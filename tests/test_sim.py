@@ -194,3 +194,70 @@ def test_nsw_incremental_insert_floors_and_invariants(spark):
         edges1.groupBy("src").count().agg(F.max("count")).first()[0]
     )
     assert max_deg <= GRAPH_M
+
+
+def test_nsw_takedown_zero_trace_and_recall(spark):
+    """Graph takedown: after deleting 10 indexed nodes, (a) no edge
+    touches a deleted id, (b) degree stays <= M, (c) bridge repair
+    keeps search recall over the SURVIVOR set at the tier's floors,
+    (d) srcs not adjacent to any deleted node keep identical rows."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim.nsw import (
+        GRAPH_M,
+        _index_units,
+        _query_units,
+        _recall_frame,
+        nsw_graph_edges_df,
+        nsw_search_df,
+        nsw_takedown_edges,
+    )
+    from tests.conftest import SF_ORACLE
+
+    units = _index_units(spark, SF_ORACLE).localCheckpoint(eager=True)
+    edges0 = nsw_graph_edges_df(units).localCheckpoint(eager=True)
+    del_ids = [i * 40 for i in range(10)]  # 0, 40, ..., 360
+    dels = spark.createDataFrame([(d,) for d in del_ids], "vec_id long")
+    survivors = units.filter(~F.col("vec_id").isin(del_ids)).localCheckpoint(
+        eager=True
+    )
+    edges1 = nsw_takedown_edges(edges0, dels, survivors).localCheckpoint(
+        eager=True
+    )
+    # (a) zero trace on both columns
+    assert (
+        edges1.filter(
+            F.col("src").isin(del_ids) | F.col("dst").isin(del_ids)
+        ).count()
+        == 0
+    )
+    # (b) degree bound
+    assert (
+        edges1.groupBy("src").count().agg(F.max("count")).first()[0]
+        <= GRAPH_M
+    )
+    # (d) srcs untouched by the deletion keep identical rows
+    adj = {
+        r.src
+        for r in edges0.filter(F.col("dst").isin(del_ids))
+        .select("src")
+        .distinct()
+        .collect()
+    } | set(del_ids)
+    key = lambda r: (r.src, r.dst, r.cosine_sim)  # noqa: E731
+    k0 = sorted(
+        map(key, edges0.filter(~F.col("src").isin(sorted(adj))).collect())
+    )
+    k1 = sorted(
+        map(key, edges1.filter(~F.col("src").isin(sorted(adj))).collect())
+    )
+    assert k0 == k1
+    # (c) recall over survivors still holds the tier floors
+    queries = _query_units(spark, SF_ORACLE)
+    beam = nsw_search_df(survivors, edges1, queries).filter(
+        F.col("rank") <= 5
+    )
+    rows = _recall_frame(survivors, beam, queries).collect()
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.9, rows
+    assert all(r.recall_at_k >= 0.6 for r in rows), rows

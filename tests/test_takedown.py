@@ -259,6 +259,16 @@ def test_takedown_ffd_repack_and_pq_reencode(spark, tmp_path):
         for p in Path(ffd_path).glob("shard=*")
     }
 
+    # Persisted NSW graph over the survivors (vec_id = doc_id).
+    from newsflow.sim.nsw import nsw_graph_edges_df
+    from newsflow.sim.pq import _unit as unit_frame
+
+    graph_path = str(tmp_path / "graph")
+    surv_units = unit_frame(
+        emb.filter(F.col("vec_id").isin([1, 3, 12])), "vec_id"
+    )
+    nsw_graph_edges_df(surv_units).write.parquet(graph_path)
+
     dels = spark.createDataFrame([(1,)], "doc_id long")
     audit = corpus_takedown(
         spark,
@@ -271,11 +281,23 @@ def test_takedown_ffd_repack_and_pq_reencode(spark, tmp_path):
         ffd_packs_path=ffd_path,
         embeddings=emb,
         pq_codebooks=books,
+        graph_edges_path=graph_path,
     )
     assert audit["reelected"] == 1  # doc 2 re-admitted
     assert audit["ffd_deleted"] == 1
     assert audit["ffd_added"] == 1
     assert audit["codes_reencoded"] == 1
+    assert audit["graph_nodes_inserted"] == 1
+
+    # Graph tracks the survivor set: zero trace of 1, node 2 wired in.
+    g = spark.read.parquet(graph_path)
+    assert (
+        g.filter((F.col("src") == 1) | (F.col("dst") == 1)).count() == 0
+    )
+    assert g.filter(F.col("src") == 2).count() > 0
+    assert {
+        r.src for r in g.select("src").distinct().collect()
+    } == {2, 3, 12}
 
     # (a) FFD table == from-scratch FFD over the final corpus; shards
     # not dirtied by {1 out, 2 in} keep their exact bytes.
@@ -315,6 +337,9 @@ def test_takedown_ffd_repack_and_pq_reencode(spark, tmp_path):
     } == encode([2, 3, 12])
 
     # Same-id replay converges to the identical logical state.
+    graph_state = {
+        (r.src, r.dst, r.cosine_sim) for r in g.collect()
+    }
     audit2 = corpus_takedown(
         spark,
         dels,
@@ -326,6 +351,7 @@ def test_takedown_ffd_repack_and_pq_reencode(spark, tmp_path):
         ffd_packs_path=ffd_path,
         embeddings=emb,
         pq_codebooks=books,
+        graph_edges_path=graph_path,
     )
     assert audit2["reelected"] == 1
     assert {
@@ -336,6 +362,10 @@ def test_takedown_ffd_repack_and_pq_reencode(spark, tmp_path):
         (r.vec_id, r.code_string)
         for r in spark.read.parquet(codes_path).collect()
     } == encode([2, 3, 12])
+    assert {
+        (r.src, r.dst, r.cosine_sim)
+        for r in spark.read.parquet(graph_path).collect()
+    } == graph_state
 
 
 def test_takedown_repack_ffd_mid_bin_delete(spark, tmp_path):
