@@ -96,6 +96,7 @@ HEADLINE = [
     "quality_clf_sampled_teacher_eval",  # 1/10-teacher distillation
     "nsw_graph_edges",          # graph ANN index build (oracled top-M)
     "nsw_ann_recall_eval",      # multi-entry beam search + recall audit
+    "knn_cosine_opq",           # OPQ ANN (variance-balanced permuted PQ)
 ]
 
 

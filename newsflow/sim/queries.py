@@ -829,3 +829,102 @@ def knn_sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+from newsflow.sim.opq import (  # noqa: E402
+    allocation_df,
+    opq_alloc_oracle_sql,
+    opq_oracle_sql,
+    opq_topk,
+)
+
+
+@register(
+    "opq_dim_allocation",
+    oracle=opq_alloc_oracle_sql(),
+    tags=("similarity", "opq"),
+)
+def opq_dim_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ dimension→subspace allocation table (odim, energy, sub,
+    slot): per-dim decimal-exact energy over the unit corpus, ranked
+    (energy DESC, dim ASC) and snake-dealt to the 16 subspaces — the
+    permutation-subgroup form of parametric OPQ's eigenvalue allocation
+    (Ge et al. CVPR'13 §4), exactly oracled so both engines derive the
+    IDENTICAL rotation (sim/opq.py)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    from newsflow.sim.pq import _unit
+
+    return allocation_df(_unit(emb, "vec_id"))
+
+
+@register(
+    "knn_cosine_opq",
+    oracle=opq_oracle_sql(),
+    tags=("similarity", "opq", "iterative"),
+)
+def knn_cosine_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ approximate cosine top-5 — PQ over the variance-balanced
+    permuted basis (rotation restricted to the permutation subgroup so
+    the WHOLE fit stays SQL-replayable): allocation, permuted-basis
+    Lloyd codebooks, nibble-code corpus, ADC scan, exact re-rank —
+    every stage replayed in DuckDB (sim/opq.py). Eighth index family."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return opq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "knn_opq_recall_eval",
+    # FULLY COMPOSED oracle (same form as the PQ/IVF/SQ8 recall rows):
+    # both pipelines deterministic and SQL-replayable, so DuckDB
+    # recomputes the recall measurement end-to-end.
+    oracle=f"""
+    WITH exact AS ({_EXACT_TOPK_SQL}),
+    approx AS ({opq_oracle_sql(k=5, max_query_id=8)})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(count(*) AS BIGINT) AS k,
+           (round(count(a.neighbor_id)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+             AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "opq", "evaluation"),
+)
+def knn_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the OPQ tier against the exact baseline,
+    recomputed independently by the composed oracle — the OPQ twin of
+    `knn_pq_recall_eval`, authorizing the permuted-basis quantizer the
+    same way the straight-split one is authorized."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = opq_topk(emb, queries, k=5).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.lit(1).alias("hit"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (
+                F.round(
+                    F.count("hit").cast("double") / F.count(F.lit(1))
+                    + F.lit(1e-9),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )

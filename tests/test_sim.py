@@ -261,3 +261,49 @@ def test_nsw_takedown_zero_trace_and_recall(spark):
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.9, rows
     assert all(r.recall_at_k >= 0.6 for r in rows), rows
+
+
+def test_opq_allocation_invariants_and_recall_floors(spark):
+    """OPQ tier gates: (a) the learned permutation is a bijection over
+    all dims (i.e. a genuine orthogonal rotation), (b) the snake
+    allocation balances per-subspace energy at least as well as plain
+    PQ's contiguous slices, (c) retrieval through the permuted-basis
+    quantizer holds the shared ANN recall floors."""
+    from newsflow.sim.opq import (
+        N_DIMS,
+        PQ_DSUB,
+        PQ_SUBS,
+        dim_energy,
+        snake_allocation,
+    )
+    from newsflow.sim.pq import _unit
+    from newsflow.sim.queries import (
+        knn_opq_recall_eval,
+        knn_recall_floor_violations,
+    )
+    from newsflow.tables import load_table, spread
+    from tests.conftest import SF_ORACLE
+
+    emb = spread(load_table(spark, SF_ORACLE, "embeddings"))
+    energies = [
+        (int(r.odim), float(r.energy))
+        for r in dim_energy(_unit(emb, "vec_id")).collect()
+    ]
+    perm = snake_allocation(energies)
+    assert sorted(perm) == list(range(N_DIMS))
+
+    e = dict(energies)
+
+    def energy_spread(groups):
+        sums = [sum(e[d] for d in g) for g in groups]
+        return max(sums) - min(sums)
+
+    snake = [perm[s * PQ_DSUB : (s + 1) * PQ_DSUB] for s in range(PQ_SUBS)]
+    contiguous = [
+        list(range(s * PQ_DSUB, (s + 1) * PQ_DSUB)) for s in range(PQ_SUBS)
+    ]
+    assert energy_spread(snake) <= energy_spread(contiguous) + 1e-9
+
+    assert knn_recall_floor_violations(
+        knn_opq_recall_eval(spark, SF_ORACLE)
+    ) == []
