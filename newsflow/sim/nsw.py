@@ -344,7 +344,7 @@ def nsw_takedown_update(
     import os
 
     if not os.path.exists(graph_edges_path):
-        return {"deleted": 0, "inserted": 0}
+        return {"edges_removed_net": 0, "inserted": 0}
     edges = spark.read.parquet(graph_edges_path)
     dels = delete_ids.select(
         F.col(delete_ids.columns[0]).alias("vec_id")

@@ -113,19 +113,23 @@ def allocation_df(units: DataFrame) -> DataFrame:
     )
 
 
-def snake_allocation(energies: list[tuple[int, float]]) -> list[int]:
+def snake_allocation(
+    energies: list[tuple[int, float]],
+    n_subs: int = PQ_SUBS,
+    dsub: int = PQ_DSUB,
+) -> list[int]:
     """Driver-side twin of `allocation_df`'s rank+snake (the energies
     list is the bounded 64-row collect): returns ``perm`` with
-    ``perm[new_pos] = old_dim`` where ``new_pos = sub * PQ_DSUB + slot``.
+    ``perm[new_pos] = old_dim`` where ``new_pos = sub * dsub + slot``.
     Sort key (energy DESC, odim ASC) matches the SQL window exactly —
     energies are already rounded at ``ROUND_ENERGY`` so the two engines
     see identical keys."""
     order = sorted(energies, key=lambda t: (-t[1], t[0]))
-    perm = [0] * N_DIMS
+    perm = [0] * (n_subs * dsub)
     for p, (odim, _) in enumerate(order):
-        rnd, idx = divmod(p, PQ_SUBS)
-        sub = idx if rnd % 2 == 0 else PQ_SUBS - 1 - idx
-        perm[sub * PQ_DSUB + rnd] = odim
+        rnd, idx = divmod(p, n_subs)
+        sub = idx if rnd % 2 == 0 else n_subs - 1 - idx
+        perm[sub * dsub + rnd] = odim
     return perm
 
 
@@ -171,8 +175,16 @@ def opq_topk(
     assigned, cents, perm = opq_fit(embeddings)
     corpus = assigned.select(F.col("vec_id").alias("neighbor_id"), "codes")
 
-    qunits = _unit(queries, "query_id").select(
-        "query_id", permute_expr(perm).alias("u")
+    # MATERIALIZE the permuted query units (query-batch-bounded, 8 rows
+    # at the check SF): the qtab expression slices `u` 16x16 times per
+    # row, and a lazy permute wrapper re-inlines the nested
+    # permute+normalize transform into every slice — measured 6.6 s vs
+    # 0.4 s for the ADC stage at sf0.1 (the BENCH_sf1.md lazy-plan
+    # re-inlining hazard, query-side instance).
+    qunits = (
+        _unit(queries, "query_id")
+        .select("query_id", permute_expr(perm).alias("u"))
+        .localCheckpoint(eager=True)
     )
     qtab = _qtab_expr("u", cents, PQ_SUBS, PQ_DSUB, PQ_K)
     qs = F.broadcast(qunits.select("query_id", qtab.alias("qtab")))

@@ -928,3 +928,136 @@ def knn_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+from newsflow.sim.opq import (  # noqa: E402
+    ROUND_ENERGY as _OPQ_ROUND_ENERGY,
+)
+from newsflow.sim.opq import (  # noqa: E402
+    dim_energy as _opq_dim_energy,
+)
+from newsflow.sim.opq import (  # noqa: E402
+    permute_expr as _opq_permute_expr,
+)
+from newsflow.sim.opq import (  # noqa: E402
+    snake_allocation as _opq_snake_allocation,
+)
+from newsflow.sim.pq import PQ_SUBS as _PQ_SUBS  # noqa: E402
+
+
+@register(
+    "opq_encode_new_vectors",
+    # The batch is encoded against the allocation AND codebooks learned
+    # on the INDEX side only (vec_id < 250) — neither the rotation nor
+    # the codewords refit on append. The oracle replays the index-side
+    # energy ranking, snake allocation, and permuted-basis fit chain,
+    # then assigns the batch vectors' PERMUTED dims against its c1
+    # relation.
+    oracle=f"""
+    WITH pv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    pu AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ue
+      FROM pv
+    ),
+    alldims AS (
+      SELECT vec_id, CAST(i // {_PQ_DSUB} AS INT) AS sub,
+             i % {_PQ_DSUB} AS dim, ue[i + 1] AS val
+      FROM pu, UNNEST(range(len(ue))) AS t(i)
+    ),
+    udims AS (
+      SELECT * FROM alldims WHERE vec_id < {PQ_INDEX_MAX_VEC_ID}
+    ),
+    oenergy AS (
+      SELECT CAST(sub * {_PQ_DSUB} + dim AS BIGINT) AS odim,
+             (round(cast(sum(cast(val * val AS DECIMAL(28,12))) as double)
+                    + 1e-9, {_OPQ_ROUND_ENERGY}) + 0.0) AS energy
+      FROM udims GROUP BY 1
+    ),
+    oranked AS (
+      SELECT odim, energy,
+             row_number() OVER (ORDER BY energy DESC, odim) - 1 AS p
+      FROM oenergy
+    ),
+    oalloc AS (
+      SELECT odim,
+             CAST(CASE WHEN (p // {_PQ_SUBS}) % 2 = 0 THEN p % {_PQ_SUBS}
+                  ELSE {_PQ_SUBS} - 1 - (p % {_PQ_SUBS}) END AS BIGINT)
+               AS sub,
+             CAST(p // {_PQ_SUBS} AS BIGINT) AS slot
+      FROM oranked
+    ),
+    oudims AS (
+      SELECT u.vec_id, CAST(a.sub AS INT) AS sub, a.slot AS dim, u.val
+      FROM udims u
+      JOIN oalloc a ON a.odim = u.sub * {_PQ_DSUB} + u.dim
+    ),
+    {_subspace_ctes_sql("o", "oudims", _PQ_K)},
+    obatchdims AS (
+      SELECT d.vec_id, CAST(a.sub AS INT) AS sub, a.slot AS dim, d.val
+      FROM alldims d
+      JOIN oalloc a ON a.odim = d.sub * {_PQ_DSUB} + d.dim
+      WHERE d.vec_id >= {PQ_INDEX_MAX_VEC_ID}
+    ),
+    batch_assign AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+               row_number() OVER (
+                 PARTITION BY vec_id, sub ORDER BY d2, cluster
+               ) AS rn
+        FROM (
+          SELECT d.vec_id, d.sub, c.cluster,
+                 round(sum((d.val - c.val) * (d.val - c.val)) + 1e-9,
+                       {_ROUND_DIST}) + 0.0 AS d2
+          FROM obatchdims d JOIN oc1 c
+            ON c.sub = d.sub AND c.dim = d.dim
+          GROUP BY 1, 2, 3
+        )
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(cluster ORDER BY sub), '-') AS code_string
+    FROM batch_assign
+    GROUP BY vec_id
+    """,
+    tags=("similarity", "opq", "incremental"),
+)
+def opq_encode_new_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance, OPQ tier: encode a NEW vector
+    batch against the EXISTING rotation and codebooks — both learned on
+    the index slice (vec_id < {PQ_INDEX_MAX_VEC_ID}) only; on append
+    the batch is permuted with the STORED allocation and assigned
+    row-locally against the broadcast codebook literals. The OPQ twin
+    of `pq_encode_new_vectors`, completing the no-refit append property
+    for the eighth index family."""
+    from newsflow.sim.pq import _assign_codes, _unit, subspace_fit
+
+    units = _unit(
+        spread(load_table(spark, sf_dir, "embeddings")), "vec_id"
+    )
+    idx = units.filter(F.col("vec_id") < PQ_INDEX_MAX_VEC_ID)
+    energies = [
+        (int(r["odim"]), float(r["energy"]))
+        for r in _opq_dim_energy(idx).collect()
+    ]
+    perm = _opq_snake_allocation(energies)
+    _, cents = subspace_fit(
+        idx.select("vec_id", _opq_permute_expr(perm).alias("u"))
+    )
+    # Materialized: the assignment expression slices `u` 16x16 times
+    # per row and a lazy permute wrapper re-inlines the nested
+    # permute+normalize transform into every slice (see sim/opq.py's
+    # qtab note). Batch-proportional by contract.
+    batch = (
+        units.filter(F.col("vec_id") >= PQ_INDEX_MAX_VEC_ID)
+        .select("vec_id", _opq_permute_expr(perm).alias("u"))
+        .localCheckpoint(eager=True)
+    )
+    return _assign_codes(batch, cents).select(
+        "vec_id",
+        F.expr(
+            "array_join(transform(codes, c -> cast(c as string)), '-')"
+        ).alias("code_string"),
+    )

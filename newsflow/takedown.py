@@ -526,6 +526,7 @@ def corpus_takedown(
     ffd_packs_path: str | None = None,
     embeddings: DataFrame | None = None,
     pq_codebooks: dict | None = None,
+    pq_perm: list[int] | None = None,
     graph_edges_path: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
@@ -549,7 +550,10 @@ def corpus_takedown(
        are supplied, RE-ENCODE the re-elected docs' vectors against the
        existing codebooks (no refit — the `pq_encode_new_vectors`
        append path) and upsert their code rows, so codes(vec_ids)
-       tracks the survivor set exactly;
+       tracks the survivor set exactly; for an OPQ-coded table pass
+       ``pq_perm`` (the stored rotation, `sim.opq`) and vectors are
+       permuted before assignment — rotation is index state, never
+       re-learned here;
     4. rebuild dirty shards of the packing table (``packs_path``),
        dropping deleted docs and inserting re-elected ones;
     5. rebuild dirty shards of the FFD pack table (``ffd_packs_path``,
@@ -726,6 +730,16 @@ def corpus_takedown(
                 ),
                 "vec_id",
             )
+            if pq_perm is not None:
+                # OPQ-coded table: apply the STORED rotation (the
+                # permutation the codebooks were fit under) before
+                # assignment — the rotation is index state, never
+                # re-learned here (sim/opq.py).
+                from newsflow.sim.opq import permute_expr
+
+                units = units.select(
+                    "vec_id", permute_expr(pq_perm).alias("u")
+                )
             # Geometry is read off the codebook dict itself, so any
             # `subspace_fit` parameterization round-trips unchanged.
             n_subs = 1 + max(s for s, _ in pq_codebooks)

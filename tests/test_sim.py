@@ -307,3 +307,14 @@ def test_opq_allocation_invariants_and_recall_floors(spark):
     assert knn_recall_floor_violations(
         knn_opq_recall_eval(spark, SF_ORACLE)
     ) == []
+
+
+def test_nsw_takedown_update_missing_path_noop(spark, tmp_path):
+    """A takedown against a not-yet-built graph is a keyed no-op (the
+    audit keys must match the built-path return — corpus_takedown reads
+    them unconditionally)."""
+    from newsflow.sim.nsw import nsw_takedown_update
+
+    dels = spark.createDataFrame([(1,)], "vec_id long")
+    out = nsw_takedown_update(spark, str(tmp_path / "absent"), dels)
+    assert out == {"edges_removed_net": 0, "inserted": 0}

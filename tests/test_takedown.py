@@ -784,3 +784,77 @@ def test_takedown_purges_drop_log_references(spark, tmp_path):
         ).count()
         == 1
     )
+
+
+def test_takedown_opq_codes_reencode(spark, tmp_path):
+    """OPQ-coded table under takedown: with ``pq_perm`` supplied the
+    re-elected docs' vectors are PERMUTED with the stored rotation
+    before assignment against the stored codebooks — codes(vec_ids)
+    equals a from-scratch permuted encode of the survivor set, and the
+    rotation is never re-learned inside the takedown."""
+    from newsflow.sim.opq import permute_expr
+    from newsflow.sim.pq import _assign_codes, _unit, subspace_fit
+
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(8)]
+
+    # Stored OPQ state: a fixed 8-dim rotation (here: an explicit
+    # non-identity permutation, as snake_allocation would emit for
+    # 2 subs x 4 dims) and codebooks fit in the PERMUTED basis.
+    perm = [7, 2, 5, 0, 3, 6, 1, 4]
+    train = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    train_perm = _unit(train, "vec_id").select(
+        "vec_id", permute_expr(perm).alias("u")
+    )
+    _, books = subspace_fit(train_perm, n_subs=2, dsub=4, k=4)
+    emb = spark.createDataFrame(
+        [(i, vec(i + 20)) for i in (1, 2, 3, 11, 12, 13)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def encode(ids):
+        permuted = _unit(
+            emb.filter(F.col("vec_id").isin(ids)), "vec_id"
+        ).select("vec_id", permute_expr(perm).alias("u"))
+        return {
+            (r.vec_id, r.code_string)
+            for r in _assign_codes(permuted, books, 2, 4, 4)
+            .selectExpr(
+                "vec_id",
+                "array_join(transform(codes, c -> cast(c as string)), '-')"
+                " AS code_string",
+            )
+            .collect()
+        }
+
+    spark.createDataFrame(
+        list(encode([1, 3, 12])), "vec_id long, code_string string"
+    ).write.mode("overwrite").parquet(codes_path)
+
+    dels = spark.createDataFrame([(1,)], "doc_id long")
+    audit = corpus_takedown(
+        spark,
+        dels,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        takedown_id=60,
+        raw_docs=raw,
+        codes_path=codes_path,
+        embeddings=emb,
+        pq_codebooks=books,
+        pq_perm=perm,
+    )
+    assert audit["reelected"] == 1  # doc 2 re-admitted
+    assert audit["codes_reencoded"] == 1
+    # Code table == from-scratch permuted encode of the survivor set.
+    assert {
+        (r.vec_id, r.code_string)
+        for r in spark.read.parquet(codes_path).collect()
+    } == encode([2, 3, 12])
