@@ -69,35 +69,57 @@ N_DIMS = PQ_SUBS * PQ_DSUB
 OPQ_ADC_CANDIDATES = 96
 
 
-def dim_energy(units: DataFrame) -> DataFrame:
-    """Per-dimension energy of the unit-vector corpus:
-    ``round(Σ val², ROUND_ENERGY)`` with a decimal-exact sum — the
-    ranking key for the allocation. 64 output rows, map-side combined."""
-    return (
-        units.select(F.posexplode("u").alias("odim", "val"))
-        .groupBy(F.col("odim").cast("long").alias("odim"))
-        .agg(
-            (
-                F.round(
-                    F.sum(
-                        (F.col("val") * F.col("val")).cast("decimal(28,12)")
-                    ).cast("double")
-                    + F.lit(1e-9),
-                    ROUND_ENERGY,
-                )
-                + F.lit(0.0)
-            ).alias("energy")
-        )
+def _energy_agg(rows: DataFrame, val: F.Column) -> DataFrame:
+    return rows.groupBy(F.col("odim").cast("long").alias("odim")).agg(
+        (
+            F.round(
+                F.sum((val * val).cast("decimal(28,12)")).cast("double")
+                + F.lit(1e-9),
+                ROUND_ENERGY,
+            )
+            + F.lit(0.0)
+        ).alias("energy")
     )
 
 
-def allocation_df(units: DataFrame) -> DataFrame:
+def dim_energy(units: DataFrame) -> DataFrame:
+    """Per-dimension energy of a (vec_id, u) unit frame:
+    ``round(Σ val², ROUND_ENERGY)`` with a decimal-exact sum — the
+    ranking key for the allocation. 64 output rows, map-side combined.
+
+    Use this form ONLY on a MATERIALIZED frame: on the lazy `_unit`
+    projection, Catalyst inlines the norm fold into the normalize
+    lambda, re-evaluating it per element — a dims-factor blowup
+    (measured 7.7 s vs the 1.0 s `dim_energy_raw` at sf1). Cold paths
+    go through `dim_energy_raw`."""
+    return _energy_agg(
+        units.select(F.posexplode("u").alias("odim", "val")), F.col("val")
+    )
+
+
+def dim_energy_raw(embeddings: DataFrame) -> DataFrame:
+    """`dim_energy` from the RAW embeddings, sidestepping the lazy-unit
+    inlining hazard: the norm is a plain column in the Generate's child
+    projection (evaluated once per row — projections don't collapse
+    across Generate), and the per-element normalize division happens
+    AFTER the explode. Bitwise-identical energies (same IEEE ops in the
+    same order); 7.7 s → 1.0 s at sf1."""
+    base = embeddings.select(
+        as_double_array(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", norm_expr(F.col("vec")))
+    rows = base.select("nrm", F.posexplode("vec").alias("odim", "raw"))
+    return _energy_agg(rows, F.col("raw") / F.col("nrm"))
+
+
+def allocation_df(embeddings: DataFrame) -> DataFrame:
     """The dimension→subspace allocation as a DataFrame
     (odim, energy, sub, slot) — fully declarative (window rank + snake
-    integer arithmetic), used by the oracled `opq_dim_allocation` query
-    and mirrored literally by `snake_allocation`."""
+    integer arithmetic) over the raw embeddings, used by the oracled
+    `opq_dim_allocation` query and mirrored literally by
+    `snake_allocation`. The 64-row rank window is a deliberate
+    single-partition sort over the aggregate output, not the corpus."""
     w = Window.orderBy(F.col("energy").desc(), F.col("odim").asc())
-    ranked = dim_energy(units).withColumn(
+    ranked = dim_energy_raw(embeddings).withColumn(
         "p", F.row_number().over(w) - F.lit(1)
     )
     rnd = F.expr(f"p div {PQ_SUBS}")
@@ -145,12 +167,18 @@ def opq_fit(embeddings: DataFrame) -> tuple[DataFrame, dict, list[int]]:
     unit vectors, then the SAME deterministic per-subspace Lloyd fit as
     plain PQ (`subspace_fit`). Returns (encoded frame over permuted
     units, codebook dict, permutation)."""
-    units = _unit(embeddings, "vec_id")
     energies = [
         (int(r["odim"]), float(r["energy"]))
-        for r in dim_energy(units).collect()
+        for r in dim_energy_raw(embeddings).collect()
     ]
     perm = snake_allocation(energies)
+    # MATERIALIZE the unit frame BEFORE permuting: a permute gather over
+    # the lazy `_unit` projection re-evaluates the normalize transform
+    # (with its inlined norm fold) per gathered element when
+    # subspace_fit's cache materializes — a dims²-factor blowup
+    # (measured: opq_fit 30 s → ~6 s at sf1). Same storage class as
+    # subspace_fit's own cache: the persisted index-build intermediate.
+    units = _unit(embeddings, "vec_id").localCheckpoint(eager=True)
     permuted = units.select("vec_id", permute_expr(perm).alias("u"))
     assigned, cents = subspace_fit(permuted)
     return assigned, cents, perm

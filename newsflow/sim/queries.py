@@ -678,8 +678,15 @@ def pq_encode_new_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cents = subspace_fit(
         units.filter(F.col("vec_id") < PQ_INDEX_MAX_VEC_ID)
     )
+    # Materialize the batch units: the assignment expression slices
+    # `u` 16x16 times per row, and the lazy normalize under it
+    # re-inlines the norm fold per slice — measured 110 s → ~5 s at
+    # sf1 (sim/opq.py documents the hazard). Batch-proportional.
     encoded = _assign_codes(
-        units.filter(F.col("vec_id") >= PQ_INDEX_MAX_VEC_ID), cents
+        units.filter(
+            F.col("vec_id") >= PQ_INDEX_MAX_VEC_ID
+        ).localCheckpoint(eager=True),
+        cents,
     )
     return encoded.select(
         "vec_id",
@@ -852,9 +859,7 @@ def opq_dim_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Ge et al. CVPR'13 §4), exactly oracled so both engines derive the
     IDENTICAL rotation (sim/opq.py)."""
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    from newsflow.sim.pq import _unit
-
-    return allocation_df(_unit(emb, "vec_id"))
+    return allocation_df(emb)
 
 
 @register(
@@ -934,7 +939,7 @@ from newsflow.sim.opq import (  # noqa: E402
     ROUND_ENERGY as _OPQ_ROUND_ENERGY,
 )
 from newsflow.sim.opq import (  # noqa: E402
-    dim_energy as _opq_dim_energy,
+    dim_energy_raw as _opq_dim_energy_raw,
 )
 from newsflow.sim.opq import (  # noqa: E402
     permute_expr as _opq_permute_expr,
@@ -1034,27 +1039,28 @@ def opq_encode_new_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the eighth index family."""
     from newsflow.sim.pq import _assign_codes, _unit, subspace_fit
 
-    units = _unit(
-        spread(load_table(spark, sf_dir, "embeddings")), "vec_id"
-    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    units = _unit(emb, "vec_id")
     idx = units.filter(F.col("vec_id") < PQ_INDEX_MAX_VEC_ID)
     energies = [
         (int(r["odim"]), float(r["energy"]))
-        for r in _opq_dim_energy(idx).collect()
+        for r in _opq_dim_energy_raw(
+            emb.filter(F.col("vec_id") < PQ_INDEX_MAX_VEC_ID)
+        ).collect()
     ]
     perm = _opq_snake_allocation(energies)
     _, cents = subspace_fit(
         idx.select("vec_id", _opq_permute_expr(perm).alias("u"))
     )
-    # Materialized: the assignment expression slices `u` 16x16 times
-    # per row and a lazy permute wrapper re-inlines the nested
-    # permute+normalize transform into every slice (see sim/opq.py's
-    # qtab note). Batch-proportional by contract.
-    batch = (
-        units.filter(F.col("vec_id") >= PQ_INDEX_MAX_VEC_ID)
-        .select("vec_id", _opq_permute_expr(perm).alias("u"))
-        .localCheckpoint(eager=True)
-    )
+    # Materialize the PLAIN batch units, then permute lazily on top:
+    # the assignment expression slices `u` 16x16 times per row, and any
+    # lazy normalize under it re-inlines the norm fold per slice (see
+    # sim/opq.py's opq_fit note; the PQ twin pays the same fix).
+    # Batch-proportional by contract.
+    batch = units.filter(
+        F.col("vec_id") >= PQ_INDEX_MAX_VEC_ID
+    ).localCheckpoint(eager=True)
+    batch = batch.select("vec_id", _opq_permute_expr(perm).alias("u"))
     return _assign_codes(batch, cents).select(
         "vec_id",
         F.expr(
