@@ -387,3 +387,82 @@ def opq_oracle_sql(
       ) AS rn FROM osims
     ) WHERE rn <= {k}
     """
+
+
+def quantization_error_df(
+    assigned: DataFrame, cents: dict, tier: str
+) -> DataFrame:
+    """Mean squared reconstruction error of a fitted product quantizer —
+    the OPQ paper's objective (Ge et al. CVPR'13 eq. 1): mean over
+    vectors of ||u − recon(u)||², recon = concatenation of assigned
+    codewords. One row (tier, n_vectors, mse).
+
+    Determinism recipe: per-(vec, sub, dim) squared residual in double
+    (IEEE multiply/subtract, identical both engines), decimal-exact
+    grand sum, one rounded division — the same unordered-decimal-sum
+    discipline as every stats aggregate here, so the SQL twin is exact.
+    The residual lookup is row-local against the codebook literal (the
+    posexplode emits 64 rows per vector; sums are map-side combined)."""
+    from newsflow.sim.pq import books_sql
+
+    books = books_sql(cents, PQ_SUBS, PQ_K)
+    terms = assigned.select(
+        "vec_id", "codes", F.posexplode("u").alias("i", "val")
+    ).select(
+        "vec_id",
+        F.expr(
+            f"power(val - {books}[i div {PQ_DSUB}]"
+            f"[codes[i div {PQ_DSUB}]][i % {PQ_DSUB}], 2)"
+        ).alias("e2"),
+    )
+    return terms.agg(
+        F.lit(tier).alias("tier"),
+        F.count_distinct("vec_id").cast("long").alias("n_vectors"),
+        (
+            F.round(
+                F.sum(F.col("e2").cast("decimal(28,12)")).cast("double")
+                / F.count_distinct("vec_id")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mse"),
+    )
+
+
+def _sql_tier_error(prefix: str, dims_rel: str, tier: str) -> str:
+    """SELECT body computing one tier's (tier, n_vectors, mse) from its
+    assignment (``{prefix}a1``) and centroid (``{prefix}c1``) relations
+    joined back to the dims relation it was fit on."""
+    return f"""
+      SELECT '{tier}' AS tier,
+             CAST(count(DISTINCT d.vec_id) AS BIGINT) AS n_vectors,
+             (round(cast(sum(cast(power(d.val - c.val, 2)
+                                  AS DECIMAL(28,12))) as double)
+                    / count(DISTINCT d.vec_id) + 1e-9, 6) + 0.0) AS mse
+      FROM {dims_rel} d
+      JOIN {prefix}a1 a ON a.vec_id = d.vec_id AND a.sub = d.sub
+      JOIN {prefix}c1 c
+        ON c.sub = d.sub AND c.cluster = a.cluster AND c.dim = d.dim
+    """
+
+
+def opq_vs_pq_error_oracle_sql() -> str:
+    """Exact oracle for `opq_quantization_error_eval`: ONE WITH block
+    replaying BOTH build chains (straight-split PQ over ``udims``,
+    allocation + permuted fit over ``oudims``) and computing each
+    tier's reconstruction MSE."""
+    return f"""
+    WITH {unit_dims_ctes_sql()},
+    {subspace_ctes_sql("p", "udims", PQ_K)},
+    {alloc_ctes_sql()},
+    oudims AS (
+      SELECT u.vec_id, CAST(a.sub AS INT) AS sub, a.slot AS dim, u.val
+      FROM udims u
+      JOIN oalloc a ON a.odim = u.sub * {PQ_DSUB} + u.dim
+    ),
+    {subspace_ctes_sql("o", "oudims", PQ_K)}
+    SELECT * FROM ({_sql_tier_error("p", "udims", "pq")})
+    UNION ALL
+    SELECT * FROM ({_sql_tier_error("o", "oudims", "opq")})
+    """

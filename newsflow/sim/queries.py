@@ -1067,3 +1067,36 @@ def opq_encode_new_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(codes, c -> cast(c as string)), '-')"
         ).alias("code_string"),
     )
+
+
+from newsflow.sim.opq import (  # noqa: E402
+    opq_fit as _opq_fit,
+)
+from newsflow.sim.opq import (  # noqa: E402
+    opq_vs_pq_error_oracle_sql,
+    quantization_error_df,
+)
+
+
+@register(
+    "opq_quantization_error_eval",
+    oracle=opq_vs_pq_error_oracle_sql(),
+    tags=("similarity", "opq", "pq", "evaluation", "iterative"),
+)
+def opq_quantization_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-MSE comparison of the straight-split PQ and the
+    permuted-basis OPQ quantizers — the OPQ paper's objective (Ge et
+    al. CVPR'13 eq. 1) shipped as an exactly-oracled evaluation: both
+    build chains replay in DuckDB and both tiers' mean ||u − recon||²
+    are recomputed there. One row per tier (tier, n_vectors, mse); on
+    anisotropic corpora the opq row's mse should not exceed pq's (on
+    these near-isotropic synthetic embeddings they land close — the
+    honest result, stated rather than hidden)."""
+    from newsflow.sim.pq import pq_fit
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    p_assigned, p_cents = pq_fit(emb)
+    o_assigned, o_cents, _ = _opq_fit(emb)
+    return quantization_error_df(p_assigned, p_cents, "pq").unionByName(
+        quantization_error_df(o_assigned, o_cents, "opq")
+    )
