@@ -585,3 +585,105 @@ def nsw_incremental_insert_eval(
         F.col("rank") <= 5
     )
     return _recall_frame(all_units, beam, queries)
+
+
+# Fixed delete-list for the takedown audit: every 40th indexed id —
+# 10 deletions spread across the slice, interpolated into BOTH engines.
+TAKEDOWN_AUDIT_DELS = tuple(i * 40 for i in range(10))
+_DELS_SQL = ", ".join(str(d) for d in TAKEDOWN_AUDIT_DELS)
+
+
+@register(
+    "nsw_takedown_edges_audit",
+    # The delete+bridge-repair phase of the graph takedown is pure
+    # relational algebra (anti-joins, the hub-pair bridge, one ranked
+    # window) — so unlike the hop-iterative insert phase it gets an
+    # EXACT oracle: DuckDB rebuilds the stored graph, replays the
+    # zero-trace delete, the deleted-hub bridge candidates, the exact
+    # bridge scoring, and the top-M re-prune of affected srcs.
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS u
+      FROM embeddings WHERE vec_id < {GRAPH_MAX_VEC_ID}
+    ),
+    sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             (round(list_dot_product(a.u, b.u) + 1e-9, 6) + 0.0)
+               AS cosine_sim
+      FROM u a JOIN u b ON a.vec_id <> b.vec_id
+    ),
+    g AS (
+      SELECT src, dst, cosine_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cosine_sim DESC, dst
+        ) AS rn FROM sims
+      ) WHERE rn <= {GRAPH_M}
+    ),
+    kept AS (
+      SELECT * FROM g
+      WHERE src NOT IN ({_DELS_SQL}) AND dst NOT IN ({_DELS_SQL})
+    ),
+    lost AS (
+      SELECT DISTINCT src FROM g
+      WHERE dst IN ({_DELS_SQL}) AND src NOT IN ({_DELS_SQL})
+    ),
+    nbrs AS (
+      SELECT DISTINCT src AS hub, dst AS nbr FROM g
+      WHERE src IN ({_DELS_SQL}) AND dst NOT IN ({_DELS_SQL})
+    ),
+    cand AS (
+      SELECT DISTINCT a.nbr AS src, b.nbr AS dst
+      FROM nbrs a JOIN nbrs b ON a.hub = b.hub AND a.nbr <> b.nbr
+    ),
+    bridge AS (
+      SELECT c.src, c.dst,
+             (round(list_dot_product(ua.u, ub.u) + 1e-9, 6) + 0.0)
+               AS cosine_sim
+      FROM cand c
+      JOIN u ua ON ua.vec_id = c.src
+      JOIN u ub ON ub.vec_id = c.dst
+    ),
+    affected AS (
+      SELECT src FROM lost UNION SELECT DISTINCT src FROM bridge
+    ),
+    pool AS (
+      SELECT DISTINCT src, dst, cosine_sim FROM (
+        SELECT k.* FROM kept k JOIN affected a ON a.src = k.src
+        UNION ALL
+        SELECT * FROM bridge
+      )
+    ),
+    repruned AS (
+      SELECT src, dst, cosine_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cosine_sim DESC, dst
+        ) AS rn FROM pool
+      ) WHERE rn <= {GRAPH_M}
+    )
+    SELECT k.* FROM kept k LEFT JOIN affected a ON a.src = k.src
+    WHERE a.src IS NULL
+    UNION ALL
+    SELECT * FROM repruned
+    """,
+    tags=("similarity", "graph", "nsw", "takedown"),
+)
+def nsw_takedown_edges_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph takedown's delete+bridge phase, driver-hash-checked:
+    build the stored graph, delete the fixed {TAKEDOWN_AUDIT_DELS}
+    id-list (zero trace on both edge columns), bridge each deleted
+    hub's surviving neighbors, re-prune affected srcs to top-M — the
+    exact production code path (`nsw_takedown_edges`) against an exact
+    relational replay. The hop-iterative INSERT phase stays test-gated
+    (tests/test_sim.py, tests/test_takedown.py)."""
+    units = _index_units(spark, sf_dir).localCheckpoint(eager=True)
+    edges = nsw_graph_edges_df(units)
+    dels = spark.createDataFrame(
+        [(d,) for d in TAKEDOWN_AUDIT_DELS], "vec_id long"
+    )
+    survivors = units.filter(
+        ~F.col("vec_id").isin(list(TAKEDOWN_AUDIT_DELS))
+    )
+    return nsw_takedown_edges(edges, dels, survivors)
