@@ -208,6 +208,11 @@ def native_minhash_candidates(
     (tests/test_dedup.py) — the hash functions are deterministic, so
     that property is stable run-to-run.
     """
+    # Validate the policy unconditionally — a typo'd oversize paired
+    # with max_bucket=None would otherwise be accepted silently and
+    # only surface once a cap is added at scale.
+    if oversize not in ("drop", "star"):
+        raise ValueError(f"unknown oversize policy: {oversize!r}")
     sigs = band_signatures(arrays, num_hashes, rows_per_band)
 
     # Bucket-grouped pair generation instead of a self-join: a self-join
@@ -258,8 +263,6 @@ def native_minhash_candidates(
                     )
                 ).alias("p")
             )
-        elif oversize != "drop":
-            raise ValueError(f"unknown oversize policy: {oversize!r}")
     pair_expr = F.flatten(
         F.transform(
             "ids",

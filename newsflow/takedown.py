@@ -371,12 +371,15 @@ def _compact_batch_partitions(
     through the Hadoop FileSystem API so the same code maintains
     file://, s3a:// or hdfs:// lakes.
     """
-    if not os.path.exists(path):
-        return {"merged_partitions": 0, "rows": 0}
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    # Existence check via the same FileSystem handle as the deletes —
+    # os.path.exists silently no-ops on s3a:// / hdfs:// URIs, which
+    # would disable compaction entirely on object-store lakes.
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        return {"merged_partitions": 0, "rows": 0}
     # Enumerate partitions from the FILESYSTEM, not from row values: a
     # partition the PII purge emptied (explicit empty-parquet tombstone
     # dir) has no rows to list a batch id from, yet is exactly the
@@ -1268,6 +1271,8 @@ def takedown_stream(
     ffd_packs_path: str | None = None,
     embeddings: DataFrame | None = None,
     pq_codebooks: dict | None = None,
+    pq_perm: list[int] | None = None,
+    graph_edges_path: str | None = None,
     n: int = 3,
     threshold: float = 0.8,
     num_hashes: int = 16,
@@ -1277,8 +1282,14 @@ def takedown_stream(
     and the exact inverse of `neardup_ingest_stream`: a stream of
     delete-lists (doc_id rows — the queue a legal/PII intake process
     feeds) drains through ``foreachBatch``, each micro-batch running
-    one full takedown (corpus + index + codes + packs + re-election)
-    under ``takedown_id = TAKEDOWN_BATCH_BASE + batch_id``.
+    one full takedown (corpus + index + codes + packs + graph +
+    re-election) under ``takedown_id = TAKEDOWN_BATCH_BASE + batch_id``.
+    The signature mirrors `corpus_takedown`'s artifact parameters
+    exactly — in particular ``pq_perm`` (an OPQ-coded table re-encodes
+    re-elected vectors under the stored rotation; omitting it against
+    OPQ codes would silently write un-permuted code rows) and
+    ``graph_edges_path`` (deletions propagate to the persisted NSW
+    graph on the stream path just as on the batch path).
 
     The base offset keeps takedown partitions disjoint from ingest
     batch ids, so ingest and takedown streams can share one corpus
@@ -1305,6 +1316,8 @@ def takedown_stream(
             ffd_packs_path=ffd_packs_path,
             embeddings=embeddings,
             pq_codebooks=pq_codebooks,
+            pq_perm=pq_perm,
+            graph_edges_path=graph_edges_path,
             n=n,
             threshold=threshold,
             num_hashes=num_hashes,

@@ -324,6 +324,23 @@ def test_span_rewrite_hash_form_matches_string_form(spark):
     assert any(r[2] > 0 for r in strings)  # non-vacuous: removals exist
 
 
+def test_oversize_policy_validated_without_cap(spark):
+    """A typo'd oversize policy fails loud even when max_bucket=None —
+    otherwise the misconfiguration hides until a cap is added at
+    scale and the pair expansion silently drops over-cap buckets."""
+    import pytest
+
+    from newsflow.dedup import minhash
+    from newsflow.dedup.core import doc_shingle_arrays
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    arrays = doc_shingle_arrays(docs, 3)
+    with pytest.raises(ValueError, match="oversize"):
+        minhash.native_minhash_candidates(arrays, oversize="stars")
+
+
 def test_star_capped_buckets_preserve_viral_drop_set(spark):
     """Skew hardening: with `max_bucket` + ``oversize="star"``, an
     over-cap LSH bucket (one viral boilerplate with K variants) expands

@@ -745,6 +745,106 @@ def test_takedown_stream_executed(spark, tmp_path):
     assert out2 == out
 
 
+def test_takedown_stream_graph_and_opq_rotation(spark, tmp_path):
+    """Stream-path artifact parity with the batch path: a streamed
+    takedown against an OPQ-coded table re-encodes re-elected vectors
+    under the STORED rotation (``pq_perm``), and deletions propagate to
+    the persisted NSW graph (``graph_edges_path``) — the two parameters
+    the stream signature previously lacked, which made a streamed
+    takedown silently write un-permuted code rows and leave deleted
+    docs reachable in the graph."""
+    from newsflow.sim.nsw import nsw_graph_edges_df
+    from newsflow.sim.opq import permute_expr
+    from newsflow.sim.pq import _assign_codes, _unit, subspace_fit
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.takedown import takedown_stream
+
+    raw, index_dir, out_dir, codes_path, packs_path = _build_state(
+        spark, tmp_path
+    )
+
+    def vec(i):
+        return [float((i * 7 + j * 3) % 13 + 1) for j in range(8)]
+
+    perm = [7, 2, 5, 0, 3, 6, 1, 4]
+    train = spark.createDataFrame(
+        [(i, vec(i)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    train_perm = _unit(train, "vec_id").select(
+        "vec_id", permute_expr(perm).alias("u")
+    )
+    _, books = subspace_fit(train_perm, n_subs=2, dsub=4, k=4)
+    emb = spark.createDataFrame(
+        [(i, vec(i + 20)) for i in (1, 2, 3, 11, 12, 13)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def encode(ids):
+        permuted = _unit(
+            emb.filter(F.col("vec_id").isin(ids)), "vec_id"
+        ).select("vec_id", permute_expr(perm).alias("u"))
+        return {
+            (r.vec_id, r.code_string)
+            for r in _assign_codes(permuted, books, 2, 4, 4)
+            .selectExpr(
+                "vec_id",
+                "array_join(transform(codes, c -> cast(c as string)), '-')"
+                " AS code_string",
+            )
+            .collect()
+        }
+
+    spark.createDataFrame(
+        list(encode([1, 3, 12])), "vec_id long, code_string string"
+    ).write.mode("overwrite").parquet(codes_path)
+
+    graph_path = str(tmp_path / "graph")
+    surv_units = _unit(
+        emb.filter(F.col("vec_id").isin([1, 3, 12])), "vec_id"
+    )
+    nsw_graph_edges_df(surv_units).write.parquet(graph_path)
+
+    replay = str(tmp_path / "del_replay")
+    os.makedirs(replay)
+    write_single_parquet_file(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        os.path.join(replay, "00.parquet"),
+        mtime=1_000_000_000,
+    )
+    stream = spark.readStream.schema("doc_id long").parquet(replay)
+    q = takedown_stream(
+        spark,
+        stream,
+        out_dir=out_dir,
+        index_dir=index_dir,
+        checkpoint_dir=str(tmp_path / "td_ckpt"),
+        raw_docs=raw,
+        codes_path=codes_path,
+        embeddings=emb,
+        pq_codebooks=books,
+        pq_perm=perm,
+        graph_edges_path=graph_path,
+    )
+    q.awaitTermination()
+
+    # Codes == from-scratch PERMUTED encode of the survivor set
+    # {2, 3, 12} (doc 2 re-elected once near-dup keeper 1 is deleted).
+    assert {
+        (r.vec_id, r.code_string)
+        for r in spark.read.parquet(codes_path).collect()
+    } == encode([2, 3, 12])
+    # Graph: zero trace of the deleted doc, re-elected node wired in.
+    g = spark.read.parquet(graph_path)
+    assert (
+        g.filter((F.col("src") == 1) | (F.col("dst") == 1)).count() == 0
+    )
+    assert g.filter(F.col("src") == 2).count() > 0
+    assert {
+        r.src for r in g.select("src").distinct().collect()
+    } == {2, 3, 12}
+
+
 def test_takedown_purges_drop_log_references(spark, tmp_path):
     """PII completeness: after a takedown, the drop log contains NO row
     naming the deleted doc on either side — and the purge does not
