@@ -28,12 +28,14 @@ Two pieces:
   corpus size, which is the entire point of the graph tier: search
   cost scales with beam geometry, not data volume.
 
-The search result is deterministic but its hop-by-hop beam state is not
-SQL-expressible (per-iteration top-ef windows inside a recursive CTE),
-so the search ships recall-floor-gated against the exact baseline
-(`nsw_ann_recall_eval`, floors in tests/test_sim.py) while the graph
-itself is exactly oracled — the same oracle discipline split as the
-MLlib LSH tier.
+The search result is deterministic, and since round 10 the retrieval
+path is EXACTLY oracled too: the bounded hop count makes the beam
+recursion unrollable — `nsw_beam_oracle_sql` emits one MATERIALIZED
+CTE level per hop (candidates = beam⋈edges minus beam, score, top-ef
+re-rank), the same unrolled-iteration discipline as the MMR and
+k-means oracles (sim/mmr.py). `knn_cosine_nsw` carries the hash row;
+the recall EVALS additionally stay floor-gated against the exact
+baseline (`nsw_ann_recall_eval`, floors in tests/test_sim.py).
 
 Reference parity: no counterpart (the reference has no vector search);
 scale-mandated extension completing the production ANN families.
@@ -472,11 +474,127 @@ def nsw_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nsw_graph_edges_df(_index_units(spark, sf_dir))
 
 
+NSW_TOPK = 10  # retrieval depth of the oracled search query
+
+_SQL_UNIT = (
+    "list_transform(embedding::DOUBLE[],"
+    " x -> x / sqrt(list_dot_product(embedding::DOUBLE[],"
+    " embedding::DOUBLE[])))"
+)
+
+
+def nsw_beam_oracle_sql(
+    ef: int = GRAPH_EF,
+    hops: int = GRAPH_HOPS,
+    n_entries: int = GRAPH_N_ENTRIES,
+    topk: int = NSW_TOPK,
+) -> str:
+    """Exact DuckDB twin of `nsw_search_df`: the bounded hop count makes
+    the beam recursion unrollable into ``hops`` CTE levels — each level
+    expands the previous beam's graph neighbors (DISTINCT, minus nodes
+    already in the beam), scores them against the query, and re-ranks to
+    the top ``ef`` under the shared (rounded-sim DESC, node ASC) tie
+    rule. Beam CTEs are MATERIALIZED: each is referenced three times per
+    level (neighbor join, NOT-EXISTS exclusion, union), and DuckDB
+    re-inlines multiply-referenced CTEs exponentially otherwise
+    (BENCH_sf1.md round-7 hazard; same fix as the k-means chain)."""
+    score = "(round(list_dot_product(q.qu, u.u) + 1e-9, 6) + 0.0)"
+    levels = []
+    for i in range(hops):
+        levels.append(
+            f"""cand{i} AS (
+  SELECT DISTINCT b.query_id, e.dst AS node
+  FROM beam{i} b JOIN edges e ON b.node = e.src
+  WHERE NOT EXISTS (
+    SELECT 1 FROM beam{i} x
+    WHERE x.query_id = b.query_id AND x.node = e.dst
+  )
+),
+beam{i + 1} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node
+    ) AS rn FROM (
+      SELECT query_id, node, sim FROM beam{i}
+      UNION ALL
+      SELECT c.query_id, c.node, {score} AS sim
+      FROM cand{i} c
+      JOIN u_idx u ON u.vec_id = c.node
+      JOIN qs q ON q.query_id = c.query_id
+    )
+  ) WHERE rn <= {ef}
+)"""
+        )
+    chain = ",\n".join(levels)
+    return f"""
+WITH u_idx AS MATERIALIZED (
+  SELECT vec_id, {_SQL_UNIT} AS u
+  FROM embeddings WHERE vec_id < {GRAPH_MAX_VEC_ID}
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY cosine_sim DESC, dst
+    ) AS rn FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             (round(list_dot_product(a.u, b.u) + 1e-9, 6) + 0.0)
+               AS cosine_sim
+      FROM u_idx a JOIN u_idx b ON a.vec_id <> b.vec_id
+    )
+  ) WHERE rn <= {GRAPH_M}
+),
+qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, {_SQL_UNIT} AS qu
+  FROM embeddings
+  WHERE vec_id >= {GRAPH_MAX_VEC_ID}
+    AND vec_id < {GRAPH_MAX_VEC_ID + N_GRAPH_QUERIES}
+),
+entries AS (
+  SELECT min(node) AS node FROM (
+    SELECT vec_id AS node,
+           ntile({n_entries}) OVER (ORDER BY vec_id) AS t
+    FROM u_idx
+  ) GROUP BY t
+),
+beam0 AS MATERIALIZED (
+  SELECT q.query_id, u.vec_id AS node, {score} AS sim
+  FROM qs q
+  CROSS JOIN entries e
+  JOIN u_idx u ON u.vec_id = e.node
+),
+{chain}
+SELECT query_id, node, sim, rank FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node
+  ) AS rank FROM beam{hops}
+) WHERE rank <= {topk}
+"""
+
+
+@register(
+    "knn_cosine_nsw",
+    oracle=nsw_beam_oracle_sql(),
+    tags=("similarity", "graph", "nsw", "knn"),
+)
+def knn_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-tier retrieval, exactly oracled: top-{NSW_TOPK} of the
+    final search beam per out-of-index query ({GRAPH_N_ENTRIES} spread
+    entries, ef={GRAPH_EF}, {GRAPH_HOPS} hops) — the DuckDB twin unrolls
+    the hop recursion into CTE levels (`nsw_beam_oracle_sql`), closing
+    the one ANN family whose retrieval path was previously rows-only."""
+    units = _index_units(spark, sf_dir).localCheckpoint(eager=True)
+    queries = _query_units(spark, sf_dir)
+    edges = nsw_graph_edges_df(units).localCheckpoint(eager=True)
+    return nsw_search_df(units, edges, queries).filter(
+        F.col("rank") <= NSW_TOPK
+    )
+
+
 @register(
     "nsw_ann_recall_eval",
-    # No oracle: the hop-by-hop beam state (per-iteration top-ef window)
-    # is not SQL-expressible; recall floors vs the exact baseline are
-    # asserted in tests/test_sim.py (same split as the MLlib LSH tier).
+    # No oracle: the recall summary is a derived EVAL over the beam; the
+    # beam itself is exactly oracled via `knn_cosine_nsw`, and recall
+    # floors vs the exact baseline are asserted in tests/test_sim.py.
     tags=("similarity", "graph", "nsw", "evaluation"),
 )
 def nsw_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
