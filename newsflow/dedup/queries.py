@@ -17,14 +17,36 @@ _EMB_COS_SQL = (
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 )
 
-_JACCARD_ORACLE = f"""
-WITH sh AS ({sql_shingles_rel(n=3)}),
+# Deterministic 1/2 md5-prefix doc sample shared by the *_sampled audit
+# twins (`ops.sampling.hash_sample` with keep_prefixes 0-7). The check-SF
+# fraction is 1/2 so the sampled pair set stays non-empty at sf0.01 (the
+# empty-oracle weak-signal rule); production audits at 100 TB run the
+# same machinery at 1/16 or smaller, where the quadratic shingle join
+# shrinks by the fraction SQUARED (both pair endpoints must survive).
+SAMPLE_PREFIXES: tuple[str, ...] = tuple("01234567")
+_SQL_SAMPLED_DOCS = (
+    "SELECT * FROM documents WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ("
+    + ", ".join(f"'{p}'" for p in SAMPLE_PREFIXES)
+    + ")"
+)
+
+
+def _shingle_pair_ctes(rel: str, op: str) -> str:
+    """Shared sh/sizes/common CTE bodies over ``rel`` — ``op`` is the
+    pair predicate ('<' symmetric, '<>' directed)."""
+    sample = f"sdocs AS ({_SQL_SAMPLED_DOCS}),\n" if rel == "sdocs" else ""
+    return f"""{sample}sh AS ({sql_shingles_rel(n=3, rel=rel)}),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id {op} b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+
+def _jaccard_oracle(rel: str = "documents") -> str:
+    return f"""
+WITH {_shingle_pair_ctes(rel, "<")}
 SELECT doc_a, doc_b, n_common,
        n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
 FROM common
@@ -32,6 +54,9 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8
 """
+
+
+_JACCARD_ORACLE = _jaccard_oracle()
 
 
 @register(
@@ -118,19 +143,17 @@ def neardup_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_CONTAINMENT_ORACLE = f"""
-WITH sh AS ({sql_shingles_rel(n=3)}),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-  GROUP BY 1, 2
-)
+def _containment_oracle(rel: str = "documents") -> str:
+    return f"""
+WITH {_shingle_pair_ctes(rel, "<>")}
 SELECT doc_a, doc_b, n_common,
        n_common::DOUBLE / sa.n_sh AS containment
 FROM common JOIN sizes sa ON sa.doc_id = doc_a
 WHERE n_common::DOUBLE / sa.n_sh >= 0.9
 """
+
+
+_CONTAINMENT_ORACLE = _containment_oracle()
 
 
 @register("containment_dup_pairs", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
@@ -139,6 +162,54 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents absorbed into longer ones, which symmetric Jaccard misses."""
     return core.containment_pairs(
         spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.9
+    )
+
+
+def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit sample: deterministic md5-prefix doc subset
+    (`ops.sampling.hash_sample`, prefixes {SAMPLE_PREFIXES}) — the
+    exact Spark twin of the oracles' ``sdocs`` CTE."""
+    from newsflow.ops.sampling import hash_sample
+
+    return hash_sample(
+        spread(load_table(spark, sf_dir, "documents")),
+        keep_prefixes=SAMPLE_PREFIXES,
+    )
+
+
+@register(
+    "ngram_jaccard_pairs_sampled",
+    oracle=_jaccard_oracle(rel="sdocs"),
+    tags=("dedup", "sampling", "audit"),
+)
+def ngram_jaccard_pairs_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION form of the exact-Jaccard audit at 100 TB: the
+    quadratic shingle self-join runs on a deterministic md5-prefix doc
+    sample instead of the full corpus, shrinking the join by the sample
+    fraction SQUARED (both endpoints must survive). The full-corpus twin
+    (`ngram_jaccard_pairs`, 95 s at sf1) stays as the oracle baseline;
+    sampled-vs-full agreement is recorded in BENCH_sf1.md. Fraction is
+    1/2 at the check SFs so the result is non-empty at sf0.01; the same
+    machinery runs at 1/16 or below in production."""
+    return core.jaccard_pairs(
+        _sampled_docs(spark, sf_dir), n=3, threshold=0.8
+    )
+
+
+@register(
+    "containment_dup_pairs_sampled",
+    oracle=_containment_oracle(rel="sdocs"),
+    tags=("dedup", "sampling", "audit"),
+)
+def containment_dup_pairs_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled-audit form of the directed containment audit — same
+    sample/fraction discipline as `ngram_jaccard_pairs_sampled`."""
+    return core.containment_pairs(
+        _sampled_docs(spark, sf_dir), n=3, threshold=0.9
     )
 
 
@@ -581,15 +652,10 @@ def embedding_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_CLUSTER_ORACLE = f"""
+def _cluster_oracle(rel: str = "documents") -> str:
+    return f"""
 WITH RECURSIVE
-sh AS ({sql_shingles_rel(n=3)}),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+{_shingle_pair_ctes(rel, "<")},
 p AS (
   SELECT doc_a, doc_b
   FROM common
@@ -609,6 +675,9 @@ reach(doc_id, comp) AS (
 )
 SELECT doc_id, min(comp) AS keeper FROM reach GROUP BY doc_id
 """
+
+
+_CLUSTER_ORACLE = _cluster_oracle()
 
 
 @register(
@@ -635,6 +704,27 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = core.jaccard_pairs(
         spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    )
+    return _clusters(pairs)
+
+
+@register(
+    "near_dup_clusters_sampled",
+    oracle=_cluster_oracle(rel="sdocs"),
+    tags=("dedup", "cluster", "iterative", "sampling", "audit"),
+)
+def near_dup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-audit form of the exact-pair-graph clustering: connected
+    components over the Jaccard pairs of the md5-prefix doc sample —
+    the shape the full-corpus audit (`near_dup_clusters`, 197 s at sf1)
+    runs at 100 TB. Component statistics (size distribution, keeper
+    fraction) estimated from the sample track the full graph because the
+    sample is uniform over docs; exact per-doc assignments exist only
+    within the sample, stated."""
+    from newsflow.dedup.cluster import near_dup_clusters as _clusters
+
+    pairs = core.jaccard_pairs(
+        _sampled_docs(spark, sf_dir), n=3, threshold=0.8
     )
     return _clusters(pairs)
 

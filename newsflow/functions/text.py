@@ -56,12 +56,16 @@ def shingles_expr(tokens_col: str, n: int = 3) -> Column:
     )
 
 
-def sql_shingles_rel(doc_id: str = "doc_id", n: int = 3) -> str:
+def sql_shingles_rel(
+    doc_id: str = "doc_id", n: int = 3, rel: str = "documents"
+) -> str:
     """DuckDB relation producing DISTINCT (doc_id, shingle s) pairs from
-    documents.text — the oracle twin of shingles_expr + explode + distinct."""
+    ``rel``.text — the oracle twin of shingles_expr + explode + distinct.
+    ``rel`` defaults to the documents table; the sampled-audit oracles
+    point it at a hash-sampled CTE instead."""
     return f"""
     SELECT DISTINCT {doc_id}, array_to_string(t[i:i+{n - 1}], ' ') AS s
-    FROM (SELECT doc_id, {_SQL_TOKENS.format(c="text")} AS t FROM documents),
+    FROM (SELECT doc_id, {_SQL_TOKENS.format(c="text")} AS t FROM {rel}),
          UNNEST(range(1, len(t) - {n - 2})) AS u(i)
     WHERE len(t) >= {n}
     """
