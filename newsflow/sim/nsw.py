@@ -483,90 +483,188 @@ _SQL_UNIT = (
 )
 
 
+def beam_cte_chain(
+    prefix: str,
+    units_rel: str,
+    edges_rel: str,
+    qs_rel: str,
+    ef: int = GRAPH_EF,
+    hops: int = GRAPH_HOPS,
+    n_entries: int = GRAPH_N_ENTRIES,
+) -> tuple[str, str]:
+    """Composable exact DuckDB twin of `nsw_search_df`: the bounded hop
+    count makes the beam recursion unrollable into ``hops`` CTE levels —
+    each level expands the previous beam's graph neighbors (DISTINCT,
+    minus nodes already in the beam), scores them against the query, and
+    re-ranks to the top ``ef`` under the shared (rounded-sim DESC, node
+    ASC) tie rule. Relies on ``{units_rel}(vec_id, u)``,
+    ``{edges_rel}(src, dst, ...)``, ``{qs_rel}(query_id, qu)``.
+    Returns (cte_text, final_beam_relation). Beam CTEs are MATERIALIZED:
+    each is referenced three times per level (neighbor join, NOT-EXISTS
+    exclusion, union), and DuckDB re-inlines multiply-referenced CTEs
+    exponentially otherwise (BENCH_sf1.md round-7 hazard; same fix as
+    the k-means chain)."""
+    score = "(round(list_dot_product(q.qu, u.u) + 1e-9, 6) + 0.0)"
+    p = prefix
+    levels = [
+        f"""{p}entries AS (
+  SELECT min(node) AS node FROM (
+    SELECT vec_id AS node,
+           ntile({n_entries}) OVER (ORDER BY vec_id) AS t
+    FROM {units_rel}
+  ) GROUP BY t
+),
+{p}beam0 AS MATERIALIZED (
+  SELECT q.query_id, u.vec_id AS node, {score} AS sim
+  FROM {qs_rel} q
+  CROSS JOIN {p}entries e
+  JOIN {units_rel} u ON u.vec_id = e.node
+)"""
+    ]
+    for i in range(hops):
+        levels.append(
+            f"""{p}cand{i} AS (
+  SELECT DISTINCT b.query_id, e.dst AS node
+  FROM {p}beam{i} b JOIN {edges_rel} e ON b.node = e.src
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {p}beam{i} x
+    WHERE x.query_id = b.query_id AND x.node = e.dst
+  )
+),
+{p}beam{i + 1} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node
+    ) AS rn FROM (
+      SELECT query_id, node, sim FROM {p}beam{i}
+      UNION ALL
+      SELECT c.query_id, c.node, {score} AS sim
+      FROM {p}cand{i} c
+      JOIN {units_rel} u ON u.vec_id = c.node
+      JOIN {qs_rel} q ON q.query_id = c.query_id
+    )
+  ) WHERE rn <= {ef}
+)"""
+        )
+    return ",\n".join(levels), f"{p}beam{hops}"
+
+
+def graph_build_sql(units_rel: str, m: int = GRAPH_M) -> str:
+    """DuckDB twin of `nsw_graph_edges_df` over ``{units_rel}(vec_id, u)``
+    — a relation body (src, dst, cosine_sim), not a full statement."""
+    return f"""
+  SELECT src, dst, cosine_sim FROM (
+    SELECT src, dst, cosine_sim, row_number() OVER (
+      PARTITION BY src ORDER BY cosine_sim DESC, dst
+    ) AS rn FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             (round(list_dot_product(a.u, b.u) + 1e-9, 6) + 0.0)
+               AS cosine_sim
+      FROM {units_rel} a JOIN {units_rel} b ON a.vec_id <> b.vec_id
+    )
+  ) WHERE rn <= {m}
+"""
+
+
+def insert_wave_ctes(
+    prefix: str,
+    units_rel: str,
+    edges_rel: str,
+    new_rel: str,
+    m: int = GRAPH_M,
+    ef: int = GRAPH_EF,
+    hops: int = GRAPH_HOPS,
+    n_entries: int = GRAPH_N_ENTRIES,
+) -> tuple[str, str]:
+    """Composable DuckDB twin of `nsw_insert_batch`: beam-search the
+    existing graph for each new vector's approximate M-NN (the unrolled
+    `beam_cte_chain`), add forward + intra-batch + reverse edges, and
+    re-prune every affected src back to top-``m`` — pure relational
+    algebra over ``{edges_rel}`` and ``{new_rel}(vec_id, u)``. Returns
+    (cte_text, updated_edges_relation)."""
+    p = prefix
+    beam_txt, beam_rel = beam_cte_chain(
+        f"{p}b_",
+        units_rel,
+        edges_rel,
+        f"{p}qs",
+        ef=ef,
+        hops=hops,
+        n_entries=n_entries,
+    )
+    text = f"""{p}qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, u AS qu FROM {new_rel}
+),
+{beam_txt},
+{p}fwd AS (
+  SELECT query_id AS src, node AS dst, sim AS cosine_sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node
+    ) AS rn FROM {beam_rel}
+  ) WHERE rn <= {m}
+),
+{p}added AS MATERIALIZED (
+  SELECT DISTINCT src, dst, cosine_sim FROM (
+    SELECT src, dst, cosine_sim FROM {p}fwd
+    UNION ALL
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           (round(list_dot_product(a.u, b.u) + 1e-9, 6) + 0.0)
+             AS cosine_sim
+    FROM {new_rel} a JOIN {new_rel} b ON a.vec_id <> b.vec_id
+    UNION ALL
+    SELECT dst AS src, src AS dst, cosine_sim FROM {p}fwd
+  )
+),
+{p}affected AS (SELECT DISTINCT src FROM {p}added),
+{p}updated AS MATERIALIZED (
+  SELECT src, dst, cosine_sim FROM {edges_rel}
+  WHERE src NOT IN (SELECT src FROM {p}affected)
+  UNION ALL
+  SELECT src, dst, cosine_sim FROM (
+    SELECT src, dst, cosine_sim, row_number() OVER (
+      PARTITION BY src ORDER BY cosine_sim DESC, dst
+    ) AS rn FROM (
+      SELECT DISTINCT src, dst, cosine_sim FROM (
+        SELECT e.src, e.dst, e.cosine_sim FROM {edges_rel} e
+        WHERE e.src IN (SELECT src FROM {p}affected)
+        UNION ALL
+        SELECT src, dst, cosine_sim FROM {p}added
+      )
+    )
+  ) WHERE rn <= {m}
+)"""
+    return text, f"{p}updated"
+
+
 def nsw_beam_oracle_sql(
     ef: int = GRAPH_EF,
     hops: int = GRAPH_HOPS,
     n_entries: int = GRAPH_N_ENTRIES,
     topk: int = NSW_TOPK,
 ) -> str:
-    """Exact DuckDB twin of `nsw_search_df`: the bounded hop count makes
-    the beam recursion unrollable into ``hops`` CTE levels — each level
-    expands the previous beam's graph neighbors (DISTINCT, minus nodes
-    already in the beam), scores them against the query, and re-ranks to
-    the top ``ef`` under the shared (rounded-sim DESC, node ASC) tie
-    rule. Beam CTEs are MATERIALIZED: each is referenced three times per
-    level (neighbor join, NOT-EXISTS exclusion, union), and DuckDB
-    re-inlines multiply-referenced CTEs exponentially otherwise
-    (BENCH_sf1.md round-7 hazard; same fix as the k-means chain)."""
-    score = "(round(list_dot_product(q.qu, u.u) + 1e-9, 6) + 0.0)"
-    levels = []
-    for i in range(hops):
-        levels.append(
-            f"""cand{i} AS (
-  SELECT DISTINCT b.query_id, e.dst AS node
-  FROM beam{i} b JOIN edges e ON b.node = e.src
-  WHERE NOT EXISTS (
-    SELECT 1 FROM beam{i} x
-    WHERE x.query_id = b.query_id AND x.node = e.dst
-  )
-),
-beam{i + 1} AS MATERIALIZED (
-  SELECT query_id, node, sim FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY sim DESC, node
-    ) AS rn FROM (
-      SELECT query_id, node, sim FROM beam{i}
-      UNION ALL
-      SELECT c.query_id, c.node, {score} AS sim
-      FROM cand{i} c
-      JOIN u_idx u ON u.vec_id = c.node
-      JOIN qs q ON q.query_id = c.query_id
+    """Exact DuckDB twin of the registered `knn_cosine_nsw` query —
+    graph build + unrolled beam search (`beam_cte_chain`) + final
+    top-``topk`` rank window."""
+    beam_txt, beam_rel = beam_cte_chain(
+        "", "u_idx", "edges", "qs", ef=ef, hops=hops, n_entries=n_entries
     )
-  ) WHERE rn <= {ef}
-)"""
-        )
-    chain = ",\n".join(levels)
     return f"""
 WITH u_idx AS MATERIALIZED (
   SELECT vec_id, {_SQL_UNIT} AS u
   FROM embeddings WHERE vec_id < {GRAPH_MAX_VEC_ID}
 ),
-edges AS MATERIALIZED (
-  SELECT src, dst FROM (
-    SELECT src, dst, row_number() OVER (
-      PARTITION BY src ORDER BY cosine_sim DESC, dst
-    ) AS rn FROM (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             (round(list_dot_product(a.u, b.u) + 1e-9, 6) + 0.0)
-               AS cosine_sim
-      FROM u_idx a JOIN u_idx b ON a.vec_id <> b.vec_id
-    )
-  ) WHERE rn <= {GRAPH_M}
-),
+edges AS MATERIALIZED ({graph_build_sql("u_idx")}),
 qs AS MATERIALIZED (
   SELECT vec_id AS query_id, {_SQL_UNIT} AS qu
   FROM embeddings
   WHERE vec_id >= {GRAPH_MAX_VEC_ID}
     AND vec_id < {GRAPH_MAX_VEC_ID + N_GRAPH_QUERIES}
 ),
-entries AS (
-  SELECT min(node) AS node FROM (
-    SELECT vec_id AS node,
-           ntile({n_entries}) OVER (ORDER BY vec_id) AS t
-    FROM u_idx
-  ) GROUP BY t
-),
-beam0 AS MATERIALIZED (
-  SELECT q.query_id, u.vec_id AS node, {score} AS sim
-  FROM qs q
-  CROSS JOIN entries e
-  JOIN u_idx u ON u.vec_id = e.node
-),
-{chain}
+{beam_txt}
 SELECT query_id, node, sim, rank FROM (
   SELECT query_id, node, sim, row_number() OVER (
     PARTITION BY query_id ORDER BY sim DESC, node
-  ) AS rank FROM beam{hops}
+  ) AS rank FROM {beam_rel}
 ) WHERE rank <= {topk}
 """
 

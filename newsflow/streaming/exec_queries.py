@@ -640,3 +640,150 @@ def streaming_takedown_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r.doc_id, r.phase) for r in rows], "doc_id long, phase string"
     )
+
+
+# --- Streaming ANN-index append (NSW graph + OPQ codes) -------------------
+
+ANN_WAVE1_LO = 408  # = sim.nsw.NSW_INSERT_LO; two 16-vector waves
+ANN_WAVE2_LO = 424
+ANN_WAVE2_HI = 440
+
+
+def _ann_ingest_oracle() -> str:
+    """Exact replay of the two-wave streamed graph append: initial graph
+    build over the index slice, then `insert_wave_ctes` (the unrolled
+    `nsw_insert_batch` twin — beam search + fwd/intra/reverse edges +
+    bounded-degree re-prune) applied sequentially, wave 2 navigating the
+    wave-1 UPDATED graph with the wave-1 ids as members. Sequential
+    micro-batch semantics replay exactly because the file-source replay
+    is deterministic (one file per micro-batch, ascending mtimes)."""
+    from newsflow.sim.nsw import (
+        GRAPH_M,
+        GRAPH_MAX_VEC_ID,
+        GRAPH_N_ENTRIES,
+        NSW_EF_CONSTRUCTION,
+        NSW_HOPS_CONSTRUCTION,
+        _SQL_UNIT,
+        graph_build_sql,
+        insert_wave_ctes,
+    )
+
+    kw = dict(
+        m=GRAPH_M,
+        ef=NSW_EF_CONSTRUCTION,
+        hops=NSW_HOPS_CONSTRUCTION,
+        n_entries=GRAPH_N_ENTRIES,
+    )
+    w1_txt, e1 = insert_wave_ctes("w1_", "u_m0", "edges0", "new1", **kw)
+    w2_txt, e2 = insert_wave_ctes("w2_", "u_m1", e1, "new2", **kw)
+    return f"""
+WITH u_all AS MATERIALIZED (
+  SELECT vec_id, {_SQL_UNIT} AS u
+  FROM embeddings WHERE vec_id < {ANN_WAVE2_HI}
+),
+u_m0 AS MATERIALIZED (
+  SELECT * FROM u_all WHERE vec_id < {GRAPH_MAX_VEC_ID}
+),
+new1 AS MATERIALIZED (
+  SELECT * FROM u_all
+  WHERE vec_id >= {ANN_WAVE1_LO} AND vec_id < {ANN_WAVE2_LO}
+),
+new2 AS MATERIALIZED (
+  SELECT * FROM u_all
+  WHERE vec_id >= {ANN_WAVE2_LO} AND vec_id < {ANN_WAVE2_HI}
+),
+u_m1 AS MATERIALIZED (
+  SELECT * FROM u_all
+  WHERE vec_id < {GRAPH_MAX_VEC_ID}
+     OR (vec_id >= {ANN_WAVE1_LO} AND vec_id < {ANN_WAVE2_LO})
+),
+edges0 AS MATERIALIZED ({graph_build_sql("u_m0")}),
+{w1_txt},
+{w2_txt}
+SELECT src, dst, cosine_sim FROM {e2}
+"""
+
+
+@register(
+    "streaming_ann_index_ingest",
+    oracle=_ann_ingest_oracle(),
+    tags=("streaming", "similarity", "graph", "nsw", "incremental",
+          "executed"),
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN-index append, EXECUTED end to end: the persisted
+    index state (vector store + NSW graph + OPQ code table) is seeded
+    from the index slice (vec_id < 400), then two 16-vector micro-batch
+    waves drain through `ann_index_ingest_stream` — each wave is
+    OPQ-encoded against the STORED rotation/codebooks (no refit) and
+    inserted into the persisted graph via the no-refit beam-search
+    insert. Output: the final (src, dst, cosine_sim) edge table, which
+    the oracle replays exactly by unrolling both insert waves
+    (`insert_wave_ctes`); the code-table parity with the batch OPQ
+    encode path is asserted in tests/test_streaming_ann_ingest.py."""
+    from newsflow.sim.nsw import GRAPH_MAX_VEC_ID
+    from newsflow.sim.opq import opq_fit
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.streaming.ingest import (
+        ann_index_ingest_stream,
+        ann_index_init,
+    )
+    from newsflow.tables import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < GRAPH_MAX_VEC_ID)
+    waves = [
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        for lo, hi in (
+            (ANN_WAVE1_LO, ANN_WAVE2_LO),
+            (ANN_WAVE2_LO, ANN_WAVE2_HI),
+        )
+    ]
+    tmp = tempfile.mkdtemp(prefix="nf_ann_ingest_")
+    try:
+        vectors_path = os.path.join(tmp, "vectors")
+        graph_path = os.path.join(tmp, "graph")
+        codes_path = os.path.join(tmp, "codes")
+        ann_index_init(
+            spark, base, vectors_path=vectors_path, graph_path=graph_path
+        )
+        _, books, perm = opq_fit(base)
+        replay = os.path.join(tmp, "replay")
+        os.makedirs(replay)
+        for i, wave in enumerate(waves):
+            write_single_parquet_file(
+                wave,
+                os.path.join(replay, f"{i:02d}.parquet"),
+                mtime=1_000_000_000 + i * 1000,
+            )
+        schema = spark.read.parquet(
+            os.path.join(replay, "00.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay)
+        )
+        q = ann_index_ingest_stream(
+            spark,
+            stream,
+            vectors_path=vectors_path,
+            graph_path=graph_path,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            codes_path=codes_path,
+            pq_codebooks=books,
+            pq_perm=perm,
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(graph_path).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.src, r.dst, r.cosine_sim) for r in rows],
+        "src long, dst long, cosine_sim double",
+    )

@@ -215,3 +215,227 @@ def neardup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_init(
+    spark: SparkSession,
+    base_vectors: DataFrame,
+    *,
+    vectors_path: str,
+    graph_path: str,
+    m: int | None = None,
+) -> None:
+    """Seed the persisted ANN-index state `ann_index_ingest_stream`
+    appends to: the base (vec_id, embedding) slice lands as the
+    ``batch=-1`` partition of the vector store, and the initial NSW
+    graph (`nsw_graph_edges_df` over the base units) is written whole.
+    The codes table needs no seeding — the stream's encode step only
+    ever appends batch partitions."""
+    from newsflow.sim.knn import as_double_array
+    from newsflow.sim.nsw import GRAPH_M, nsw_graph_edges_df
+    from newsflow.sim.pq import _unit
+
+    # Canonical store type is array<double>: the source table may carry
+    # float32 embeddings while stream batches arrive as double — mixed
+    # per-partition physical types would fail the unified read.
+    base_vectors.select(
+        "vec_id",
+        as_double_array(base_vectors["embedding"]).alias("embedding"),
+    ).write.mode("overwrite").parquet(f"{vectors_path}/batch=-1")
+    units = _unit(base_vectors, "vec_id").localCheckpoint(eager=True)
+    nsw_graph_edges_df(units, m=m or GRAPH_M).write.mode(
+        "overwrite"
+    ).parquet(graph_path)
+
+
+def ann_index_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    *,
+    vectors_path: str,
+    graph_path: str,
+    codes_path: str | None = None,
+    pq_codebooks: dict | None = None,
+    pq_perm: list[int] | None = None,
+    m: int | None = None,
+    ef: int | None = None,
+    hops: int | None = None,
+) -> None:
+    """One micro-batch of the ANN-index append (the foreachBatch body of
+    `ann_index_ingest_stream`, public like `neardup_apply_batch` so the
+    batch path and redelivery semantics are directly testable):
+
+    1. drop ids already ingested by OTHER batches (the ``batch != id``
+       replay exclusion) and append the remainder to the ``batch=<id>``
+       partition of the vector store (overwrite — idempotent under
+       same-id redelivery);
+    2. encode the new vectors against the STORED codebooks — permuted
+       first with the stored OPQ rotation when ``pq_perm`` is given —
+       into the ``batch=<id>`` partition of the code table;
+       codebooks/rotation are never re-learned on the ingest path
+       (the no-refit property);
+    3. insert the new vectors into the persisted NSW graph via
+       `nsw_insert_batch` (beam-search M-NN + forward/intra/reverse
+       edges + bounded-degree re-prune). Redelivery is handled by an
+       applied-batch marker (skip when the prior attempt completed —
+       strict no-op) with strip-then-reinsert as the convergent
+       fallback for a crash before the marker landed; see the inline
+       note for why the fallback is valid-but-not-bitwise.
+       tests/test_streaming_ann_ingest.py exercises both cases."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim.knn import as_double_array
+    from newsflow.sim.nsw import (
+        GRAPH_M,
+        NSW_EF_CONSTRUCTION,
+        NSW_HOPS_CONSTRUCTION,
+        nsw_insert_batch,
+    )
+    from newsflow.sim.pq import _assign_codes, _unit
+
+    new = batch.select(
+        "vec_id", as_double_array(batch["embedding"]).alias("embedding")
+    ).dropDuplicates(["vec_id"])
+    stored = spark.read.parquet(vectors_path)
+    new = new.join(
+        stored.filter(F.col("batch") != batch_id).select("vec_id"),
+        "vec_id",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    if new.isEmpty():
+        return
+    new.write.mode("overwrite").parquet(f"{vectors_path}/batch={batch_id}")
+    spark.catalog.refreshByPath(vectors_path)
+
+    new_units = _unit(new, "vec_id").localCheckpoint(eager=True)
+    if pq_codebooks is not None:
+        if codes_path is None:
+            raise ValueError("pq_codebooks given without codes_path")
+        enc = new_units
+        if pq_perm is not None:
+            from newsflow.sim.opq import permute_expr
+
+            enc = enc.select("vec_id", permute_expr(pq_perm).alias("u"))
+        # Geometry is read off the codebook dict itself (keyed
+        # (sub, codeword) -> dsub floats), same as corpus_takedown.
+        n_subs = 1 + max(s for s, _ in pq_codebooks)
+        k = 1 + max(c for _, c in pq_codebooks)
+        dsub = len(next(iter(pq_codebooks.values())))
+        _assign_codes(enc, pq_codebooks, n_subs, dsub, k).selectExpr(
+            "vec_id",
+            "array_join(transform(codes, c -> cast(c as string)),"
+            " '-') AS code_string",
+        ).write.mode("overwrite").parquet(f"{codes_path}/batch={batch_id}")
+
+    # Applied-batch marker (sibling dir — the graph write is a whole-dir
+    # overwrite): a redelivery after a COMPLETED graph update skips the
+    # graph step entirely, making the common at-least-once case a strict
+    # no-op. Only a crash in the narrow overwrite→marker gap falls
+    # through to the strip-then-reinsert below, which converges to a
+    # VALID graph (all nodes present, degree ≤ M, floors hold) though
+    # not necessarily the bitwise-identical one — bounded-degree
+    # in-place mutation discards pruned-out edges, so the exact
+    # pre-state is unrecoverable (the same property HNSW
+    # implementations have). Marker partitions grow O(batches), the
+    # same family the takedown drop logs compact
+    # (`takedown.takedown_maintenance`).
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{graph_path}_applied/batch={batch_id}"
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        return
+
+    edges = spark.read.parquet(graph_path)
+    new_ids = F.broadcast(new.select("vec_id"))
+    # Strip any prior attempt's rows for these ids (both directions)
+    # BEFORE re-inserting — replay safety.
+    base = edges.join(
+        new_ids.select(F.col("vec_id").alias("src")), "src", "left_anti"
+    ).join(
+        new_ids.select(F.col("vec_id").alias("dst")), "dst", "left_anti"
+    )
+    members = (
+        base.select(F.col("src").alias("vec_id"))
+        .unionByName(base.select(F.col("dst").alias("vec_id")))
+        .distinct()
+    )
+    member_units = _unit(
+        spark.read.parquet(vectors_path).join(members, "vec_id", "left_semi"),
+        "vec_id",
+    )
+    updated = nsw_insert_batch(
+        member_units,
+        base,
+        new_units,
+        m=m or GRAPH_M,
+        ef=ef or NSW_EF_CONSTRUCTION,
+        hops=hops or NSW_HOPS_CONSTRUCTION,
+    ).localCheckpoint(eager=True)
+    updated.write.mode("overwrite").parquet(graph_path)
+    spark.catalog.refreshByPath(graph_path)
+    spark.createDataFrame([(batch_id,)], "batch_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(
+        f"{graph_path}_applied/batch={batch_id}"
+    )
+
+
+def ann_index_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    *,
+    vectors_path: str,
+    graph_path: str,
+    checkpoint_dir: str,
+    codes_path: str | None = None,
+    pq_codebooks: dict | None = None,
+    pq_perm: list[int] | None = None,
+    m: int | None = None,
+    ef: int | None = None,
+    hops: int | None = None,
+) -> StreamingQuery:
+    """STREAMING ANN-index append — the deployment form of the batch
+    no-refit append pair (`sim.nsw.nsw_insert_batch` +
+    `opq_encode_new_vectors`): a stream of (vec_id, embedding) rows
+    drains through ``foreachBatch``, each micro-batch running
+    `ann_index_apply_batch` (vector-store append + OPQ encode against
+    stored codebooks/rotation + NSW graph insert).
+
+    Exactly-once: at-least-once micro-batch delivery x idempotent apply
+    (partition-scoped overwrites for vectors/codes; strip-then-reinsert
+    for the graph, whose result is a pure function of (graph without
+    the batch's ids, member vectors, batch vectors)) = exactly-once
+    effect — the redelivery case Structured Streaming actually produces
+    is the LAST uncommitted batch re-running against the state its
+    prior attempt may have partially written, which the strip step
+    makes convergent.
+
+    Cost shape per micro-batch: encode is |batch| x codebook work;
+    graph insert is |batch| beam searches (each |batch| x ef x M rows
+    per hop, corpus-independent) + a re-prune window over the touched
+    srcs only — batch-proportional, never index-proportional, matching
+    the batch-mode stress table (BENCH_sf1.md)."""
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        ann_index_apply_batch(
+            spark,
+            batch,
+            batch_id,
+            vectors_path=vectors_path,
+            graph_path=graph_path,
+            codes_path=codes_path,
+            pq_codebooks=pq_codebooks,
+            pq_perm=pq_perm,
+            m=m,
+            ef=ef,
+            hops=hops,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -167,3 +167,29 @@ def test_round5_window_drains_stale_r1_cohort_from_committed_history():
     window = set(oracled[:WINDOW])
     missing = [n for n in stale if n not in window]
     assert not missing, f"stale r{oldest} queries outside window: {missing}"
+
+
+def test_round10_window_clears_entire_stale_cohort():
+    """VERDICT r9 #4: at round-10 start the stale cohort is 45 r6-green
+    queries — small enough that ONE window clears it completely,
+    tightening the invariant to "no oracled query last-green < r7"
+    after this round. This pin guards the new-query budget: every
+    never-green (new) oracled query takes a slot ahead of the cohort,
+    so the round may add at most WINDOW - |stale| of them. If this
+    fails, either drop a new query's oracle to next round or accept
+    the cohort spilling (and update this test with the new bound)."""
+    specs = registry.all_specs()
+    oracled = [n for n, s in specs.items() if s.oracle]
+    history = registry._green_history()
+    greens = [history[n] for n in oracled if history.get(n, 0) > 0]
+    if not greens or min(greens) != 6:
+        return  # history moved past round 10's state: the generic
+        # drain test above governs
+    stale = [n for n in oracled if history.get(n, 0) == 6]
+    never = [n for n in oracled if history.get(n, 0) == 0]
+    assert len(never) + len(stale) <= WINDOW, (
+        f"{len(never)} never-green + {len(stale)} r6-stale exceed the "
+        f"{WINDOW}-slot window: the r6 cohort will NOT drain this round"
+    )
+    window = set(oracled[:WINDOW])
+    assert all(n in window for n in stale + never)
