@@ -97,6 +97,11 @@ HEADLINE = [
     "nsw_graph_edges",          # graph ANN index build (oracled top-M)
     "nsw_ann_recall_eval",      # multi-entry beam search + recall audit
     "knn_cosine_opq",           # OPQ ANN (variance-balanced permuted PQ)
+    # Round-10 additions:
+    "knn_cosine_nsw",           # graph beam-search retrieval (oracled)
+    "ngram_jaccard_pairs_sampled",  # sampled-audit exact Jaccard (the
+                                    # 100 TB form of the quadratic twin)
+    "streaming_ann_index_ingest",  # stream-executed graph+OPQ append
 ]
 
 

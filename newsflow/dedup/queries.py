@@ -563,6 +563,37 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _require_driver_heap_for_mllib_twin(
+    spark: SparkSession,
+    docs: DataFrame,
+    query: str,
+    max_docs: int = 20_000,
+    min_heap: int = 4 * 1024**3,
+) -> None:
+    """Fail-loud session guard for the two MLlib API-parity twins
+    (VERDICT r9 #8): under a bare 1 GB-driver local session at sf1-scale
+    input, `near_dup_clusters_lsh` dies on an AQE-promoted
+    broadcast-build OOM and `minhash_near_dup_pairs_mllib` on GC
+    pressure (BENCH_sf1.md round-9 note). These are documented
+    API-parity paths, not the scale path (the native banded tiers are)
+    — so rather than a silent executor death minutes in, raise an
+    actionable error up front when the corpus is past check-SF scale
+    and the shared local JVM heap is small. Thresholds are deliberately
+    coarse: the sf0.1 corpus (~5k docs) runs fine under 1 GB; the
+    measured deaths are at ~50k docs."""
+    n = docs.count()
+    heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+    if n > max_docs and heap < min_heap:
+        raise RuntimeError(
+            f"{query}: {n} docs with a {heap / 1024**3:.1f} GB JVM heap — "
+            "this query needs a sized driver at this scale (session.py "
+            "defaults to 8g; set NEWSFLOW_DRIVER_MEM or "
+            "spark.driver.memory >= 4g). Measured failure modes under a "
+            "bare 1g local session at sf1: AQE broadcast-build OOM / GC "
+            "thrash (BENCH_sf1.md round-9 note)."
+        )
+
+
 @register(
     "minhash_near_dup_pairs_mllib",
     # Same exact-verification argument, same oracle.
@@ -572,9 +603,11 @@ def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH (pyspark.ml) variant of the same operator — kept as
     the API-parity path and as a cross-check of the native signatures."""
-    return minhash.minhash_near_dup_pairs(
-        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _require_driver_heap_for_mllib_twin(
+        spark, docs, "minhash_near_dup_pairs_mllib"
     )
+    return minhash.minhash_near_dup_pairs(docs, n=3, threshold=0.8)
 
 
 @register(
@@ -746,9 +779,11 @@ def near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only) — no all-pairs shingle join anywhere in the plan."""
     from newsflow.dedup.cluster import near_dup_clusters as _clusters
 
-    pairs = minhash.native_minhash_near_dup_pairs(
-        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    _require_driver_heap_for_mllib_twin(
+        spark, docs, "near_dup_clusters_lsh"
     )
+    pairs = minhash.native_minhash_near_dup_pairs(docs, n=3, threshold=0.8)
     return _clusters(pairs)
 
 

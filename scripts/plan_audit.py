@@ -33,7 +33,11 @@ PYTHON_BY_DESIGN = re.compile(
     # FFD first-fit is a sequential stateful fold: the Arrow form is
     # O(n·bins) mutate-in-place vs the JVM fold's O(n²) immutable-array
     # copies (measured 30× at sf1 — newsflow/packing.py docstring).
-    r"corpus_pack_waste_report$)"
+    r"corpus_pack_waste_report$|"
+    # The takedown-FFD audit REPACKS dirty shards, so it runs the same
+    # by-design Arrow fold as corpus_pack_ffd (VERDICT r9 nit: it
+    # belongs in this set with the same rationale, not flagged).
+    r"corpus_takedown_ffd_audit$)"
 )
 
 # Queries whose runtime cost lives in DRIVER-COMPOSED job sequences the

@@ -384,3 +384,27 @@ def test_star_capped_buckets_preserve_viral_drop_set(spark):
     assert (
         star.agg(F.min("doc_a")).first()[0] == 0
     )  # rep is the bucket min
+
+
+def test_mllib_twin_driver_heap_guard(spark):
+    """The MLlib API-parity twins fail LOUD with actionable text when
+    the corpus outgrows a small driver heap (VERDICT r9 #8), and stay
+    silent below either threshold."""
+    import pytest
+
+    from newsflow.dedup.queries import _require_driver_heap_for_mllib_twin
+
+    docs = spark.range(100).selectExpr("id AS doc_id")
+    # Below the doc threshold: never trips, whatever the heap.
+    _require_driver_heap_for_mllib_twin(
+        spark, docs, "q", max_docs=1_000, min_heap=1 << 60
+    )
+    # Past the doc threshold with an impossible heap floor: trips loud.
+    with pytest.raises(RuntimeError, match="NEWSFLOW_DRIVER_MEM"):
+        _require_driver_heap_for_mllib_twin(
+            spark, docs, "q", max_docs=10, min_heap=1 << 60
+        )
+    # Past the doc threshold but ample heap: silent.
+    _require_driver_heap_for_mllib_twin(
+        spark, docs, "q", max_docs=10, min_heap=1
+    )
