@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "newsflow.sim.health",
     "newsflow.sim.mmr",
     "newsflow.sim.nsw",
+    "newsflow.sim.hybrid",
     "newsflow.analytics",
 )
 

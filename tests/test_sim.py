@@ -318,3 +318,53 @@ def test_nsw_takedown_update_missing_path_noop(spark, tmp_path):
     dels = spark.createDataFrame([(1,)], "vec_id long")
     out = nsw_takedown_update(spark, str(tmp_path / "absent"), dels)
     assert out == {"edges_removed_net": 0, "inserted": 0}
+
+
+def test_hybrid_pq_sq8_refine_exact_oracle_and_floors(spark, duck_oracle):
+    """Ninth ANN family (PQ/ADC coarse → SQ8 refine → exact top-k):
+    Spark-vs-DuckDB EXACT parity via the composed oracle — the same
+    comparison the driver runs, asserted locally because the oracle is
+    deliberately unregistered this round (window budget; see
+    sim/hybrid.py) — plus the shared recall floors and the refine
+    monotonicity claim (the hybrid's recall is >= the plain PQ tier's
+    on this corpus, since the SQ8 stage re-scores a 3x wider pool)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim import knn
+    from newsflow.sim.hybrid import (
+        knn_cosine_pq_sq8_refine,
+        pq_sq8_refine_oracle_sql,
+        pq_sq8_refine_topk,
+    )
+    from newsflow.sim.pq import pq_topk
+    from newsflow.tables import load_table, spread
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_utils import assert_parity
+
+    got = knn_cosine_pq_sq8_refine(spark, SF_ORACLE)
+    assert_parity(
+        got, pq_sq8_refine_oracle_sql(), duck_oracle,
+        "knn_cosine_pq_sq8_refine",
+    )
+
+    emb = spread(load_table(spark, SF_ORACLE, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recalls(df):
+        hits = {
+            (r.query_id, r.neighbor_id) for r in df.collect()
+        } & exact
+        per_q = {}
+        for q, _ in exact:
+            per_q[q] = sum(1 for (a, _b) in hits if a == q) / 5
+        return per_q
+
+    hyb = recalls(pq_sq8_refine_topk(emb, queries, k=5))
+    assert sum(hyb.values()) / len(hyb) >= 0.9, hyb
+    assert all(v >= 0.6 for v in hyb.values()), hyb
+    pq = recalls(pq_topk(emb, queries, k=5))
+    assert sum(hyb.values()) >= sum(pq.values()), (hyb, pq)
