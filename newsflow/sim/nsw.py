@@ -688,11 +688,113 @@ def knn_cosine_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_summary_sql(
+    exact_units_rel: str, beam_rel: str, qs_rel: str, k: int = 5
+) -> str:
+    """CTE tail computing `_recall_frame` in SQL: exact top-``k`` per
+    query over ``{exact_units_rel}(vec_id, u)``, left-joined to the
+    rank-cut ``{beam_rel}``, grouped to (query_id, n_hits, k,
+    recall_at_k)."""
+    score = "(round(list_dot_product(q.qu, u.u) + 1e-9, 6) + 0.0)"
+    return f"""beam_cut AS (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node
+    ) AS rank FROM {beam_rel}
+  ) WHERE rank <= {k}
+),
+exactk AS (
+  SELECT query_id, node FROM (
+    SELECT q.query_id, u.vec_id AS node, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY {score} DESC, u.vec_id
+    ) AS rn
+    FROM {qs_rel} q CROSS JOIN {exact_units_rel} u
+  ) WHERE rn <= {k}
+)
+SELECT e.query_id,
+       CAST(count(b.node) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS k,
+       (round(count(b.node)::DOUBLE / count(*) + 1e-9, 4) + 0.0)
+         AS recall_at_k
+FROM exactk e
+LEFT JOIN beam_cut b ON b.query_id = e.query_id AND b.node = e.node
+GROUP BY 1"""
+
+
+def nsw_recall_eval_oracle_sql() -> str:
+    """Exact DuckDB twin of `nsw_ann_recall_eval` — graph build +
+    unrolled full-geometry beam + the `_recall_summary_sql` tail.
+    Exact-tested in tests/test_sim.py; registration deferred to round
+    11 (round-10 window budget, see tests/test_registry_schedule.py)."""
+    beam_txt, beam_rel = beam_cte_chain("", "u_idx", "edges", "qs")
+    return f"""
+WITH u_idx AS MATERIALIZED (
+  SELECT vec_id, {_SQL_UNIT} AS u
+  FROM embeddings WHERE vec_id < {GRAPH_MAX_VEC_ID}
+),
+edges AS MATERIALIZED ({graph_build_sql("u_idx")}),
+qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, {_SQL_UNIT} AS qu
+  FROM embeddings
+  WHERE vec_id >= {GRAPH_MAX_VEC_ID}
+    AND vec_id < {GRAPH_MAX_VEC_ID + N_GRAPH_QUERIES}
+),
+{beam_txt},
+{_recall_summary_sql("u_idx", beam_rel, "qs")}
+"""
+
+
+def nsw_insert_eval_oracle_sql() -> str:
+    """Exact DuckDB twin of `nsw_incremental_insert_eval` — graph
+    build, the unrolled construction-geometry insert
+    (`insert_wave_ctes`), then the full-geometry search of the GROWN
+    graph and the recall summary against exact top-5 over index ∪
+    batch. Same deferred-registration note as
+    `nsw_recall_eval_oracle_sql`."""
+    ins_txt, edges1 = insert_wave_ctes(
+        "ins_",
+        "u_idx",
+        "edges0",
+        "batch",
+        m=GRAPH_M,
+        ef=NSW_EF_CONSTRUCTION,
+        hops=NSW_HOPS_CONSTRUCTION,
+        n_entries=GRAPH_N_ENTRIES,
+    )
+    beam_txt, beam_rel = beam_cte_chain("s_", "u_all", edges1, "qs")
+    return f"""
+WITH u_idx AS MATERIALIZED (
+  SELECT vec_id, {_SQL_UNIT} AS u
+  FROM embeddings WHERE vec_id < {GRAPH_MAX_VEC_ID}
+),
+batch AS MATERIALIZED (
+  SELECT vec_id, {_SQL_UNIT} AS u
+  FROM embeddings
+  WHERE vec_id >= {NSW_INSERT_LO} AND vec_id < {NSW_INSERT_HI}
+),
+u_all AS MATERIALIZED (
+  SELECT * FROM u_idx UNION ALL SELECT * FROM batch
+),
+edges0 AS MATERIALIZED ({graph_build_sql("u_idx")}),
+qs AS MATERIALIZED (
+  SELECT vec_id AS query_id, {_SQL_UNIT} AS qu
+  FROM embeddings
+  WHERE vec_id >= {GRAPH_MAX_VEC_ID}
+    AND vec_id < {GRAPH_MAX_VEC_ID + N_GRAPH_QUERIES}
+),
+{ins_txt},
+{beam_txt},
+{_recall_summary_sql("u_all", beam_rel, "qs")}
+"""
+
+
 @register(
     "nsw_ann_recall_eval",
-    # No oracle: the recall summary is a derived EVAL over the beam; the
-    # beam itself is exactly oracled via `knn_cosine_nsw`, and recall
-    # floors vs the exact baseline are asserted in tests/test_sim.py.
+    # No oracle REGISTERED (round-10 window budget): the exact composed
+    # twin exists (`nsw_recall_eval_oracle_sql`) and Spark-vs-DuckDB
+    # equality is asserted in tests/test_sim.py — promote next round.
+    # The beam itself is registry-oracled via `knn_cosine_nsw`; recall
+    # floors vs the exact baseline stay asserted in tests/test_sim.py.
     tags=("similarity", "graph", "nsw", "evaluation"),
 )
 def nsw_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,8 +864,10 @@ NSW_HOPS_CONSTRUCTION = 5
 
 @register(
     "nsw_incremental_insert_eval",
-    # No oracle: insert edges derive from the beam (see
-    # nsw_ann_recall_eval); floors + untouched-edge invariants are
+    # No oracle REGISTERED (round-10 window budget): the exact composed
+    # twin exists (`nsw_insert_eval_oracle_sql`, built on
+    # `insert_wave_ctes`) and is asserted in tests/test_sim.py —
+    # promote next round. Floors + untouched-edge invariants stay
     # gated in tests/test_sim.py.
     tags=("similarity", "graph", "nsw", "incremental", "evaluation"),
 )

@@ -368,3 +368,32 @@ def test_hybrid_pq_sq8_refine_exact_oracle_and_floors(spark, duck_oracle):
     assert all(v >= 0.6 for v in hyb.values()), hyb
     pq = recalls(pq_topk(emb, queries, k=5))
     assert sum(hyb.values()) >= sum(pq.values()), (hyb, pq)
+
+
+def test_nsw_recall_evals_match_composed_oracles(spark, duck_oracle):
+    """Both NSW recall EVALS match their composed DuckDB twins exactly
+    (beam_cte_chain / insert_wave_ctes + the _recall_frame tail) — the
+    driver comparison run locally, because the oracles are deliberately
+    unregistered this round (window budget; see sim/nsw.py). With this,
+    every ANN family's retrieval AND evaluation surface is exact."""
+    from newsflow.sim.nsw import (
+        nsw_ann_recall_eval,
+        nsw_incremental_insert_eval,
+        nsw_insert_eval_oracle_sql,
+        nsw_recall_eval_oracle_sql,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_utils import assert_parity
+
+    assert_parity(
+        nsw_ann_recall_eval(spark, SF_ORACLE),
+        nsw_recall_eval_oracle_sql(),
+        duck_oracle,
+        "nsw_ann_recall_eval",
+    )
+    assert_parity(
+        nsw_incremental_insert_eval(spark, SF_ORACLE),
+        nsw_insert_eval_oracle_sql(),
+        duck_oracle,
+        "nsw_incremental_insert_eval",
+    )
