@@ -10,11 +10,13 @@ Two pieces:
   oracle-able table (per-src top-M window over unit-vector dot
   products). Like the PQ tier, the INDEX side is the ``vec_id <
   {GRAPH_MAX_VEC_ID}`` slice, so query vectors are genuinely
-  out-of-index. At 100 TB the all-pairs build is batched per shard and
-  candidate-pruned through the IVF tier (find M-NN among probed cells
-  only) — the stored artifact is the same (src, dst, sim) table,
-  hive-partitioned/bucketed by src so each search hop's neighbor
-  expansion is a co-located lookup.
+  out-of-index. At 100 TB the all-pairs build is candidate-pruned
+  through the IVF tier — since round 10 a REAL operator, not prose:
+  `nsw_graph_edges_ivf` finds each vector's M-NN among its probed
+  coarse cells only (~n^1.5 with the √n-cells default; measured curve
+  in BENCH_sf1.md). The stored artifact is the same (src, dst, sim)
+  table, hive-partitioned/bucketed by src so each search hop's
+  neighbor expansion is a co-located lookup.
 
 * **Beam search** (`nsw_search_df`): greedy best-first from
   ``GRAPH_N_ENTRIES`` id-spread entry points (the flat-graph stand-in
@@ -110,8 +112,14 @@ def nsw_search_df(
     basin misses distant queries (measured: mean recall 0.40
     single-entry vs 0.975 mean / 0.80 min per-query with 16 entries at
     the shipped geometry, both SFs — BENCH_sf1.md round-9 section).
-    The ntile window runs over the index's id column only; a stored
-    deployment pins the entry list at build time instead."""
+    SIZING RULE (measured, round-10 section): ``n_entries`` must exceed
+    the graph's expected connected-component count — on a synthetic
+    200-cluster corpus whose k-NN graph is 200 components, 16 entries
+    give mean recall 0.125 while 512 restore 0.975/0.80; the extra cost
+    is one |queries| x n_entries scoring pass (corpus-independent),
+    since the top-ef cut immediately shrinks the beam back. The ntile
+    window runs over the index's id column only; a stored deployment
+    pins the entry list at build time instead."""
     q = F.broadcast(
         queries.select(F.col("query_id"), F.col("u").alias("qu"))
     )
@@ -1007,3 +1015,118 @@ def nsw_takedown_edges_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.col("vec_id").isin(list(TAKEDOWN_AUDIT_DELS))
     )
     return nsw_takedown_edges(edges, dels, survivors)
+
+
+# --- IVF-pruned graph build: the at-scale construction path -----------------
+
+def nsw_graph_edges_ivf(
+    units: DataFrame,
+    m: int = GRAPH_M,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """The 100 TB construction path for the NSW graph — the module
+    docstring's "batched per shard and candidate-pruned through the IVF
+    tier" made a real operator: coarse-quantize the vectors into
+    ``n_cells`` cells (MLlib KMeans over the unit vectors, fixed seed),
+    then each vector finds its top-``m`` cosine neighbors among the
+    members of its ``n_probe`` nearest cells ONLY — never all pairs.
+
+    Cost: Σ_src |probed cells| ≈ n · n_probe · (n / n_cells) candidate
+    pairs; with the FAISS-style ``n_cells ~ √n`` default the build is
+    ~n^1.5·n_probe instead of n² (measured curve in BENCH_sf1.md
+    round-10 section). The cell column is the bucketing key at scale, so
+    each per-cell neighbor scan is a partition-pruned, co-located join.
+
+    Output contract matches `nsw_graph_edges_df` (src, dst, cosine_sim,
+    top-m per src, rounded-sim/dst tie rule) — an APPROXIMATE build:
+    a true top-m neighbor outside every probed cell is missed, so the
+    operator is recall-floor-gated (edge recall vs the exact build +
+    search recall over the approx graph, tests/test_sim.py), the same
+    oracle-discipline split as the MLlib LSH tier. Nodes whose probed
+    cells hold fewer than ``m`` other members simply carry lower
+    degree — the beam search tolerates under-degree rims (the takedown
+    bridge repair relies on the same property)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    n = units.count()
+    if n_cells is None:
+        n_cells = max(4, int(n ** 0.5 / 2))
+    feats = units.select(
+        "vec_id", "u", array_to_vector(F.col("u")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "u", F.col("prediction").cast("long").alias("cell")
+    )
+    cents = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    # Per-vector probe: rank the centroid literals by squared distance
+    # (row-local array_sort over n_cells structs — no join), explode the
+    # n_probe nearest cell ids. Same probe shape as ivf_topk_native.
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.expr(
+                    "aggregate(zip_with(u, array("
+                    + ", ".join(f"{x!r}D" for x in c)
+                    + "), (x, y) -> (x - y) * (x - y)), 0D,"
+                    " (a, x) -> a + x)"
+                ).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probed = assigned.select(
+        F.col("vec_id").alias("src"),
+        F.col("u").alias("ua"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dist_structs), 1, n_probe),
+                lambda s: s["c"].cast("long"),
+            )
+        ).alias("cell"),
+    )
+    members = assigned.select(
+        F.col("vec_id").alias("dst"), F.col("u").alias("ub"), "cell"
+    )
+    sims = (
+        probed.join(members, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            dround(dot_expr(F.col("ua"), F.col("ub")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst")
+    )
+    return (
+        sims.dropDuplicates(["src", "dst"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= m)
+        .drop("rn")
+    )
+
+
+@register(
+    "nsw_graph_build_ivf",
+    # No oracle (MLlib k-means|| init is engine-specific, and the build
+    # is approximate by design); edge-recall + search-recall floors are
+    # gated in tests/test_sim.py, and the n^1.5 build curve is measured
+    # in BENCH_sf1.md. The exact twin `nsw_graph_edges` stays the
+    # oracled baseline.
+    tags=("similarity", "graph", "nsw", "build"),
+)
+def nsw_graph_build_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned NSW graph construction over the indexed slice — the
+    at-scale build path: each vector's top-{GRAPH_M} neighbors are found
+    among its 2 probed coarse cells only, never all pairs."""
+    return nsw_graph_edges_ivf(_index_units(spark, sf_dir))

@@ -397,3 +397,56 @@ def test_nsw_recall_evals_match_composed_oracles(spark, duck_oracle):
         duck_oracle,
         "nsw_incremental_insert_eval",
     )
+
+
+def test_nsw_ivf_build_recall_floors(spark):
+    """The IVF-pruned graph build (the at-scale construction path):
+    edge recall vs the exact all-pairs build holds a floor, degree
+    stays bounded at M, the node set is complete, and beam SEARCH over
+    the approx graph holds the tier's shared recall floors."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim.nsw import (
+        GRAPH_M,
+        _index_units,
+        _query_units,
+        _recall_frame,
+        nsw_graph_edges_df,
+        nsw_graph_edges_ivf,
+        nsw_search_df,
+    )
+    from tests.conftest import SF_ORACLE
+
+    units = _index_units(spark, SF_ORACLE).localCheckpoint(eager=True)
+    exact = nsw_graph_edges_df(units).localCheckpoint(eager=True)
+    approx = nsw_graph_edges_ivf(units).localCheckpoint(eager=True)
+
+    deg = approx.groupBy("src").agg(F.count("*").alias("d"))
+    assert deg.agg(F.max("d")).first()[0] <= GRAPH_M
+    n_nodes = units.count()
+    assert approx.select("src").distinct().count() == n_nodes
+
+    e_exact = {(r.src, r.dst) for r in exact.collect()}
+    e_approx = {(r.src, r.dst) for r in approx.collect()}
+    edge_recall = len(e_exact & e_approx) / len(e_exact)
+    assert edge_recall >= 0.5, edge_recall  # probe=2 of ~10 cells
+    # Every emitted edge scores with the exact rounded sim — the
+    # approximation only omits neighbors, never fabricates scores.
+    joined = approx.join(
+        exact.select(
+            F.col("src"), F.col("dst"),
+            F.col("cosine_sim").alias("es"),
+        ),
+        ["src", "dst"],
+    )
+    assert joined.filter(F.col("cosine_sim") != F.col("es")).count() == 0
+
+    queries = _query_units(spark, SF_ORACLE)
+    beam = nsw_search_df(units, approx, queries).filter(
+        F.col("rank") <= 5
+    )
+    rows = _recall_frame(units, beam, queries).collect()
+    assert len(rows) == 8
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.85, rows
+    assert all(r.recall_at_k >= 0.6 for r in rows), rows
