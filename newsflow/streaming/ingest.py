@@ -439,3 +439,30 @@ def ann_index_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_maintenance(
+    spark: SparkSession, graph_path: str, *, settled_before: int
+) -> dict[str, int]:
+    """Bound the applied-batch marker family `ann_index_apply_batch`
+    grows (one ``batch=<id>`` dir per micro-batch — the same
+    O(batches)-listings decay `takedown.takedown_maintenance` compacts
+    for the tombstone/drop logs). Markers exist only to short-circuit
+    same-id redelivery, and Structured Streaming can never redeliver a
+    batch below the checkpoint's committed offset — so every marker
+    with ``batch_id < settled_before`` (the caller's committed-offset
+    watermark) is dead and is deleted through the Hadoop FileSystem
+    API (file://, s3a:// and hdfs:// lakes alike)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(f"{graph_path}_applied")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"markers_deleted": 0}
+    deleted = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            if int(name.split("=", 1)[1]) < settled_before:
+                fs.delete(st.getPath(), True)
+                deleted += 1
+    return {"markers_deleted": deleted}

@@ -253,3 +253,61 @@ def test_stream_ingest_recall_floors_and_degree(spark, tmp_path):
         .count()
     )
     assert self_hits == 32
+
+
+def test_ann_index_maintenance_bounds_markers(spark, tmp_path):
+    """Marker compaction: markers below the committed-offset watermark
+    are deleted; at-or-above survive, and redelivery of a SETTLED batch
+    after its marker is gone still converges (the strip-then-reinsert
+    fallback) rather than corrupting state."""
+    from newsflow.streaming.ingest import (
+        ann_index_apply_batch,
+        ann_index_maintenance,
+    )
+
+    emb, books, perm, paths = _setup(spark, tmp_path)
+    _run(spark, paths, books, perm)
+    applied = paths["graph"] + "_applied"
+    assert sorted(os.listdir(applied)) == ["batch=0", "batch=1"]
+
+    res = ann_index_maintenance(
+        spark, paths["graph"], settled_before=1
+    )
+    assert res["markers_deleted"] == 1
+    assert sorted(os.listdir(applied)) == ["batch=1"]
+    # Nothing below the watermark remains; idempotent re-run is a no-op.
+    assert ann_index_maintenance(
+        spark, paths["graph"], settled_before=1
+    ) == {"markers_deleted": 0}
+
+    # A (hypothetical) redelivery of the compacted batch falls through
+    # to the convergent path and leaves a valid graph with every node.
+    wave1 = emb.filter(
+        (F.col("vec_id") >= ANN_WAVE1_LO) & (F.col("vec_id") < ANN_WAVE2_LO)
+    )
+    before_nodes = {
+        r.vec_id
+        for df in [spark.read.parquet(paths["graph"])]
+        for r in df.selectExpr("src AS vec_id").union(
+            df.selectExpr("dst AS vec_id")
+        ).distinct().collect()
+    }
+    ann_index_apply_batch(
+        spark,
+        wave1,
+        0,
+        vectors_path=paths["vectors"],
+        graph_path=paths["graph"],
+        codes_path=paths["codes"],
+        pq_codebooks=books,
+        pq_perm=perm,
+    )
+    g = spark.read.parquet(paths["graph"])
+    after_nodes = {
+        r.vec_id
+        for r in g.selectExpr("src AS vec_id").union(
+            g.selectExpr("dst AS vec_id")
+        ).distinct().collect()
+    }
+    assert after_nodes == before_nodes
+    assert sorted(os.listdir(applied)) == ["batch=0", "batch=1"]
