@@ -96,6 +96,7 @@ def nsw_search_df(
     ef: int = GRAPH_EF,
     hops: int = GRAPH_HOPS,
     n_entries: int = GRAPH_N_ENTRIES,
+    entry_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search: (query_id, node, sim, rank) — the final beam per
     query, rank 1 = best. ``queries`` is a (query_id, u) frame (small,
@@ -119,20 +120,32 @@ def nsw_search_df(
     is one |queries| x n_entries scoring pass (corpus-independent),
     since the top-ef cut immediately shrinks the beam back. The ntile
     window runs over the index's id column only; a stored deployment
-    pins the entry list at build time instead."""
+    pins the entry list at build time instead — pass ``entry_ids`` (a
+    one-column vec_id frame, e.g. the per-cell entries
+    `nsw_graph_edges_ivf` emits with ``with_entries=True``) and the
+    id-spread ntile seeding is skipped entirely. Per-cell entries
+    guarantee every coarse cell is reachable, which the measured
+    sizing rule shows id-spread entries of the same count do not
+    (BENCH_sf1.md round-10: 256 per-cell entries beat 256 id-spread
+    on the 200-component corpus)."""
     q = F.broadcast(
         queries.select(F.col("query_id"), F.col("u").alias("qu"))
     )
     nodes = units.select(F.col("vec_id").alias("node"), "u")
-    tiles = (
-        nodes.select(
-            "node",
-            F.ntile(n_entries).over(Window.orderBy("node")).alias("t"),
+    if entry_ids is not None:
+        tiles = entry_ids.select(
+            F.col(entry_ids.columns[0]).alias("node")
+        ).distinct()
+    else:
+        tiles = (
+            nodes.select(
+                "node",
+                F.ntile(n_entries).over(Window.orderBy("node")).alias("t"),
+            )
+            .groupBy("t")
+            .agg(F.min("node").alias("node"))
+            .drop("t")
         )
-        .groupBy("t")
-        .agg(F.min("node").alias("node"))
-        .drop("t")
-    )
     entry_nodes = F.broadcast(nodes.join(tiles, "node", "left_semi"))
     state = (
         q.crossJoin(entry_nodes)
@@ -1025,7 +1038,8 @@ def nsw_graph_edges_ivf(
     n_cells: int | None = None,
     n_probe: int = 2,
     seed: int = 7,
-) -> DataFrame:
+    with_entries: bool = False,
+):
     """The 100 TB construction path for the NSW graph — the module
     docstring's "batched per shard and candidate-pruned through the IVF
     tier" made a real operator: coarse-quantize the vectors into
@@ -1047,7 +1061,14 @@ def nsw_graph_edges_ivf(
     oracle-discipline split as the MLlib LSH tier. Nodes whose probed
     cells hold fewer than ``m`` other members simply carry lower
     degree — the beam search tolerates under-degree rims (the takedown
-    bridge repair relies on the same property)."""
+    bridge repair relies on the same property).
+
+    ``with_entries=True`` additionally returns the PINNED entry list
+    (per-cell min vec_id — one guaranteed-reachable entry per coarse
+    cell) as a second frame: the stored-deployment seeding
+    `nsw_search_df(entry_ids=...)` consumes, which coverage-dominates
+    id-spread entries of the same count (measured, BENCH_sf1.md
+    round-10)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -1108,12 +1129,18 @@ def nsw_graph_edges_ivf(
     w = Window.partitionBy("src").orderBy(
         F.col("cosine_sim").desc(), F.col("dst")
     )
-    return (
+    edges_out = (
         sims.dropDuplicates(["src", "dst"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= m)
         .drop("rn")
     )
+    if not with_entries:
+        return edges_out
+    entries = assigned.groupBy("cell").agg(
+        F.min("vec_id").alias("vec_id")
+    ).select("vec_id")
+    return edges_out, entries
 
 
 @register(

@@ -450,3 +450,42 @@ def test_nsw_ivf_build_recall_floors(spark):
     mean = sum(r.recall_at_k for r in rows) / len(rows)
     assert mean >= 0.85, rows
     assert all(r.recall_at_k >= 0.6 for r in rows), rows
+
+
+def test_nsw_pinned_entries_from_ivf_build(spark):
+    """with_entries=True returns one guaranteed-reachable entry per
+    coarse cell (the stored-deployment seeding); searching via
+    entry_ids holds the tier's floors at check SF, and the entry list
+    is exactly the per-cell min ids."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sim.nsw import (
+        _index_units,
+        _query_units,
+        _recall_frame,
+        nsw_graph_edges_ivf,
+        nsw_search_df,
+    )
+    from tests.conftest import SF_ORACLE
+
+    units = _index_units(spark, SF_ORACLE).localCheckpoint(eager=True)
+    edges, entries = nsw_graph_edges_ivf(units, with_entries=True)
+    edges = edges.localCheckpoint(eager=True)
+    entries = entries.localCheckpoint(eager=True)
+    n_entries = entries.count()
+    assert 4 <= n_entries <= 20  # one per cell (sqrt(400)/2 = 10 cells)
+    assert (
+        entries.join(
+            units.select("vec_id"), "vec_id", "left_anti"
+        ).count()
+        == 0
+    )
+    queries = _query_units(spark, SF_ORACLE)
+    beam = nsw_search_df(units, edges, queries, entry_ids=entries).filter(
+        F.col("rank") <= 5
+    )
+    rows = _recall_frame(units, beam, queries).collect()
+    assert len(rows) == 8
+    mean = sum(r.recall_at_k for r in rows) / len(rows)
+    assert mean >= 0.85, rows
+    assert all(r.recall_at_k >= 0.6 for r in rows), rows
