@@ -580,10 +580,15 @@ def _require_driver_heap_for_mllib_twin(
     actionable error up front when the corpus is past check-SF scale
     and the shared local JVM heap is small. Thresholds are deliberately
     coarse: the sf0.1 corpus (~5k docs) runs fine under 1 GB; the
-    measured deaths are at ~50k docs."""
-    n = docs.count()
+    measured deaths are at ~50k docs. The heap bound is read FIRST —
+    it's a free JVM getter — so well-sized drivers (the common case)
+    never pay the docs.count() corpus scan this guard would otherwise
+    add to every invocation (ADVICE r10)."""
     heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
-    if n > max_docs and heap < min_heap:
+    if heap >= min_heap:
+        return
+    n = docs.count()
+    if n > max_docs:
         raise RuntimeError(
             f"{query}: {n} docs with a {heap / 1024**3:.1f} GB JVM heap — "
             "this query needs a sized driver at this scale (session.py "

@@ -1,0 +1,66 @@
+"""Filesystem helpers that work on every Hadoop-supported store.
+
+Python's ``os.path`` only sees the local filesystem: ``os.path.exists``
+returns ``False`` for any ``s3a://`` / ``hdfs://`` URI, so a guard like
+``if not os.path.exists(path): return`` silently turns a takedown into
+a no-op the moment the lake moves off local disk — the exact
+compliance hazard ADVICE r9/r10 flagged (a deletion that reports
+``{"deleted": 0}`` instead of deleting). Every persisted-lake existence
+check in the engine goes through `fs_exists` instead, which resolves
+the path's own Hadoop ``FileSystem`` (file://, s3a://, hdfs://, abfs://
+alike) from the live Spark Hadoop configuration — the same API the
+partition-compaction and marker-maintenance paths already use.
+
+These wrap the JVM handles py4j exposes; each call is one JVM
+round-trip, used only on control-flow guards (never per row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) JVM handles for ``path``, resolved against the
+    session's Hadoop configuration (so s3a credentials/endpoints set on
+    the session apply)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on ITS OWN filesystem — the lake-safe
+    replacement for ``os.path.exists`` on persisted-table paths."""
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete ``path`` (recursively by default); False if it was absent."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> bool:
+    """Create ``path`` (and parents) on its own filesystem — used for
+    layout/marker directories next to persisted tables."""
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.mkdirs(jpath))
+
+
+def fs_list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
+    """Names of the immediate child DIRECTORIES of ``path`` starting
+    with ``prefix`` (e.g. hive partition dirs ``batch=``/``bucket=``);
+    empty list when ``path`` is absent."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(name)
+    return out

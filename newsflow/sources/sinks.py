@@ -120,10 +120,20 @@ def write_single_parquet_file(
     the streaming file source's oldest-first ordering is deterministic.
 
     Replay/synthesis tooling only: a production write is `write_parquet`
-    (distributed, many files)."""
+    (distributed, many files). LOCAL FILESYSTEM ONLY by contract — the
+    stage/move/utime steps are os-level; a lake URI fails loudly here
+    instead of silently half-working through os.path guards."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
+
+    scheme = dest.split("://", 1)[0] if "://" in dest else "file"
+    if scheme != "file":
+        raise ValueError(
+            "write_single_parquet_file is a local-FS replay/synthesis "
+            f"helper; got a {scheme}:// URI — use write_parquet for lake "
+            "writes"
+        )
 
     # Underscore-prefixed stage dir: Spark's file listings (including a
     # FileStreamSource actively watching dest's directory) skip _-prefixed

@@ -51,6 +51,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.curation import pack_shard_expr, sql_pack_shard
+from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
 from newsflow.functions.text import sql_shingles_rel, sql_tokens
 from newsflow.registry import register
 from newsflow.tables import load_table
@@ -81,7 +82,7 @@ def takedown_partitioned(
 
     Returns {"deleted": n, "partitions": n_dirty}.
     """
-    if not os.path.exists(path):
+    if not fs_exists(spark, path):
         return {"deleted": 0, "partitions": 0}
     dels = F.broadcast(_key_frame(delete_ids, key))
     target = spark.read.parquet(path)
@@ -152,7 +153,7 @@ def takedown_repack(
     from newsflow.curation import SEQ_LEN, pack_shard_expr
     from pyspark.sql import Window
 
-    if not os.path.exists(packs_path):
+    if not fs_exists(spark, packs_path):
         return {"deleted": 0, "added": 0, "partitions": 0}
     dels = F.broadcast(_key_frame(delete_ids, "doc_id"))
     packs = spark.read.parquet(packs_path)
@@ -266,7 +267,7 @@ def takedown_repack_ffd(
     from newsflow.curation import pack_shard_expr
     from newsflow.packing import _ffd_assigns
 
-    if not os.path.exists(ffd_path):
+    if not fs_exists(spark, ffd_path):
         return {"deleted": 0, "added": 0, "partitions": 0}
     dels = F.broadcast(_key_frame(delete_ids, "doc_id"))
     packs = spark.read.parquet(ffd_path)
@@ -371,26 +372,21 @@ def _compact_batch_partitions(
     through the Hadoop FileSystem API so the same code maintains
     file://, s3a:// or hdfs:// lakes.
     """
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
-    # Existence check via the same FileSystem handle as the deletes —
-    # os.path.exists silently no-ops on s3a:// / hdfs:// URIs, which
-    # would disable compaction entirely on object-store lakes.
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+    # Existence check + partition listing via the path's own Hadoop
+    # FileSystem (newsflow.fs) — os.path.exists silently no-ops on
+    # s3a:// / hdfs:// URIs, which would disable compaction entirely
+    # on object-store lakes.
+    if not fs_exists(spark, path):
         return {"merged_partitions": 0, "rows": 0}
     # Enumerate partitions from the FILESYSTEM, not from row values: a
     # partition the PII purge emptied (explicit empty-parquet tombstone
     # dir) has no rows to list a batch id from, yet is exactly the
     # listing debris this maintenance exists to clear.
     batches = []
-    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("batch="):
-            b = int(name.split("=", 1)[1])
-            if b < settled_before:
-                batches.append(b)
+    for name in fs_list_subdirs(spark, path, "batch="):
+        b = int(name.split("=", 1)[1])
+        if b < settled_before:
+            batches.append(b)
     if len(batches) < min_partitions:
         return {"merged_partitions": 0, "rows": 0}
     df = spark.read.parquet(path)
@@ -405,9 +401,7 @@ def _compact_batch_partitions(
     )
     for b in batches:
         if b != COMPACTED_BATCH:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{path}/batch={b}"), True
-            )
+            fs_delete(spark, f"{path}/batch={b}")
     spark.catalog.refreshByPath(path)
     return {
         "merged_partitions": len(batches),
@@ -564,9 +558,10 @@ def corpus_takedown(
        `takedown_repack_ffd` — deterministic per-shard re-pack over
        survivors ∪ re-elected;
     6. update the persisted NSW ANN graph (``graph_edges_path``):
-       zero-trace edge delete + deleted-hub bridge repair, then
-       `nsw_insert_batch` of re-elected vectors — the graph twin of
-       the codes step (see `sim.nsw.nsw_takedown_update`).
+       zero-trace edge delete + deleted-hub bridge repair, then the
+       no-rebuild insert of re-elected vectors — the graph twin of
+       the codes step; on the bucketed-by-src layout only the touched
+       bucket partitions rewrite (see `sim.nsw.nsw_takedown_update`).
 
     ``takedown_id`` must be unique per logical takedown (it namespaces
     the re-election output partition) but a crashed run may be REPLAYED
@@ -613,7 +608,7 @@ def corpus_takedown(
     # Re-election needs an existing survivor corpus: with no out_dir
     # there is nothing to have lost to — takedown on an empty corpus is
     # just the tombstone write above.
-    if raw_docs is not None and os.path.exists(out_dir):
+    if raw_docs is not None and fs_exists(spark, out_dir):
         survivors_now = (
             spark.read.parquet(out_dir)
             .filter(F.col("batch") != F.lit(takedown_id))
@@ -624,7 +619,7 @@ def corpus_takedown(
         )
         base = raw_docs
         drops_dir = os.path.join(index_dir, "drops")
-        if os.path.exists(drops_dir):
+        if fs_exists(spark, drops_dir):
             # DROP-LOG fast path: only docs that were dropped FOR a
             # now-deleted partner can possibly be re-elected (a doc
             # with any surviving recorded match re-fails the index
@@ -680,7 +675,7 @@ def corpus_takedown(
             rows_per_band=rows_per_band,
         )
         reelect_path = os.path.join(out_dir, f"batch={takedown_id}")
-        if os.path.exists(reelect_path):
+        if fs_exists(spark, reelect_path):
             reelected_docs = (
                 spark.read.parquet(reelect_path)
                 .select(
@@ -702,7 +697,7 @@ def corpus_takedown(
     # blockers freshly logged under batch=takedown_id, so the purged
     # rows carry no information a later takedown still needs.
     drops_dir = os.path.join(index_dir, "drops")
-    if os.path.exists(drops_dir):
+    if fs_exists(spark, drops_dir):
         audit["drop_log_purged"] = _purge_drop_log(spark, drops_dir, dels)
 
     if codes_path is not None:
