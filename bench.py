@@ -102,6 +102,9 @@ HEADLINE = [
     "ngram_jaccard_pairs_sampled",  # sampled-audit exact Jaccard (the
                                     # 100 TB form of the quadratic twin)
     "streaming_ann_index_ingest",  # stream-executed graph+OPQ append
+    # Round-11 additions:
+    "knn_cosine_pq_sq8_refine",  # hybrid refine ladder (PQ→SQ8→exact),
+                                 # newly oracled this round
 ]
 
 

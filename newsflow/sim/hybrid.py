@@ -26,12 +26,9 @@ reconstructed-list cosine rounded at 6; exact rounded-cosine final
 rank; every window tie-breaks on neighbor_id), so the whole
 composition replays exactly in DuckDB — `pq_sq8_refine_oracle_sql`
 composes the two tiers' CTE chains. The oracle is exact-tested in
-tests/test_sim.py (Spark vs DuckDB at sf0.01); registry-side the
-query ships rows-only THIS round only because the driver's 50-slot
-window budget is fully committed to draining the r6 cohort
-(tests/test_registry_schedule.py::
-test_round10_window_clears_entire_stale_cohort) — the oracle string
-below is the one to register next round.
+tests/test_sim.py (Spark vs DuckDB at sf0.01) AND registered with the
+query since round 11 (it shipped rows-only for exactly one round while
+the driver's 50-slot window drained the r6 cohort).
 
 Reference parity: no counterpart (the reference has no vector search);
 scale-mandated extension, same mandate as the other eight families.
@@ -183,9 +180,9 @@ def pq_sq8_refine_oracle_sql(
 ) -> str:
     """Exact DuckDB twin of the full refine ladder — the PQ build/ADC
     chain (`pq_ctes_sql`) for stage 1, the SQ8 quantize→reconstruct
-    relations for stage 2, raw-vector rounded cosine for stage 3. Kept
-    OUT of the registry this round (window budget, see module
-    docstring); exact-tested in tests/test_sim.py."""
+    relations for stage 2, raw-vector rounded cosine for stage 3.
+    Registered with the query since round 11; also exact-tested in
+    tests/test_sim.py."""
     from newsflow.sim.health import _SQL_EXPLODED, _SQL_Q
 
     recon_cos = (
@@ -269,12 +266,10 @@ def pq_sq8_refine_oracle_sql(
 
 @register(
     "knn_cosine_pq_sq8_refine",
-    # No oracle REGISTERED this round only: the driver's 50-slot window
-    # is fully committed to draining the r6-stale cohort (the registry
-    # pin test enforces the <=5 new-oracle budget). The exact DuckDB
-    # twin exists (`pq_sq8_refine_oracle_sql`) and Spark-vs-DuckDB
-    # equality is asserted in tests/test_sim.py at sf0.01 — promote it
-    # to the registry next round.
+    # Registered round 11 (deferred one round for the r10 window
+    # budget): the exact DuckDB twin of the full refine ladder, also
+    # asserted locally in tests/test_sim.py at sf0.01.
+    oracle=pq_sq8_refine_oracle_sql(),
     tags=("similarity", "pq", "sq8", "hybrid"),
 )
 def knn_cosine_pq_sq8_refine(spark: SparkSession, sf_dir: str) -> DataFrame:

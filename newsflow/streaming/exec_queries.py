@@ -644,9 +644,13 @@ def streaming_takedown_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Streaming ANN-index append (NSW graph + OPQ codes) -------------------
 
-ANN_WAVE1_LO = 408  # = sim.nsw.NSW_INSERT_LO; two 16-vector waves
-ANN_WAVE2_LO = 424
-ANN_WAVE2_HI = 440
+# Two 16-vector waves, derived from the batch insert-eval range so the
+# streamed-wave ids can never silently diverge from the range the docs
+# claim they mirror (ADVICE r10).
+from newsflow.sim.nsw import NSW_INSERT_LO as ANN_WAVE1_LO  # noqa: E402
+
+ANN_WAVE2_LO = ANN_WAVE1_LO + 16
+ANN_WAVE2_HI = ANN_WAVE1_LO + 32
 
 
 def _ann_ingest_oracle() -> str:
@@ -780,10 +784,15 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             pq_perm=perm,
         )
         q.awaitTermination()
-        rows = spark.read.parquet(graph_path).collect()
+        # Detach the result from the tmp dir WITHOUT a driver collect
+        # (VERDICT r10 #4): localCheckpoint materializes the partitions
+        # on the executors, so driver memory stays O(1) while the
+        # frame survives the cleanup below.
+        from newsflow.sim.nsw import read_graph_edges
+
+        out = read_graph_edges(spark, graph_path).localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        [(r.src, r.dst, r.cosine_sim) for r in rows],
-        "src long, dst long, cosine_sim double",
-    )
+    return out

@@ -9,11 +9,11 @@ Two numbers per scale, separated deliberately:
   repair) materialized WITHOUT persisting — candidate volume is
   |deletes|·M² by construction, so this must stay ~flat at 10×;
 - **update wall**: the full path-based `nsw_takedown_update` including
-  the whole-table rewrite + a 5-vector re-elected insert — the rewrite
-  is table-proportional at the check-scale layout (single parquet dir;
-  the module docstring's stated caveat: a bucketed-by-src layout
-  rewrites affected buckets only), so this grows with the graph and
-  the delta between the two walls IS the measured rewrite share.
+  the persisted rewrite + a 5-vector re-elected insert. Since round 11
+  the stored graph is bucketed by src and only touched buckets
+  rewrite, so the update wall should stay ~flat at 10× too — the
+  round-10 run of this script measured the whole-table rewrite share
+  at +1.2 s (BENCH_sf1.md), the number that motivated the layout.
 
 Graphs are built with the at-scale builder (`nsw_graph_edges_ivf`)
 over deterministic clustered synthetic vectors (the sf1 replica's
@@ -41,6 +41,7 @@ from newsflow.sim.nsw import (  # noqa: E402
     nsw_graph_edges_ivf,
     nsw_takedown_edges,
     nsw_takedown_update,
+    write_graph_bucketed,
 )
 from newsflow.sim.pq import _unit  # noqa: E402
 
@@ -91,7 +92,7 @@ def main() -> None:
         # Full persisted update incl. rewrite + re-elected insert.
         root = tempfile.mkdtemp(prefix=f"nf_graph_td_{scale}x_")
         gpath = os.path.join(root, "graph")
-        edges.write.parquet(gpath)
+        write_graph_bucketed(spark, gpath, edges)
         reelect = spark.createDataFrame(
             [(n + i,) for i in range(N_REELECT)], "vec_id long"
         )
