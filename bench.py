@@ -105,6 +105,8 @@ HEADLINE = [
     # Round-11 additions:
     "knn_cosine_pq_sq8_refine",  # hybrid refine ladder (PQ→SQ8→exact),
                                  # newly oracled this round
+    "rag_rerank_maxsim",         # retrieve-then-re-rank funnel (hybrid
+                                 # pool → MaxSim late interaction)
 ]
 
 

@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "newsflow.sim.mmr",
     "newsflow.sim.nsw",
     "newsflow.sim.hybrid",
+    "newsflow.sim.rerank",
     "newsflow.analytics",
 )
 

@@ -172,17 +172,19 @@ def pq_sq8_refine_topk(
     )
 
 
-def pq_sq8_refine_oracle_sql(
+def pq_sq8_refine_ctes(
     k: int = 5,
     coarse: int = HYBRID_COARSE,
     fine: int = HYBRID_FINE,
     max_query_id: int = 8,
-) -> str:
-    """Exact DuckDB twin of the full refine ladder — the PQ build/ADC
-    chain (`pq_ctes_sql`) for stage 1, the SQ8 quantize→reconstruct
-    relations for stage 2, raw-vector rounded cosine for stage 3.
-    Registered with the query since round 11; also exact-tested in
-    tests/test_sim.py."""
+) -> tuple[str, str]:
+    """Composable DuckDB twin of the full refine ladder — the PQ
+    build/ADC chain (`pq_ctes_sql`) for stage 1, the SQ8
+    quantize→reconstruct relations for stage 2, raw-vector rounded
+    cosine for stage 3. Returns (cte_text, final_topk_relation) so
+    downstream consumers (the MaxSim re-ranker, sim/rerank.py) can
+    compose the ladder as their candidate-pool source — the same
+    chain-builder discipline as `beam_cte_chain`/`insert_wave_ctes`."""
     from newsflow.sim.health import _SQL_EXPLODED, _SQL_Q
 
     recon_cos = (
@@ -195,8 +197,7 @@ def pq_sq8_refine_oracle_sql(
         "(sqrt(list_dot_product(q.e, q.e)) * "
         "sqrt(list_dot_product(e.e, e.e)))"
     )
-    return f"""
-    WITH {pq_ctes_sql()},
+    text = f"""{pq_ctes_sql()},
     qparts AS (
       SELECT qu.vec_id AS query_id, cv.sub, cv.cluster,
              round(list_dot_product(
@@ -252,15 +253,35 @@ def pq_sq8_refine_oracle_sql(
       FROM fine_pool c
       JOIN pv q ON q.vec_id = c.query_id
       JOIN pv e ON e.vec_id = c.neighbor_id
+    ),
+    hybrid_topk AS (
+      SELECT query_id, neighbor_id,
+             (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY (round(sim + 1e-9, 6) + 0.0) DESC, neighbor_id
+        ) AS rn FROM hsims
+      ) WHERE rn <= {k}
+    )"""
+    return text, "hybrid_topk"
+
+
+def pq_sq8_refine_oracle_sql(
+    k: int = 5,
+    coarse: int = HYBRID_COARSE,
+    fine: int = HYBRID_FINE,
+    max_query_id: int = 8,
+) -> str:
+    """Exact DuckDB twin of the registered hybrid query — the composed
+    `pq_sq8_refine_ctes` chain with its top-k projected out. Registered
+    with the query since round 11; also exact-tested in tests/test_sim.py."""
+    ctes, rel = pq_sq8_refine_ctes(
+        k=k, coarse=coarse, fine=fine, max_query_id=max_query_id
     )
-    SELECT query_id, neighbor_id,
-           (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id
-        ORDER BY (round(sim + 1e-9, 6) + 0.0) DESC, neighbor_id
-      ) AS rn FROM hsims
-    ) WHERE rn <= {k}
+    return f"""
+    WITH {ctes}
+    SELECT query_id, neighbor_id, cosine_sim FROM {rel}
     """
 
 

@@ -57,7 +57,8 @@ DRIVER_COMPOSED = (
      ITERATIVE_NOTE),
     (re.compile(r"^(knn_cosine_pq$|knn_pq_recall_eval$|"
                 r"knn_cosine_ivfpq$|knn_ivfpq_recall_eval$|"
-                r"pq_encode_new_vectors$|knn_cosine_pq_sq8_refine$)"),
+                r"pq_encode_new_vectors$|knn_cosine_pq_sq8_refine$|"
+                r"rag_rerank_maxsim$)"),
      "iterative fit: PQ/IVF codebook k-means jobs not shown"),
     (re.compile(r"(^streaming_|_stream)"), STREAM_NOTE),
 )
