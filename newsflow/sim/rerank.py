@@ -142,9 +142,12 @@ def maxsim_rerank(
         / (norm_expr(F.col("qv")) * norm_expr(F.col("dv"))),
         6,
     )
+    # Both token frames are pool-bounded after the semi joins
+    # (|pool queries|·qtok_cap and |pool candidates|·dtok_cap rows) —
+    # broadcast them so the cross scoring never shuffles the pool.
     per_qtok = (
-        pool.join(qtoks, "query_id")
-        .join(dtoks, "neighbor_id")
+        pool.join(F.broadcast(qtoks), "query_id")
+        .join(F.broadcast(dtoks), "neighbor_id")
         .select("query_id", "neighbor_id", "qtok", sim.alias("sim"))
         .groupBy("query_id", "neighbor_id", "qtok")
         .agg(F.max("sim").alias("mx"))

@@ -399,13 +399,17 @@ def ann_index_apply_batch(
         ).join(
             new_ids.select(F.col("vec_id").alias("dst")), "dst", "left_anti"
         )
-        members = (
-            base.select(F.col("src").alias("vec_id"))
-            .unionByName(base.select(F.col("dst").alias("vec_id")))
-            .distinct()
-        )
+        # Member set = the vector store minus this batch's ids: every
+        # stored vector was inserted into the graph by construction
+        # (init seeds batch=-1, each apply inserts its batch), so the
+        # store IS the node set — reading it avoids two full edge-table
+        # scans (src∪dst distinct) per micro-batch, and matches the
+        # oracle's member relations (u_m0/u_m1 in insert_wave_ctes)
+        # exactly.
         member_units = _unit(
-            spark.read.parquet(vectors_path).join(members, "vec_id", "left_semi"),
+            spark.read.parquet(vectors_path)
+            .select("vec_id", "embedding")
+            .join(new_ids, "vec_id", "left_anti"),
             "vec_id",
         )
         # Change set: beam-searched forward/intra/reverse candidate edges +

@@ -350,3 +350,15 @@ def test_ivfpq_probe_join_is_cell_keyed(spark):
     assert "Cartesian" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_rag_rerank_pool_scoring_broadcasts_token_frames(spark):
+    """MaxSim re-rank: the pool-bounded token frames broadcast onto the
+    candidate pool (the cross scoring never shuffles), no cartesian
+    product, and the whole funnel — retrieval ladder included — stays
+    JVM-side."""
+    plan = plan_of(spark, "rag_rerank_maxsim")
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan
