@@ -71,6 +71,7 @@ _QUERY_MODULES = (
     "newsflow.sim.hybrid",
     "newsflow.sim.rerank",
     "newsflow.analytics",
+    "newsflow.sketch",
 )
 
 

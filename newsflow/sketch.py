@@ -1,0 +1,283 @@
+"""Count-Min sketch: mergeable frequency estimation + heavy hitters.
+
+The classic at-scale frequency estimator (Cormode & Muthukrishnan 2005):
+D hash rows x W buckets of additive counters. Point estimate = min over
+rows of the hashed-to cell; never underestimates; per-row overcount is
+bounded by e/W x N with probability 1 - 1/e (Markov on the colliding
+mass), so the min over D independent rows fails the bound with
+probability ~e^-D. The sketch is a sum — cells add — which is what makes
+it the 100 TB shape: map-side partial sketches merge associatively, a
+micro-batch's sketch ADDS onto the stored one (no rebuild, no read of
+history), and two corpora's sketches union by elementwise +.
+
+Engine-shared hashing (the ``dedup/simhash_md5.py`` discipline): row i's
+bucket is the first three hex nibbles of md5('cms{i}:' || key) — an
+integer in [0, 4096) that BOTH Spark and DuckDB compute exactly, so the
+whole sketch, every estimate, and the heavy-hitter report are
+hash-exact under the oracle (not just bound booleans: the DuckDB twin
+rebuilds the same sketch and gets the same numbers).
+
+Scale shape: one full-corpus pass keyed by the sketch key with map-side
+combine (the same shuffle ``bigram_topk`` already pays), then a
+V-distinct-key frame hashed row-locally into D*V rows and summed into
+the D*W-cell sketch (W=4096, D=4 -> 16,384 rows; broadcast-sized by
+construction). Estimation joins candidates against the BROADCAST
+sketch — no shuffle of the corpus. The exact counts ride along here
+only because this is the AUDIT form (the ``orders_approx_bounds``
+pattern): production queries the sketch alone and re-certifies bounds
+on a sampled slice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from newsflow.registry import register
+from newsflow.tables import load_table
+
+# D=4 rows: bound-failure probability e^-4 ~ 1.8% per estimate.
+CMS_SALTS = ("cms0:", "cms1:", "cms2:", "cms3:")
+# W=4096 = 16^3: the bucket is EXACTLY the first three md5 nibbles — no
+# modulo, so no bias and no 64-bit sign games in either engine.
+CMS_WIDTH = 4096
+# Integer-friendly overcount bound: (est - exact) * W <= k * N in exact
+# int64 arithmetic both engines agree on bit-for-bit. Markov per row:
+# P[row overcount > k*N/W] <= 1/k, rows independent, so the min-of-D
+# estimate violates the bound with probability <= k^-D = 8^-4 ~ 2.4e-4.
+# Measured max normalized overcount across sf0.001/0.01/0.1: 4.33 — a
+# ~2x margin under k=8.
+CMS_BOUND_NUM = 8
+# Heavy-hitter threshold phi = 1.5/1000 of total key mass, kept as a
+# ratio test (est * 1000 >= 15 * N) for the same exact-integer reason.
+CMS_PHI_NUM = 15
+CMS_PHI_DEN = 10_000
+
+_HEX = "0123456789abcdef"
+
+
+def cms_bucket_sql(salt: str, key: str = "g") -> str:
+    """Engine-shared SQL text: row ``salt``'s bucket for column ``key``.
+
+    Three md5 hex nibbles -> integer in [0, 4096). ``instr``/``substr``/
+    ``md5``/``concat`` behave identically in Spark and DuckDB (proven by
+    the simhash_md5 oracle family)."""
+    h = f"md5(concat('{salt}', {key}))"
+    nib = lambda p: f"(instr('{_HEX}', substr({h}, {p}, 1)) - 1)"  # noqa: E731
+    return f"({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+
+
+def _hashed(counts: DataFrame, key: str, weight: str) -> DataFrame:
+    """counts x D rows with the row's bucket attached (row-local)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("salt"),
+                    F.expr(cms_bucket_sql(s, key)).cast("long").alias("bucket"),
+                )
+                for s in CMS_SALTS
+            ]
+        )
+    ).alias("r")
+    return counts.select(key, weight, rows).select(
+        key, weight, F.col("r.salt").alias("salt"), F.col("r.bucket").alias("bucket")
+    )
+
+
+def cms_sketch(counts: DataFrame, key: str = "g", weight: str = "c") -> DataFrame:
+    """(salt, bucket, cell) sketch of a pre-aggregated (key, weight)
+    frame. Cells are sums, so sketches MERGE: elementwise + across
+    partitions, micro-batches, or corpora (asserted in
+    tests/test_sketch.py)."""
+    return (
+        _hashed(counts, key, weight)
+        .groupBy("salt", "bucket")
+        .agg(F.sum(weight).cast("long").alias("cell"))
+    )
+
+
+def cms_estimate(
+    counts: DataFrame, sketch: DataFrame, key: str = "g", weight: str = "c"
+) -> DataFrame:
+    """Point estimates for every key in ``counts``: min over rows of the
+    hashed-to cell. The sketch side is broadcast (D*W rows by
+    construction); the exact ``weight`` column rides along for the
+    audit form."""
+    return (
+        _hashed(counts, key, weight)
+        .join(F.broadcast(sketch), ["salt", "bucket"])
+        .groupBy(key, weight)
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+
+
+def _bigram_counts(docs: DataFrame) -> DataFrame:
+    """Exact (bigram, count) over the documents' text — the same
+    adjacent-token semantics as ``bigram_topk`` (ml/queries.py)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))"
+    )
+    return (
+        docs.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+_SQL_BIGRAM_COUNTS = """
+    toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT t[i] || ' ' || t[i + 1] AS g
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+      )
+      GROUP BY g
+    )
+"""
+
+
+def _cms_oracle() -> str:
+    nib = lambda p: (  # noqa: E731
+        f"(instr('{_HEX}', substr(md5(concat(salt, g)), {p}, 1)) - 1)"
+    )
+    bucket = f"({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+    salts = ", ".join(f"('{s}')" for s in CMS_SALTS)
+    return f"""
+    WITH {_SQL_BIGRAM_COUNTS},
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+    hashed AS (
+      SELECT g, c, salt, {bucket} AS bucket
+      FROM counts CROSS JOIN (VALUES {salts}) s(salt)
+    ),
+    sketch AS (
+      SELECT salt, bucket, CAST(sum(c) AS BIGINT) AS cell
+      FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT h.g, h.c, CAST(min(s.cell) AS BIGINT) AS est_cnt
+      FROM hashed h
+      JOIN sketch s ON h.salt = s.salt AND h.bucket = s.bucket
+      GROUP BY 1, 2
+    )
+    SELECT g AS bigram, c AS exact_cnt, est_cnt,
+           (est_cnt - c) * {CMS_WIDTH} <= {CMS_BOUND_NUM} * total.n
+             AS within_bound
+    FROM est, total
+    WHERE est_cnt * {CMS_PHI_DEN} >= {CMS_PHI_NUM} * total.n
+    ORDER BY est_cnt DESC, bigram
+    """
+
+
+@register(
+    "bigram_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("sketch", "approx", "agg", "text"),
+)
+def bigram_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters over document bigrams, EXACTLY oracled:
+    the DuckDB twin rebuilds the identical md5-hashed sketch, so
+    estimates (not just bound booleans) hash-match. Reports every
+    bigram whose ESTIMATE clears phi = 0.15% of total bigram mass —
+    estimate-thresholded, as a sketch-only production query would be,
+    so threshold-straddling false positives from collision overcount
+    appear honestly — with the exact count and the CMS overcount
+    certificate (est - exact <= 8N/W; per-estimate failure probability
+    8^-4, see CMS_BOUND_NUM; est >= exact is structural and asserted in
+    tests/test_sketch.py). The synthetic corpus's bigram distribution
+    is near-uniform (31-token base vocab), so the report is the
+    threshold tail rather than a Zipf head — the math is identical.
+
+    Scale: the exact-count pass is the audit anchor (the
+    ``orders_approx_bounds`` pattern) — production keeps only the
+    16,384-cell sketch, which merges across partitions/batches by
+    elementwise sum (see ``cms_incremental_update``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint barrier: three consumers (total mass, sketch
+    # build, estimate probe) re-derive `counts` otherwise — three full
+    # corpus passes for a V-row product (the pipeline.py discipline:
+    # checkpoint only small products, and this is vocab-sized).
+    counts = _bigram_counts(docs).localCheckpoint(eager=True)
+    total = counts.agg(F.sum("c").cast("long").alias("n"))
+    sketch = cms_sketch(counts)
+    est = cms_estimate(counts, sketch)
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_cnt") * CMS_PHI_DEN >= CMS_PHI_NUM * F.col("n"))
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("c").alias("exact_cnt"),
+            "est_cnt",
+            (
+                (F.col("est_cnt") - F.col("c")) * CMS_WIDTH
+                <= CMS_BOUND_NUM * F.col("n")
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("est_cnt"), "bigram")
+    )
+
+
+@register(
+    "cms_incremental_update",
+    # The mergeability contract AS a query: sketch(old docs) + sketch(new
+    # docs), merged by elementwise cell sum, must equal the
+    # sketch-of-everything the oracle builds from scratch. This is the
+    # property that makes the sketch the 100 TB / streaming shape — the
+    # update never reads history, only adds onto it.
+    oracle=f"""
+    WITH {_SQL_BIGRAM_COUNTS},
+    hashed AS (
+      SELECT g, c, salt,
+             ((instr('{_HEX}', substr(md5(concat(salt, g)), 1, 1)) - 1) * 256
+            + (instr('{_HEX}', substr(md5(concat(salt, g)), 2, 1)) - 1) * 16
+            + (instr('{_HEX}', substr(md5(concat(salt, g)), 3, 1)) - 1))
+               AS bucket
+      FROM counts CROSS JOIN (VALUES ('cms0:'), ('cms1:'), ('cms2:'),
+                                     ('cms3:')) s(salt)
+    )
+    SELECT salt, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS cell
+    FROM hashed GROUP BY 1, 2
+    ORDER BY salt, bucket
+    """,
+    tags=("sketch", "approx", "incremental", "streaming"),
+)
+def cms_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance: the corpus is split into a base
+    half and an arriving half (doc_id parity — deterministic), each
+    sketched INDEPENDENTLY, and the stored sketch updated by the merge
+    ``cell = base + delta`` (full outer on (salt, bucket), nulls as 0).
+    The oracle rebuilds the whole-corpus sketch from scratch; equality
+    proves the merge IS the rebuild — the additive property that lets a
+    micro-batch update a 100 TB corpus's sketch without touching
+    history."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = cms_sketch(_bigram_counts(docs.filter(F.col("doc_id") % 2 == 0)))
+    delta = cms_sketch(_bigram_counts(docs.filter(F.col("doc_id") % 2 == 1)))
+    merged = (
+        base.withColumnRenamed("cell", "b")
+        .join(
+            delta.withColumnRenamed("cell", "d"),
+            ["salt", "bucket"],
+            "full_outer",
+        )
+        .select(
+            "salt",
+            "bucket",
+            (F.coalesce("b", F.lit(0)) + F.coalesce("d", F.lit(0)))
+            .cast("long")
+            .alias("cell"),
+        )
+    )
+    return merged.orderBy("salt", "bucket")

@@ -1,0 +1,98 @@
+"""Count-Min sketch: structural properties, mergeability, oracle parity,
+and plan shape (newsflow/sketch.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from newsflow import sketch as sk
+from newsflow.tables import load_table
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import assert_parity
+
+
+def _counts(spark):
+    return sk._bigram_counts(load_table(spark, SF_SMOKE, "documents"))
+
+
+def test_estimate_never_underestimates(spark):
+    """est >= exact for EVERY key — structural (a key's own mass is in
+    each of its D cells), not probabilistic."""
+    counts = _counts(spark)
+    est = sk.cms_estimate(counts, sk.cms_sketch(counts))
+    assert est.filter(F.col("est_cnt") < F.col("c")).count() == 0
+    assert est.count() == counts.count()
+
+
+def test_sketch_merges_additively(spark):
+    """sketch(A) + sketch(B) == sketch(A union B), elementwise — the
+    property that makes the sketch map-side-combinable, micro-batch
+    updatable, and cross-corpus unionable."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    whole = sk.cms_sketch(sk._bigram_counts(docs))
+    a = sk.cms_sketch(sk._bigram_counts(docs.filter(F.col("doc_id") % 3 == 0)))
+    b = sk.cms_sketch(sk._bigram_counts(docs.filter(F.col("doc_id") % 3 != 0)))
+    merged = (
+        a.withColumnRenamed("cell", "ca")
+        .join(b.withColumnRenamed("cell", "cb"), ["salt", "bucket"], "full_outer")
+        .select(
+            "salt",
+            "bucket",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("cell"),
+        )
+    )
+    diff = merged.join(
+        whole.withColumnRenamed("cell", "cw"), ["salt", "bucket"], "full_outer"
+    ).filter(
+        F.coalesce("cell", F.lit(0)) != F.coalesce("cw", F.lit(0))
+    )
+    assert diff.count() == 0
+
+
+def test_heavy_hitters_report(spark):
+    """The registered query: non-empty at test SF, every row's bound
+    certificate TRUE, and the report contains every TRUE heavy hitter
+    (est >= exact makes containment structural — verified anyway)."""
+    out = sk.bigram_cms_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    assert all(r.within_bound for r in out)
+    assert all(r.est_cnt >= r.exact_cnt for r in out)
+    counts = _counts(spark)
+    n = counts.agg(F.sum("c")).collect()[0][0]
+    true_heavy = {
+        r.g
+        for r in counts.filter(
+            F.col("c") * sk.CMS_PHI_DEN >= sk.CMS_PHI_NUM * F.lit(n)
+        ).collect()
+    }
+    reported = {r.bigram for r in out}
+    assert true_heavy <= reported
+
+
+def test_oracle_parity_smoke(spark, duck_smoke):
+    assert_parity(
+        sk.bigram_cms_heavy_hitters(spark, SF_SMOKE),
+        sk._cms_oracle(),
+        duck_smoke,
+        "bigram_cms_heavy_hitters",
+    )
+
+
+def test_incremental_update_parity(spark, duck_smoke):
+    from newsflow.registry import all_specs
+
+    spec = all_specs()["cms_incremental_update"]
+    assert_parity(
+        spec.build(spark, SF_SMOKE), spec.oracle, duck_smoke, spec.name
+    )
+
+
+def test_estimation_broadcasts_sketch(spark):
+    """The candidate-vs-sketch join must broadcast the D*W sketch side —
+    a shuffled join here would shuffle the full candidate stream at
+    production scale."""
+    counts = _counts(spark)
+    plan = sk.cms_estimate(counts, sk.cms_sketch(counts))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
