@@ -107,7 +107,32 @@ HEADLINE = [
                                  # newly oracled this round
     "rag_rerank_maxsim",         # retrieve-then-re-rank funnel (hybrid
                                  # pool → MaxSim late interaction)
+    "bigram_cms_heavy_hitters",  # Count-Min sketch heavy hitters
+                                 # (mergeable frequency estimation)
 ]
+
+
+def data_sig(sf_dir: str) -> str:
+    """Fingerprint of the testdata actually benchmarked: md5 over the
+    sorted (name, size) pairs of the sf dir's parquet files. The driver
+    REGENERATES /root/testdata each round, so timings from different
+    rounds can be measured on different data — bench_check uses this
+    signature to tell a code regression (same data, slower plan) from
+    data variance (different corpus, different cost), which round 11
+    hit: ngram_jaccard_pairs_sampled moved 3.7→5.7 s with the r10 code
+    unchanged (worktree-bisected) purely from the regenerated corpus."""
+    import hashlib
+
+    try:
+        names = sorted(
+            f for f in os.listdir(sf_dir) if f.endswith(".parquet")
+        )
+        blob = ";".join(
+            f"{n}:{os.path.getsize(os.path.join(sf_dir, n))}" for n in names
+        )
+        return hashlib.md5(blob.encode()).hexdigest()[:16]
+    except OSError:
+        return "unknown"
 
 
 def main() -> None:
@@ -165,6 +190,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "data_sig": data_sig(sf_dir),
             }
         )
     )

@@ -8,9 +8,12 @@ import json
 import bench_check as bc
 
 
-def _write(tmp_path, name, queries):
+def _write(tmp_path, name, queries, sig="sig-a"):
     p = tmp_path / name
-    p.write_text(json.dumps({"queries": queries}))
+    body = {"queries": queries}
+    if sig is not None:
+        body["data_sig"] = sig
+    p.write_text(json.dumps(body))
     return str(p)
 
 
@@ -23,7 +26,7 @@ def test_flag_regressions_respects_ratio_and_floor():
 
 
 def test_saved_run_defaults_to_strict_exit(monkeypatch, tmp_path):
-    base = {"queries": {"q": 1.0}}
+    base = {"queries": {"q": 1.0}, "data_sig": "sig-a"}
     monkeypatch.setattr(
         bc, "latest_committed_bench", lambda: ("BENCH_rTEST.json", base)
     )
@@ -35,12 +38,35 @@ def test_saved_run_defaults_to_strict_exit(monkeypatch, tmp_path):
 
 
 def test_saved_run_passes_clean(monkeypatch, tmp_path):
-    base = {"queries": {"q": 1.0}}
+    base = {"queries": {"q": 1.0}, "data_sig": "sig-a"}
     monkeypatch.setattr(
         bc, "latest_committed_bench", lambda: ("BENCH_rTEST.json", base)
     )
     ok = _write(tmp_path, "ok.json", {"q": 1.05})
     assert bc.main(["bench_check.py", ok]) == 0
+
+
+def test_changed_data_downgrades_to_informational(monkeypatch, tmp_path):
+    """The driver regenerates testdata each round: a flag against a
+    baseline measured on DIFFERENT data (different sig, or a legacy
+    baseline without one) is data variance, not a code regression —
+    report, never fail. Round-11 bisect evidence: the r10 code
+    reproduced the 'regressed' time on the regenerated corpus."""
+    monkeypatch.setattr(
+        bc,
+        "latest_committed_bench",
+        lambda: ("BENCH_rTEST.json",
+                 {"queries": {"q": 1.0}, "data_sig": "sig-a"}),
+    )
+    regressed = _write(tmp_path, "cur.json", {"q": 2.0}, sig="sig-b")
+    assert bc.main(["bench_check.py", regressed]) == 0
+    # Legacy baseline (pre-data_sig rounds): same downgrade.
+    monkeypatch.setattr(
+        bc,
+        "latest_committed_bench",
+        lambda: ("BENCH_rTEST.json", {"queries": {"q": 1.0}}),
+    )
+    assert bc.main(["bench_check.py", regressed]) == 0
 
 
 def test_unreadable_saved_file_is_usage_error(tmp_path):
