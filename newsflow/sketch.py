@@ -228,14 +228,11 @@ def bigram_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cms_incremental_update",
-    # The mergeability contract AS a query: sketch(old docs) + sketch(new
-    # docs), merged by elementwise cell sum, must equal the
-    # sketch-of-everything the oracle builds from scratch. This is the
-    # property that makes the sketch the 100 TB / streaming shape — the
-    # update never reads history, only adds onto it.
-    oracle=f"""
+# The whole-corpus sketch rebuilt from scratch in DuckDB — the shared
+# oracle for every incremental/streamed maintenance form (their merged
+# result must equal the rebuild, which is exactly the additive
+# property being certified).
+CMS_FULL_SKETCH_ORACLE = f"""
     WITH {_SQL_BIGRAM_COUNTS},
     hashed AS (
       SELECT g, c, salt,
@@ -250,7 +247,17 @@ def bigram_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c) AS BIGINT) AS cell
     FROM hashed GROUP BY 1, 2
     ORDER BY salt, bucket
-    """,
+    """
+
+
+@register(
+    "cms_incremental_update",
+    # The mergeability contract AS a query: sketch(old docs) + sketch(new
+    # docs), merged by elementwise cell sum, must equal the
+    # sketch-of-everything the oracle builds from scratch. This is the
+    # property that makes the sketch the 100 TB / streaming shape — the
+    # update never reads history, only adds onto it.
+    oracle=CMS_FULL_SKETCH_ORACLE,
     tags=("sketch", "approx", "incremental", "streaming"),
 )
 def cms_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:

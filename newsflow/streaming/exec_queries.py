@@ -796,3 +796,73 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# --- Streaming Count-Min sketch maintenance -------------------------------
+
+from newsflow.sketch import CMS_FULL_SKETCH_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_cms_ingest",
+    # Oracle: the whole-corpus sketch rebuilt from scratch — the
+    # streamed batch-delta partitions summed at read time must equal it
+    # exactly (the additive property, here proven on the EXECUTED
+    # stream path rather than the batch twin).
+    oracle=CMS_FULL_SKETCH_ORACLE,
+    tags=("streaming", "sketch", "approx", "incremental", "executed"),
+)
+def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min sketch maintenance, EXECUTED end to end: the
+    documents table arrives as two micro-batches (doc_id parity — the
+    same split as `cms_incremental_update`, whose semantics this
+    stream deploys); each batch writes its own delta sketch into an
+    idempotent ``batch=<id>`` partition via
+    `streaming/ingest.py::cms_ingest_stream`, and the returned frame
+    is `read_cms_sketch`'s cross-batch cell sum. Per-batch cost is the
+    batch's own bigram pass + a <= D*W-row delta write — state and
+    write volume are corpus-size-independent, which is the whole point
+    of maintaining the sketch instead of exact counts at 100 TB."""
+    from newsflow.sources.sinks import write_single_parquet_file
+    from newsflow.streaming.ingest import cms_ingest_stream, read_cms_sketch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    base = tempfile.mkdtemp(prefix="nf_cms_ingest_")
+    replay = os.path.join(base, "replay")
+    os.makedirs(replay)
+    try:
+        for i, wave in enumerate(waves):
+            write_single_parquet_file(
+                wave,
+                os.path.join(replay, f"{i:02d}.parquet"),
+                mtime=1_000_000_000 + i * 1000,
+            )
+        schema = spark.read.parquet(os.path.join(replay, "00.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(replay)
+        )
+        q = cms_ingest_stream(
+            spark,
+            stream,
+            sketch_dir=os.path.join(base, "sketch"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        # Detach from the tmp dir without a driver collect: the summed
+        # sketch is <= D*W rows, localCheckpoint keeps it
+        # executor-resident past the cleanup below.
+        out = (
+            read_cms_sketch(spark, os.path.join(base, "sketch"))
+            .orderBy("salt", "bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

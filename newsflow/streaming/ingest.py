@@ -599,3 +599,62 @@ def ann_index_rebuild_graph(
         spark, graph_path, edges, n_buckets=n_buckets or GRAPH_BUCKETS
     )
     return {"nodes": int(n_nodes), "edges": int(edges.count())}
+
+
+def cms_apply_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, sketch_dir: str
+) -> None:
+    """One micro-batch of Count-Min sketch maintenance: sketch the
+    batch's OWN bigram counts and write the delta into a
+    ``batch=<id>`` partition of the sketch table. Exactly-once by the
+    `neardup_ingest_stream` recipe — a replayed batch overwrites its
+    own partition idempotently; no marker, no read-modify-write. The
+    "merge" is the sketch's additive property applied at READ time
+    (`read_cms_sketch` sums cells across batch partitions), so the
+    per-batch write cost is the batch's own D x W-bounded delta —
+    never the corpus, never the accumulated sketch.
+    """
+    from newsflow.sketch import _bigram_counts, cms_sketch
+
+    delta = cms_sketch(_bigram_counts(batch))
+    # One file per batch partition: the delta is <= D*W rows by
+    # construction (16,384 at the defaults).
+    delta.coalesce(1).write.mode("overwrite").parquet(
+        f"{sketch_dir}/batch={int(batch_id)}"
+    )
+
+
+def cms_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """STREAMING Count-Min maintenance — the deployment form of
+    `cms_incremental_update`: each micro-batch appends its delta
+    sketch as an idempotent ``batch=<id>`` partition. State never
+    grows past (batches x D x W) rows and old batch partitions can be
+    compacted into one (same lifecycle as `ann_index_maintenance`'s
+    marker compaction) without changing any read."""
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        cms_apply_batch(spark, batch, batch_id, sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The current sketch: cells summed across all batch-delta
+    partitions. Columnar scan of a <= (batches x D x W)-row table —
+    broadcast-sized for estimation joins regardless of corpus size."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("salt", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )

@@ -96,3 +96,27 @@ def test_estimation_broadcasts_sketch(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_cms_ingest_matches_rebuild(spark, duck_smoke):
+    """The EXECUTED stream path: batch-delta partitions summed at read
+    time equal the from-scratch whole-corpus sketch (DuckDB oracle),
+    and replaying a batch's write is a no-op by partition overwrite."""
+    from newsflow.registry import all_specs
+
+    spec = all_specs()["streaming_cms_ingest"]
+    assert_parity(spec.build(spark, SF_SMOKE), spec.oracle, duck_smoke, spec.name)
+
+
+def test_cms_apply_batch_replay_idempotent(spark, tmp_path):
+    from newsflow.streaming.ingest import cms_apply_batch, read_cms_sketch
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = str(tmp_path / "sketch")
+    cms_apply_batch(spark, docs.filter(F.col("doc_id") < 50), 0, d)
+    cms_apply_batch(spark, docs.filter(F.col("doc_id") >= 50), 1, d)
+    once = {(r.salt, r.bucket): r.cell for r in read_cms_sketch(spark, d).collect()}
+    # Replay batch 1 (at-least-once delivery): same partition, same rows.
+    cms_apply_batch(spark, docs.filter(F.col("doc_id") >= 50), 1, d)
+    twice = {(r.salt, r.bucket): r.cell for r in read_cms_sketch(spark, d).collect()}
+    assert once == twice and len(once) > 0
