@@ -114,17 +114,14 @@ def cms_estimate(
 
 def _bigram_counts(docs: DataFrame) -> DataFrame:
     """Exact (bigram, count) over the documents' text — the same
-    adjacent-token semantics as ``bigram_topk`` (ml/queries.py)."""
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
-    )
-    grams = F.expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(t[i - 1], ' ', t[i]))"
-    )
+    adjacent-token semantics as ``bigram_topk`` (ml/queries.py), built
+    from the shared ``tokens_expr``/``shingles_expr`` pair (the n=2
+    word shingle IS the bigram, CASE-guarded against sub-n rows)."""
+    from newsflow.functions.text import shingles_expr, tokens_expr
+
     return (
-        docs.select(toks.alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(F.explode(grams).alias("g"))
+        docs.select(tokens_expr("text").alias("t"))
+        .select(F.explode(shingles_expr("t", 2)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
