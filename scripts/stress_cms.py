@@ -64,6 +64,35 @@ def main() -> None:
             "probe_all_vocab_s": round(probe_s, 2),
             "underestimates": int(n_over),
         }
+    # Planted skew: the synthetic corpus is near-uniform, so ALSO prove
+    # the actual heavy-hitter use case — replicate one document 500x
+    # (a hot page / boilerplate burst) and check the report finds every
+    # one of its bigrams, within the 8N/W certificate.
+    hot = docs.filter(F.col("doc_id") == 0).select("text")
+    planted = docs.select("text").union(
+        hot.crossJoin(spark.range(500).select(F.lit(1).alias("_one"))).select(
+            "text"
+        )
+    )
+    counts = sk._bigram_counts(planted).localCheckpoint(eager=True)
+    n = counts.agg(F.sum("c")).collect()[0][0]
+    est = sk.cms_estimate(counts, sk.cms_sketch(counts))
+    heavy = est.filter(
+        F.col("est_cnt") * sk.CMS_PHI_DEN >= sk.CMS_PHI_NUM * F.lit(n)
+    )
+    hot_grams = sk._bigram_counts(hot).filter(
+        F.col("c") * 500 * sk.CMS_PHI_DEN >= sk.CMS_PHI_NUM * F.lit(n)
+    )
+    missed = hot_grams.join(heavy, "g", "left_anti").count()
+    out["planted"] = {
+        "hot_true_heavy_bigrams": hot_grams.count(),
+        "missed_by_report": int(missed),
+        "max_overcount_norm_w": float(
+            est.agg(
+                F.max((F.col("est_cnt") - F.col("c")) * sk.CMS_WIDTH / n)
+            ).collect()[0][0]
+        ),
+    }
     print(json.dumps(out))
     spark.stop()
 
