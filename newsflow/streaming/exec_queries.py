@@ -855,6 +855,15 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=os.path.join(base, "ckpt"),
         )
         q.awaitTermination()
+        # Compact batch 0 under a committed-offset watermark of 1 (batch
+        # 1 stays a live delta) so the driver-checked row exercises the
+        # maintenance path too: the oracle is unchanged because the
+        # watermark read rule makes compaction sum-invariant.
+        from newsflow.streaming.ingest import cms_maintenance
+
+        cms_maintenance(
+            spark, os.path.join(base, "sketch"), settled_before=1
+        )
         # Detach from the tmp dir without a driver collect: the summed
         # sketch is <= D*W rows, localCheckpoint keeps it
         # executor-resident past the cleanup below.

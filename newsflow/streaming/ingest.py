@@ -647,14 +647,105 @@ def cms_ingest_stream(
     )
 
 
+def _cms_base_watermark(spark: SparkSession, sketch_dir: str) -> int:
+    """Watermark of the newest VALID compacted base partition.
+
+    `cms_maintenance` compacts settled deltas into ``batch=-W`` where
+    W is the settled-before watermark — the partition id IS the
+    manifest, so no side file can go missing. Valid = has a _SUCCESS
+    marker (a base whose write crashed midway is ignored; its source
+    deltas are still on disk because deletion happens strictly after
+    the write, so falling back to the previous base loses nothing)."""
+    from newsflow.fs import fs_exists, fs_list_subdirs
+
+    best = 0
+    for name in fs_list_subdirs(spark, sketch_dir, "batch=-"):
+        w = -int(name.split("=", 1)[1])
+        if w > best and fs_exists(spark, f"{sketch_dir}/{name}/_SUCCESS"):
+            best = w
+    return best
+
+
 def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """The current sketch: cells summed across all batch-delta
-    partitions. Columnar scan of a <= (batches x D x W)-row table —
-    broadcast-sized for estimation joins regardless of corpus size."""
+    """The current sketch: cells summed across the newest compacted
+    base (if any) and every batch delta at or above its watermark.
+    Columnar scan of a <= (base + live-batches) x D x W-row table —
+    broadcast-sized for estimation joins regardless of corpus size.
+
+    The watermark read rule is what makes `cms_maintenance` crash-safe
+    for ADDITIVE state (where the tombstone compaction's
+    merge+distinct recipe would double-count): any partition the rule
+    excludes — an older base generation, or a settled delta whose
+    deletion crashed — contributes nothing, so every crash window
+    between the base write and the source deletes reads exactly once."""
     import pyspark.sql.functions as F
 
+    w = _cms_base_watermark(spark, sketch_dir)
     return (
         spark.read.parquet(sketch_dir)
+        .filter((F.col("batch") == -w) | (F.col("batch") >= w))
         .groupBy("salt", "bucket")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )
+
+
+def cms_maintenance(
+    spark: SparkSession, sketch_dir: str, *, settled_before: int
+) -> dict[str, int]:
+    """Compact settled CMS batch deltas into one base partition,
+    bounding the O(batches) directory listing the stream accrues (the
+    `ann_index_maintenance` lifecycle, adapted to additive state).
+
+    ``settled_before`` is the caller's committed-offset promise: no
+    batch with a smaller id can ever replay. The merge reads the
+    current base (watermark W) plus deltas in [W, settled_before),
+    materializes the summed cells BEFORE any write (the standing
+    replay-safety rule), writes them to ``batch=-settled_before``, and
+    only then deletes the merged sources. Crash anywhere in between is
+    absorbed by `read_cms_sketch`'s watermark rule; leftover source
+    dirs below the new watermark are debris, deleted (never re-merged
+    — they are already IN the base) by the next maintenance pass."""
+    import pyspark.sql.functions as F
+
+    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
+
+    if settled_before <= 0 or not fs_exists(spark, sketch_dir):
+        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
+    w = _cms_base_watermark(spark, sketch_dir)
+    if settled_before <= w:
+        # Nothing newly settled; still sweep sub-watermark debris.
+        settled_before = w
+    merge_dirs, debris = [], []
+    for name in fs_list_subdirs(spark, sketch_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if b < 0:
+            if -b < settled_before or not fs_exists(
+                spark, f"{sketch_dir}/{name}/_SUCCESS"
+            ):
+                debris.append(name)  # older/invalid base generation
+            if -b == w and w < settled_before:
+                merge_dirs.append(name)
+        elif b < w:
+            debris.append(name)  # already folded into the base
+        elif b < settled_before:
+            merge_dirs.append(name)
+    if merge_dirs and settled_before > w:
+        merged = (
+            spark.read.parquet(
+                *[f"{sketch_dir}/{d}" for d in merge_dirs]
+            )
+            .groupBy("salt", "bucket")
+            .agg(F.sum("cell").cast("long").alias("cell"))
+            .localCheckpoint(eager=True)
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch=-{settled_before}"
+        )
+        debris.extend(d for d in merge_dirs if d not in debris)
+    for name in set(debris):
+        fs_delete(spark, f"{sketch_dir}/{name}")
+    return {
+        "merged_deltas": len(merge_dirs),
+        "debris_deleted": len(set(debris)),
+        "watermark": max(settled_before, w),
+    }

@@ -120,3 +120,73 @@ def test_cms_apply_batch_replay_idempotent(spark, tmp_path):
     cms_apply_batch(spark, docs.filter(F.col("doc_id") >= 50), 1, d)
     twice = {(r.salt, r.bucket): r.cell for r in read_cms_sketch(spark, d).collect()}
     assert once == twice and len(once) > 0
+
+
+def _sketch_dict(spark, d):
+    from newsflow.streaming.ingest import read_cms_sketch
+
+    return {
+        (r.salt, r.bucket): r.cell for r in read_cms_sketch(spark, d).collect()
+    }
+
+
+def test_cms_maintenance_compacts_and_preserves(spark, tmp_path):
+    from newsflow.fs import fs_list_subdirs
+    from newsflow.streaming.ingest import cms_apply_batch, cms_maintenance
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = str(tmp_path / "sketch")
+    for b in range(4):
+        cms_apply_batch(spark, docs.filter(F.col("doc_id") % 4 == b), b, d)
+    before = _sketch_dict(spark, d)
+    # Batches 0-2 settled (committed offset = 3); 3 still live.
+    out = cms_maintenance(spark, d, settled_before=3)
+    assert out["merged_deltas"] == 3 and out["watermark"] == 3
+    names = set(fs_list_subdirs(spark, d, "batch="))
+    assert names == {"batch=-3", "batch=3"}
+    assert _sketch_dict(spark, d) == before
+    # Idempotent re-run: nothing newly settled, nothing to sweep.
+    out2 = cms_maintenance(spark, d, settled_before=3)
+    assert out2["merged_deltas"] == 0 and out2["debris_deleted"] == 0
+    assert _sketch_dict(spark, d) == before
+
+
+def test_cms_maintenance_crash_windows(spark, tmp_path):
+    """The two crash windows: (a) base written, source deletes lost —
+    the watermark read rule must NOT double-count and the next pass
+    sweeps the debris without re-merging; (b) base write crashed
+    (no _SUCCESS) — the invalid base is ignored and the deltas still
+    read."""
+    import os
+    import shutil
+
+    from newsflow.fs import fs_list_subdirs
+    from newsflow.streaming.ingest import cms_apply_batch, cms_maintenance
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = str(tmp_path / "sketch")
+    for b in range(3):
+        cms_apply_batch(spark, docs.filter(F.col("doc_id") % 3 == b), b, d)
+    before = _sketch_dict(spark, d)
+
+    # (a) simulate: compact, then resurrect the source dirs (as if the
+    # delete phase crashed after the base write).
+    saved = str(tmp_path / "saved")
+    shutil.copytree(d, saved)
+    cms_maintenance(spark, d, settled_before=3)
+    for name in ("batch=0", "batch=1", "batch=2"):
+        shutil.copytree(os.path.join(saved, name), os.path.join(d, name))
+    assert _sketch_dict(spark, d) == before  # debris excluded, not doubled
+    out = cms_maintenance(spark, d, settled_before=3)
+    assert out["merged_deltas"] == 0 and out["debris_deleted"] == 3
+    assert set(fs_list_subdirs(spark, d, "batch=")) == {"batch=-3"}
+    assert _sketch_dict(spark, d) == before
+
+    # (b) simulate a crashed base write: a newer base without _SUCCESS.
+    bad = os.path.join(d, "batch=-7")
+    shutil.copytree(os.path.join(d, "batch=-3"), bad)
+    os.remove(os.path.join(bad, "_SUCCESS"))
+    assert _sketch_dict(spark, d) == before  # invalid base ignored
+    out = cms_maintenance(spark, d, settled_before=3)
+    assert out["debris_deleted"] == 1  # the invalid base swept
+    assert _sketch_dict(spark, d) == before
