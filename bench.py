@@ -109,6 +109,8 @@ HEADLINE = [
                                  # pool → MaxSim late interaction)
     "bigram_cms_heavy_hitters",  # Count-Min sketch heavy hitters
                                  # (mergeable frequency estimation)
+    "bloom_dedup_prefilter",     # Bloom membership pre-filter
+                                 # (broadcast bitmap dedup gate)
 ]
 
 

@@ -190,3 +190,34 @@ def test_cms_maintenance_crash_windows(spark, tmp_path):
     out = cms_maintenance(spark, d, settled_before=3)
     assert out["debris_deleted"] == 1  # the invalid base swept
     assert _sketch_dict(spark, d) == before
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    """No false negatives is structural (building a key sets exactly
+    the bits probing checks); the false-positive rate must sit near the
+    (1 - e^(-kn/m))^k sizing expectation (~0.2% here) — 2% is the
+    10x alarm threshold."""
+    from newsflow.sketch import bloom_dedup_prefilter
+
+    rows = bloom_dedup_prefilter(spark, SF_SMOKE).collect()
+    dups = [r for r in rows if r.is_dup]
+    novel = [r for r in rows if not r.is_dup]
+    assert len(dups) >= 50 and len(novel) > 0
+    assert all(r.might_contain for r in dups)  # zero false negatives
+    fp = sum(1 for r in novel if r.might_contain)
+    assert fp / len(novel) <= 0.02
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    """The probe must broadcast the <= 128-row bitmap; shuffling the
+    candidate stream against it would defeat the pre-filter's point."""
+    import pyspark.sql.functions as F2
+
+    from newsflow.sketch import bloom_build, bloom_probe
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    keys = docs.select(F2.md5("text").alias("k"))
+    plan = bloom_probe(keys, bloom_build(keys))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
