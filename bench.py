@@ -111,6 +111,8 @@ HEADLINE = [
                                  # (mergeable frequency estimation)
     "bloom_dedup_prefilter",     # Bloom membership pre-filter
                                  # (broadcast bitmap dedup gate)
+    "source_overlap_kmv",        # KMV set algebra (union/Jaccard/
+                                 # intersection from k-row summaries)
 ]
 
 

@@ -471,3 +471,313 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch -------------------------------
+
+# k=128 -> relative error ~1/sqrt(k) ~ 8.8% on distinct counts; the
+# sketch is the k lexicographically-smallest md5 values of a key set
+# (hex strings compare identically in both engines), so it is fully
+# deterministic and EXACTLY oracle-able. What it adds over HLL
+# (orders_approx_bounds): SET ALGEBRA — K(A u B) is the k smallest of
+# K(A) u K(B), and |K_union ^ K_A ^ K_B| / k estimates Jaccard, giving
+# intersection sizes HLL cannot express. Summaries are k rows per set:
+# merging/estimating never rescans the corpus.
+KMV_K = 128
+# v12: the first 12 md5 nibbles as an exact integer < 16^12 = 2^48.
+# The estimator (k-1) * 2^48 / v12 is ONE IEEE division of two
+# exactly-representable integers ((k-1)*2^48 = 127 * 2^48 has a 7-bit
+# significand), so both engines produce the identical double before the
+# epsilon rounding.
+KMV_SCALE = 16 ** 12
+
+
+def _kmv_v12_sql(h: str) -> str:
+    """Engine-shared SQL: first 12 hex nibbles of ``h`` as a bigint.
+    Every multiplier is CAST to BIGINT up front — a bare int literal
+    like 16^7 would make `15 * 268435456` overflow int32 under Spark's
+    ANSI mode."""
+    nib = lambda p: f"(instr('{_HEX}', substr({h}, {p}, 1)) - 1)"  # noqa: E731
+    terms = " + ".join(
+        f"{nib(p)} * CAST({16 ** (12 - p)} AS BIGINT)"
+        for p in range(1, 13)
+    )
+    return f"(CAST({terms} AS BIGINT))"
+
+
+_SQL_SOURCE_GRAMS = """
+    toks AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i + 1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    )
+"""
+
+
+def _source_grams(docs: DataFrame) -> DataFrame:
+    """Per-source DISTINCT bigram vocabulary — the key sets the KMV
+    sketches summarize (same gram semantics as `_bigram_counts`)."""
+    from newsflow.functions.text import shingles_expr, tokens_expr
+
+    return (
+        docs.select("source", tokens_expr("text").alias("t"))
+        .select("source", F.explode(shingles_expr("t", 2)).alias("g"))
+        .distinct()
+    )
+
+
+def kmv_sketch(keys: DataFrame, by: str = "source", key: str = "g") -> DataFrame:
+    """(by, h, rn): the k smallest md5 values per group, rank attached.
+    One window over the distinct-key frame; the sketch is k rows per
+    group regardless of set size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy("h")
+    return (
+        keys.select(by, F.md5(F.col(key)).alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+
+
+@register(
+    "source_vocab_kmv",
+    oracle=f"""
+    WITH {_SQL_SOURCE_GRAMS},
+    hashed AS (SELECT source, md5(g) AS h FROM grams),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kth AS (SELECT source, h FROM ranked WHERE rn = {KMV_K}),
+    truth AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS exact_vocab
+      FROM grams GROUP BY 1
+    )
+    SELECT t.source, t.exact_vocab,
+           {{est}} AS est_vocab,
+           abs({{est_raw}} - t.exact_vocab) * 4 <= t.exact_vocab
+             AS within_4rsd
+    FROM truth t JOIN kth k ON t.source = k.source
+    ORDER BY t.source
+    """.replace(
+        "{est}",
+        "(round((CAST(%d AS DOUBLE) / %s) + 1e-09, 4) + 0.0)"
+        % ((KMV_K - 1) * KMV_SCALE, _kmv_v12_sql("k.h")),
+    ).replace(
+        "{est_raw}",
+        "(CAST(%d AS DOUBLE) / %s)"
+        % ((KMV_K - 1) * KMV_SCALE, _kmv_v12_sql("k.h")),
+    ),
+    tags=("sketch", "approx", "agg", "evaluation"),
+)
+def source_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-vocabulary estimation from a KMV sketch,
+    EXACTLY oracled (deterministic md5 order, single IEEE division):
+    the estimate (k-1)/v_k with the exact count riding along as the
+    audit anchor, plus a 4x-relative-standard-deviation certificate
+    (1/sqrt(k) ~ 8.8% per estimate; 4 sigma ~ 35%, comfortably above
+    the measured ~5-9% errors). The sketch is k=128 rows per source —
+    distinct counting whose summary MERGES (see `source_overlap_kmv`),
+    which approx_count_distinct's opaque HLL registers cannot be
+    queried for."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _source_grams(docs)
+    kmv = kmv_sketch(grams)
+    kth = kmv.filter(F.col("rn") == KMV_K).select(
+        "source", F.expr(_kmv_v12_sql("h")).alias("v12")
+    )
+    truth = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_vocab")
+    )
+    est_raw = F.lit(float((KMV_K - 1) * KMV_SCALE)) / F.col("v12")
+    return (
+        truth.join(kth, "source")
+        .select(
+            "source",
+            "exact_vocab",
+            (F.round(est_raw + F.lit(1e-09), 4) + F.lit(0.0)).alias(
+                "est_vocab"
+            ),
+            (
+                F.abs(est_raw - F.col("exact_vocab")) * 4
+                <= F.col("exact_vocab")
+            ).alias("within_4rsd"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    v12 = _kmv_v12_sql("u.h")
+    est_union = (
+        f"(CAST({(KMV_K - 1) * KMV_SCALE} AS DOUBLE) / {v12})"
+    )
+    return f"""
+    WITH {_SQL_SOURCE_GRAMS},
+    hashed AS (SELECT source, md5(g) AS h FROM grams),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM hashed
+    ),
+    kmv AS (SELECT source, h FROM ranked WHERE rn <= {KMV_K}),
+    srcs AS (SELECT DISTINCT source FROM grams),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    memb AS (
+      SELECT p.sa, p.sb, k.h,
+             max(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN kmv k ON k.source = p.sa OR k.source = p.sb
+      GROUP BY 1, 2, 3
+    ),
+    uranked AS (
+      SELECT sa, sb, h, in_a, in_b,
+             row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      FROM memb
+    ),
+    ustats AS (
+      SELECT sa, sb,
+             CAST(sum(in_a * in_b) AS BIGINT) AS c
+      FROM uranked WHERE rn <= {KMV_K} GROUP BY 1, 2
+    ),
+    ukth AS (SELECT sa, sb, h FROM uranked WHERE rn = {KMV_K}),
+    exact_i AS (
+      SELECT g1.source AS sa, g2.source AS sb,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM grams g1 JOIN grams g2
+        ON g1.g = g2.g AND g1.source < g2.source
+      GROUP BY 1, 2
+    ),
+    exact_v AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v FROM grams GROUP BY 1
+    )
+    SELECT s.sa AS source_a, s.sb AS source_b,
+           va.v AS exact_a, vb.v AS exact_b,
+           COALESCE(e.exact_inter, 0) AS exact_inter,
+           (round((s.c * 1.0 / {KMV_K}) + 1e-09, 4) + 0.0) AS est_jaccard,
+           (round(((s.c * 1.0 / {KMV_K}) * (
+              SELECT {est_union} FROM ukth u
+              WHERE u.sa = s.sa AND u.sb = s.sb
+            )) + 1e-09, 2) + 0.0) AS est_inter,
+           abs(s.c * 1.0 / {KMV_K}
+               - COALESCE(e.exact_inter, 0) * 1.0
+                 / (va.v + vb.v - COALESCE(e.exact_inter, 0)))
+             <= {4 * (0.25 / KMV_K) ** 0.5!r} AS jaccard_within_4rsd
+    FROM ustats s
+    JOIN exact_v va ON va.source = s.sa
+    JOIN exact_v vb ON vb.source = s.sb
+    LEFT JOIN exact_i e ON e.sa = s.sa AND e.sb = s.sb
+    ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "source_overlap_kmv",
+    oracle=_kmv_overlap_oracle(),
+    tags=("sketch", "approx", "agg", "evaluation"),
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary OVERLAP from merged KMV sketches — the
+    set algebra HLL registers cannot answer: K(A u B) is the k smallest
+    of K(A) u K(B) (sketch merge = the same k-smallest rule, no corpus
+    rescan), Jaccard ~ |K_union ^ K_A ^ K_B| / k, and the intersection
+    size is jaccard x the union estimate. Exact vocabulary sizes and
+    intersection ride along as audit anchors, with a 4-sigma Jaccard
+    certificate (sd <= sqrt(0.25/k) ~ 0.044 at k=128). EXACTLY oracled:
+    md5 order is deterministic, the union estimator is one IEEE
+    division, and the jaccard/intersection arithmetic uses the same
+    expression structure in both engines.
+
+    Scale: after the per-source distinct pass, everything operates on
+    k-row summaries (20 sources -> 190 pairs x 2k rows here); at 100 TB
+    the sketches are built once per source/snapshot and every pairwise
+    overlap question is answered from k-row frames."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _source_grams(docs).localCheckpoint(eager=True)
+    kmv = kmv_sketch(grams)
+    srcs = grams.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    memb = (
+        pairs.join(
+            F.broadcast(kmv),
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max((F.col("source") == F.col("sa")).cast("int")).alias("in_a"),
+            F.max((F.col("source") == F.col("sb")).cast("int")).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("sa", "sb").orderBy("h")
+    uranked = memb.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    ustats = uranked.groupBy("sa", "sb").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("c")
+    )
+    ukth = uranked.filter(F.col("rn") == KMV_K).select(
+        "sa", "sb", F.expr(_kmv_v12_sql("h")).alias("v12u")
+    )
+    exact_v = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    exact_i = (
+        grams.select(F.col("source").alias("sa"), "g")
+        .join(grams.select(F.col("source").alias("sb"), "g"), "g")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est_union = F.lit(float((KMV_K - 1) * KMV_SCALE)) / F.col("v12u")
+    jacc = F.col("c") * F.lit(1.0) / F.lit(KMV_K)
+    exact_j = (
+        F.col("exact_inter")
+        * F.lit(1.0)
+        / (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+    )
+    return (
+        ustats.join(ukth, ["sa", "sb"])
+        .join(
+            exact_v.select(F.col("source").alias("sa"), F.col("v").alias("exact_a")),
+            "sa",
+        )
+        .join(
+            exact_v.select(F.col("source").alias("sb"), F.col("v").alias("exact_b")),
+            "sb",
+        )
+        .join(exact_i, ["sa", "sb"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (F.round(jacc + F.lit(1e-09), 4) + F.lit(0.0)).alias("est_jaccard"),
+            (F.round(jacc * est_union + F.lit(1e-09), 2) + F.lit(0.0)).alias(
+                "est_inter"
+            ),
+            (F.abs(jacc - exact_j) <= F.lit(4 * (0.25 / KMV_K) ** 0.5)).alias(
+                "jaccard_within_4rsd"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -221,3 +221,49 @@ def test_bloom_probe_broadcasts_bitmap(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_certificates_hold(spark):
+    from newsflow.sketch import source_overlap_kmv, source_vocab_kmv
+
+    v = source_vocab_kmv(spark, SF_SMOKE).collect()
+    assert len(v) > 0 and all(r.within_4rsd for r in v)
+    # Estimates land in a sane band around truth (4 rsd ~ 35%).
+    for r in v:
+        assert 0.5 * r.exact_vocab <= r.est_vocab <= 2.0 * r.exact_vocab
+    o = source_overlap_kmv(spark, SF_SMOKE).collect()
+    assert len(o) > 0 and all(r.jaccard_within_4rsd for r in o)
+
+
+def test_kmv_union_merge_identity(spark):
+    """K(A u B) computed from the two k-row SKETCHES equals the KMV of
+    the union set computed directly — the merge rule that lets overlap
+    questions be answered without rescanning either corpus."""
+    import pyspark.sql.functions as F2
+
+    from newsflow.sketch import KMV_K, _source_grams, kmv_sketch
+    from newsflow.tables import load_table as lt
+
+    grams = _source_grams(lt(spark, SF_SMOKE, "documents"))
+    two = grams.filter(F2.col("source").isin("src0", "src1"))
+    direct = (
+        kmv_sketch(
+            two.select(F2.lit("u").alias("source"), "g").distinct()
+        )
+        .select("h")
+        .collect()
+    )
+    from pyspark.sql import Window
+
+    merged = (
+        kmv_sketch(two)  # per-source sketches
+        .select("h")
+        .distinct()
+        .withColumn(
+            "rn", F2.row_number().over(Window.orderBy("h"))
+        )
+        .filter(F2.col("rn") <= KMV_K)
+        .select("h")
+        .collect()
+    )
+    assert sorted(r.h for r in direct) == sorted(r.h for r in merged)
