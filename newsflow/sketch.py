@@ -708,23 +708,31 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     grams = _source_grams(docs).localCheckpoint(eager=True)
-    kmv = kmv_sketch(grams)
+    # S*k rows, consumed by both union branches and the kth-value
+    # extraction — checkpoint so the per-source window runs once.
+    kmv = kmv_sketch(grams).localCheckpoint(eager=True)
     srcs = grams.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("sa"))
         .crossJoin(srcs.select(F.col("source").alias("sb")))
         .filter(F.col("sa") < F.col("sb"))
     )
+    # Two equi-joins + union, NOT one OR-condition join: an OR predicate
+    # cannot hash-partition, so Spark would fall back to a nested-loop
+    # join — O(pairs x sketch rows) comparisons, S^3·k at S sources.
+    kmv_a = kmv.select(F.col("source").alias("sa"), "h")
+    kmv_b = kmv.select(F.col("source").alias("sb"), "h")
     memb = (
-        pairs.join(
-            F.broadcast(kmv),
-            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        pairs.join(F.broadcast(kmv_a), "sa").select(
+            "sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+        )
+        .unionAll(
+            pairs.join(F.broadcast(kmv_b), "sb").select(
+                "sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
         )
         .groupBy("sa", "sb", "h")
-        .agg(
-            F.max((F.col("source") == F.col("sa")).cast("int")).alias("in_a"),
-            F.max((F.col("source") == F.col("sb")).cast("int")).alias("in_b"),
-        )
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
     w = Window.partitionBy("sa", "sb").orderBy("h")
     uranked = memb.withColumn("rn", F.row_number().over(w)).filter(

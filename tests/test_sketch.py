@@ -267,3 +267,20 @@ def test_kmv_union_merge_identity(spark):
         .collect()
     )
     assert sorted(r.h for r in direct) == sorted(r.h for r in merged)
+
+
+def test_kmv_overlap_plan_shape(spark):
+    """The sketch-membership joins must be hash joins (an OR-condition
+    join degrades to a nested loop over pairs x sketch rows); the only
+    nested-loop joins allowed are the source-count-sized (S x S) pair
+    cross products."""
+    import re
+
+    from newsflow.sketch import source_overlap_kmv
+
+    plan = source_overlap_kmv(spark, SF_SMOKE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line or "CartesianProduct" in line:
+            assert "(sa" in line and "sb" in line, line
