@@ -93,6 +93,28 @@ def main() -> None:
             ).collect()[0][0]
         ),
     }
+    # Bloom filter at 1x/Nx: bitmap row count is capped at BLOOM_WORDS
+    # regardless of key count, and the probe joins candidates against
+    # the broadcast bitmap — wall tracks the CANDIDATE side only.
+    for label, frame in (("1x", docs), ("%dx" % copies, big)):
+        keys = frame.select(F.md5("text").alias("k"))
+        t0 = time.perf_counter()
+        bitmap = sk.bloom_build(keys).localCheckpoint(eager=True)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn = (
+            sk.bloom_probe(keys, bitmap)
+            .filter(~F.col("might_contain"))
+            .count()
+        )
+        probe_s = time.perf_counter() - t0
+        out["bloom_" + label] = {
+            "keys": keys.count(),
+            "bitmap_rows": bitmap.count(),
+            "build_s": round(build_s, 2),
+            "self_probe_s": round(probe_s, 2),
+            "false_negatives": int(fn),
+        }
     print(json.dumps(out))
     spark.stop()
 
