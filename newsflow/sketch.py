@@ -349,7 +349,11 @@ def bloom_probe(
     The bitmap side is broadcast (<= BLOOM_WORDS rows); a candidate
     hitting an absent word row fails that position (left join, null
     bits = no bits set). No false negatives, structurally: building a
-    key sets exactly the bits probing it checks."""
+    key sets exactly the bits probing it checks.
+
+    ``candidates`` must be row-unique (the verdict is attached by
+    grouping on its full column set, so duplicate rows would
+    collapse); dedupe upstream if the stream can repeat rows."""
     pos = F.explode(
         F.array(
             *[
@@ -587,7 +591,12 @@ def source_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured ~5-9% errors). The sketch is k=128 rows per source —
     distinct counting whose summary MERGES (see `source_overlap_kmv`),
     which approx_count_distinct's opaque HLL registers cannot be
-    queried for."""
+    queried for.
+
+    Sources with fewer than k distinct keys have no k-th value and drop
+    out of the report (the same inner join in both engines — for such
+    small sets the sketch IS the set and exact counting is the right
+    tool); every source here carries ~700 bigrams against k=128."""
     docs = load_table(spark, sf_dir, "documents")
     grams = _source_grams(docs)
     kmv = kmv_sketch(grams)
