@@ -386,18 +386,26 @@ def bloom_probe(
     )
 
 
+# The stored-corpus / arriving-batch split is EXISTING_MAX_DOC_ID from
+# newsflow.corpus — imported, not copied (ADVICE r10's hard-coded-twin
+# hazard), so the Spark side and the oracle can never drift apart.
+from newsflow.corpus import EXISTING_MAX_DOC_ID as _BLOOM_SPLIT  # noqa: E402
+
+_BLOOM_RESUB = 50  # first N index docs re-submitted under new ids
+
+
 @register(
     "bloom_dedup_prefilter",
     oracle=f"""
     WITH idx AS (
-      SELECT md5(text) AS k FROM documents WHERE doc_id < 250
+      SELECT md5(text) AS k FROM documents WHERE doc_id < {_BLOOM_SPLIT}
     ),
     batch AS (
       SELECT doc_id + 10000 AS doc_id, md5(text) AS k
-      FROM documents WHERE doc_id < 50           -- re-submissions
+      FROM documents WHERE doc_id < {_BLOOM_RESUB}  -- re-submissions
       UNION ALL
       SELECT doc_id, md5(text) AS k
-      FROM documents WHERE doc_id >= 250         -- novel docs
+      FROM documents WHERE doc_id >= {_BLOOM_SPLIT} -- novel docs
     ),
     pos AS (
       SELECT k, salt,
@@ -435,7 +443,7 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pre-filter for the incremental-dedup
     probe, EXACTLY oracled (deterministic md5 positions, so the bitmap
     and every verdict hash-match the DuckDB rebuild): the stored
-    corpus's text hashes (doc_id < 250, the EXISTING_MAX_DOC_ID split)
+    corpus's text hashes (doc_id < EXISTING_MAX_DOC_ID, imported)
     build a 4096-bit bitmap; an arriving batch — 50 re-submitted
     copies of index docs under new ids (the re-crawl case) plus the
     genuinely novel tail — probes it. Output per batch doc:
@@ -451,14 +459,14 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     False-positive rate is bounded by the classic (1 - e^(-kn/m))^k —
     ~0.2% at this sizing, measured in tests/test_sketch.py."""
     docs = load_table(spark, sf_dir, "documents")
-    idx = docs.filter(F.col("doc_id") < 250).select(
+    idx = docs.filter(F.col("doc_id") < _BLOOM_SPLIT).select(
         F.md5("text").alias("k")
     )
     batch = (
-        docs.filter(F.col("doc_id") < 50)
+        docs.filter(F.col("doc_id") < _BLOOM_RESUB)
         .select((F.col("doc_id") + 10000).alias("doc_id"), F.md5("text").alias("k"))
         .unionAll(
-            docs.filter(F.col("doc_id") >= 250).select(
+            docs.filter(F.col("doc_id") >= _BLOOM_SPLIT).select(
                 "doc_id", F.md5("text").alias("k")
             )
         )
