@@ -44,18 +44,53 @@ ABS_FLOOR_SEC = 0.15
 ROOT = Path(__file__).resolve().parent
 
 
-def latest_committed_bench() -> tuple[str, dict] | None:
-    benches = sorted(
-        ROOT.glob("BENCH_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
-    )
-    if not benches:
+def _load_bench(p: Path) -> dict | None:
+    try:
+        data = json.loads(p.read_text())
+    except (OSError, ValueError):
         return None
-    p = benches[-1]
-    data = json.loads(p.read_text())
     # The driver wraps bench.py's JSON line under "parsed".
     if "queries" not in data and isinstance(data.get("parsed"), dict):
         data = data["parsed"]
+    return data if isinstance(data.get("queries"), dict) else None
+
+
+def latest_committed_bench(
+    current_sig: str | None = None, root: Path | None = None
+) -> tuple[str, dict] | None:
+    """Newest committed baseline, PREFERRING one whose data_sig matches
+    ``current_sig``.
+
+    The driver regenerates /root/testdata every round, so the driver's
+    own BENCH_r*.json is ALWAYS cross-data by the time the next round's
+    commits are gated — which made the 1.5x regression gate permanently
+    informational (VERDICT r11 "What's wrong" #2). The fix: each round
+    commits a BENCH_LOCAL_r*.json measured on the fresh corpus at round
+    start; any baseline (LOCAL or driver) whose data_sig equals the
+    current run's sig restores the HARD gate. Candidates sort by round
+    number (LOCAL_rN after driver rN of the same round, being newer by
+    construction: LOCAL_rN is measured at the start of round N, on the
+    data the driver only benches at round N's end). Fallback when no
+    same-sig baseline exists: newest overall, compared informationally
+    (the DATA-CHANGED path).
+    """
+    root = root or ROOT
+    candidates: list[tuple[int, int, Path, dict]] = []
+    for pattern, local in (("BENCH_r*.json", 0), ("BENCH_LOCAL_r*.json", 1)):
+        for p in root.glob(pattern):
+            m = re.search(r"r(\d+)", p.stem)
+            data = _load_bench(p)
+            if m and data is not None:
+                candidates.append((int(m.group(1)), local, p, data))
+    if not candidates:
+        return None
+    candidates.sort(key=lambda t: (t[0], t[1]))
+    if current_sig is not None:
+        same = [c for c in candidates if c[3].get("data_sig") == current_sig]
+        if same:
+            _, _, p, data = same[-1]
+            return p.name, data
+    _, _, p, data = candidates[-1]
     return p.name, data
 
 
@@ -98,9 +133,10 @@ def main(argv: list[str]) -> int:
     else:
         current = run_bench()
 
-    base = latest_committed_bench()
+    cur_sig = current.get("data_sig")
+    base = latest_committed_bench(cur_sig)
     if base is None:
-        print("bench_check: no committed BENCH_r*.json baseline; PASS")
+        print("bench_check: no committed BENCH_*r*.json baseline; PASS")
         return 0
     base_name, baseline = base
 
@@ -110,11 +146,12 @@ def main(argv: list[str]) -> int:
     # A ratio gate across data generations flags data variance as code
     # regression — round 11 confirmed this by bisect: the r10 code
     # reproduced the "regressed" ngram_jaccard_pairs_sampled time on
-    # the regenerated corpus. When the signatures differ (or the
-    # baseline predates signatures), the comparison still prints and
-    # the two-run confirm still runs, but a confirmed flag is reported
-    # as DATA-CHANGED (informational) instead of failing the gate.
-    cur_sig = current.get("data_sig")
+    # the regenerated corpus. latest_committed_bench() therefore prefers
+    # a SAME-data_sig baseline (the per-round BENCH_LOCAL_r*.json),
+    # which keeps the 1.5x gate HARD for every in-round commit; only
+    # when no same-sig baseline exists does the comparison fall back to
+    # cross-data, where a confirmed flag is reported as DATA-CHANGED
+    # (informational) instead of failing the gate.
     base_sig = baseline.get("data_sig")
     same_data = cur_sig is not None and cur_sig == base_sig
 

@@ -108,14 +108,25 @@ def _load_all_modules() -> None:
 # then least-recently-green), so a new query can never silently sit
 # outside the driver's 50-slot window for more than ceil(N/50) rounds
 # (tests/test_registry_schedule.py proves the bound by simulation).
-_RECHECK_DECLARED_ROUND = 5
+_RECHECK_DECLARED_ROUND = 12
 _RECHECK_THIS_ROUND = (
-    # Round-5 semantics change: split_leakage_audit gained a third
-    # `by_cluster` row (the cluster-keyed split the round-4 audit built
-    # the case for) and now shares the cached shingle projection with
-    # the other dedup audits — new output shape, so the driver must
-    # re-verify it even though the query was green in r4.
-    "split_leakage_audit",
+    # Round-12 freshness pins (VERDICT r11 Next #2): these ten oracled
+    # queries were last driver-green in round 7 — four rounds stale —
+    # and since NEVER-green (new) registrations rank ahead of
+    # least-recently-green ones, heavy new registration could starve
+    # them past the 50-slot window again. Pinning jumps them to the
+    # front of the r12 window; each auto-expires on its first green row
+    # in a round >= 12 and returns to normal rotation.
+    "doc_tfidf_keywords",
+    "doc_unigram_nll",
+    "exact_dedup_stream",
+    "mmr_diversified_topk",
+    "session_window_stats_stream",
+    "sliding_window_counts_stream",
+    "source_kl_divergence",
+    "streaming_takedown_exec",
+    "tumbling_window_counts_stream",
+    "user_event_keys_stream_watermarked",
 )
 
 

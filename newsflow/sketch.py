@@ -56,25 +56,39 @@ CMS_PHI_DEN = 10_000
 _HEX = "0123456789abcdef"
 
 
-def cms_bucket_sql(salt: str, key: str = "g") -> str:
+def cms_bucket_sql(salt: str, key: str = "g", nibbles: int = 3) -> str:
     """Engine-shared SQL text: row ``salt``'s bucket for column ``key``.
 
-    Three md5 hex nibbles -> integer in [0, 4096). ``instr``/``substr``/
-    ``md5``/``concat`` behave identically in Spark and DuckDB (proven by
-    the simhash_md5 oracle family)."""
+    The first ``nibbles`` md5 hex nibbles -> integer in [0,
+    16^nibbles). ``instr``/``substr``/``md5``/``concat`` behave
+    identically in Spark and DuckDB (proven by the simhash_md5 oracle
+    family). Width is 16^nibbles — still modulo-free (no bias, no
+    64-bit sign games): nibbles=3 is the 4096-bucket check-scale
+    default; production widths in the millions are nibbles=5/6
+    (1M/16M buckets), the same expression with more terms. Every
+    multiplier is CAST to BIGINT so Spark's ANSI mode never sees an
+    int32 overflow (the `_kmv_v12_sql` rule)."""
     h = f"md5(concat('{salt}', {key}))"
     nib = lambda p: f"(instr('{_HEX}', substr({h}, {p}, 1)) - 1)"  # noqa: E731
-    return f"({nib(1)} * 256 + {nib(2)} * 16 + {nib(3)})"
+    terms = " + ".join(
+        f"{nib(p)} * CAST({16 ** (nibbles - p)} AS BIGINT)"
+        for p in range(1, nibbles + 1)
+    )
+    return f"({terms})"
 
 
-def _hashed(counts: DataFrame, key: str, weight: str) -> DataFrame:
+def _hashed(
+    counts: DataFrame, key: str, weight: str, nibbles: int = 3
+) -> DataFrame:
     """counts x D rows with the row's bucket attached (row-local)."""
     rows = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(s).alias("salt"),
-                    F.expr(cms_bucket_sql(s, key)).cast("long").alias("bucket"),
+                    F.expr(cms_bucket_sql(s, key, nibbles))
+                    .cast("long")
+                    .alias("bucket"),
                 )
                 for s in CMS_SALTS
             ]
@@ -85,13 +99,17 @@ def _hashed(counts: DataFrame, key: str, weight: str) -> DataFrame:
     )
 
 
-def cms_sketch(counts: DataFrame, key: str = "g", weight: str = "c") -> DataFrame:
+def cms_sketch(
+    counts: DataFrame, key: str = "g", weight: str = "c", nibbles: int = 3
+) -> DataFrame:
     """(salt, bucket, cell) sketch of a pre-aggregated (key, weight)
     frame. Cells are sums, so sketches MERGE: elementwise + across
     partitions, micro-batches, or corpora (asserted in
-    tests/test_sketch.py)."""
+    tests/test_sketch.py). ``nibbles`` sets the width (16^nibbles
+    buckets, see ``cms_bucket_sql``); sketches only merge at equal
+    width."""
     return (
-        _hashed(counts, key, weight)
+        _hashed(counts, key, weight, nibbles)
         .groupBy("salt", "bucket")
         .agg(F.sum(weight).cast("long").alias("cell"))
     )
@@ -103,12 +121,25 @@ def cms_estimate(
     """Point estimates for every key in ``counts``: min over rows of the
     hashed-to cell. The sketch side is broadcast (D*W rows by
     construction); the exact ``weight`` column rides along for the
-    audit form."""
+    audit form.
+
+    Candidates may be ARBITRARY keys, not just the ones that built the
+    sketch: a (salt, bucket) cell no key ever hashed into is absent
+    from the sparse sketch frame, so the join is LEFT and absent cells
+    coalesce to 0 — exactly the dense-array semantics (an untouched
+    counter reads 0, making the whole estimate 0 when any row's cell is
+    empty). An inner join here would silently DROP such candidates
+    (ADVICE r11), breaking the 'probe a broadcast sketch with novel
+    keys' use the module advertises."""
     return (
         _hashed(counts, key, weight)
-        .join(F.broadcast(sketch), ["salt", "bucket"])
+        .join(F.broadcast(sketch), ["salt", "bucket"], "left")
         .groupBy(key, weight)
-        .agg(F.min("cell").alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0)))
+            .cast("long")
+            .alias("est_cnt")
+        )
     )
 
 
@@ -400,12 +431,18 @@ _BLOOM_RESUB = 50  # first N index docs re-submitted under new ids
     WITH idx AS (
       SELECT md5(text) AS k FROM documents WHERE doc_id < {_BLOOM_SPLIT}
     ),
+    -- Re-submitted ids start past the corpus's real id range, DERIVED
+    -- from the data (ADVICE r11: a fixed +10000 collides with any
+    -- corpus whose ids reach 10000, making the ORDER BY doc_id tie
+    -- order engine-dependent).
+    mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
     batch AS (
-      SELECT doc_id + 10000 AS doc_id, md5(text) AS k
-      FROM documents WHERE doc_id < {_BLOOM_RESUB}  -- re-submissions
+      SELECT d.doc_id + mx.off AS doc_id, md5(text) AS k
+      FROM documents d, mx
+      WHERE d.doc_id < {_BLOOM_RESUB}                -- re-submissions
       UNION ALL
       SELECT doc_id, md5(text) AS k
-      FROM documents WHERE doc_id >= {_BLOOM_SPLIT} -- novel docs
+      FROM documents WHERE doc_id >= {_BLOOM_SPLIT}  -- novel docs
     ),
     pos AS (
       SELECT k, salt,
@@ -462,9 +499,17 @@ def bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = docs.filter(F.col("doc_id") < _BLOOM_SPLIT).select(
         F.md5("text").alias("k")
     )
+    # Corpus-derived id offset for the re-submitted copies (shared with
+    # the oracle's `mx` CTE): max(doc_id) + 1 can never collide with a
+    # real id, whatever SF generated the table.
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("off"))
     batch = (
         docs.filter(F.col("doc_id") < _BLOOM_RESUB)
-        .select((F.col("doc_id") + 10000).alias("doc_id"), F.md5("text").alias("k"))
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("off")).alias("doc_id"),
+            F.md5("text").alias("k"),
+        )
         .unionAll(
             docs.filter(F.col("doc_id") >= _BLOOM_SPLIT).select(
                 "doc_id", F.md5("text").alias("k")
@@ -684,15 +729,21 @@ def _kmv_overlap_oracle() -> str:
            va.v AS exact_a, vb.v AS exact_b,
            COALESCE(e.exact_inter, 0) AS exact_inter,
            (round((s.c * 1.0 / {KMV_K}) + 1e-09, 4) + 0.0) AS est_jaccard,
-           (round(((s.c * 1.0 / {KMV_K}) * (
-              SELECT {est_union} FROM ukth u
-              WHERE u.sa = s.sa AND u.sb = s.sb
-            )) + 1e-09, 2) + 0.0) AS est_inter,
+           (round(((s.c * 1.0 / {KMV_K}) * {est_union})
+                  + 1e-09, 2) + 0.0) AS est_inter,
            abs(s.c * 1.0 / {KMV_K}
                - COALESCE(e.exact_inter, 0) * 1.0
                  / (va.v + vb.v - COALESCE(e.exact_inter, 0)))
              <= {4 * (0.25 / KMV_K) ** 0.5!r} AS jaccard_within_4rsd
     FROM ustats s
+    -- INNER join, deliberately mirroring the Spark side: a pair whose
+    -- union sketch holds fewer than k values has no k-th value and
+    -- drops out of the report in BOTH engines (ADVICE r11 — the old
+    -- correlated subquery kept such pairs with a NULL est_inter, a
+    -- latent cross-engine divergence for sources with < k distinct
+    -- keys; for sets that small the sketch IS the set, see
+    -- source_vocab_kmv's docstring for the same precondition).
+    JOIN ukth u ON u.sa = s.sa AND u.sb = s.sb
     JOIN exact_v va ON va.source = s.sa
     JOIN exact_v vb ON vb.source = s.sb
     LEFT JOIN exact_i e ON e.sa = s.sa AND e.sb = s.sb

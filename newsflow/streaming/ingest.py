@@ -677,13 +677,34 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     merge+distinct recipe would double-count): any partition the rule
     excludes — an older base generation, or a settled delta whose
     deletion crashed — contributes nothing, so every crash window
-    between the base write and the source deletes reads exactly once."""
+    between the base write and the source deletes reads exactly once.
+
+    The read opens ONLY the directories the watermark rule selects
+    (the same explicit-list discipline as `cms_maintenance`'s merge),
+    with an explicit schema: reading the whole table and filtering on
+    the partition column afterwards would let file listing / schema
+    inference touch an EXCLUDED partition, so a torn data file inside
+    a crashed base write could fail the read during exactly the crash
+    window the rule exists to absorb (ADVICE r11)."""
     import pyspark.sql.functions as F
 
+    from newsflow.fs import fs_list_subdirs
+
     w = _cms_base_watermark(spark, sketch_dir)
+    dirs = []
+    for name in fs_list_subdirs(spark, sketch_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        # The valid base (batch=-w, _SUCCESS-verified by the watermark
+        # scan) plus every live delta at or above the watermark.
+        if (b == -w and w > 0) or b >= w:
+            dirs.append(f"{sketch_dir}/{name}")
+    if not dirs:
+        return spark.createDataFrame(
+            [], "salt string, bucket bigint, cell bigint"
+        )
     return (
-        spark.read.parquet(sketch_dir)
-        .filter((F.col("batch") == -w) | (F.col("batch") >= w))
+        spark.read.schema("salt string, bucket bigint, cell bigint")
+        .parquet(*dirs)
         .groupBy("salt", "bucket")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )

@@ -28,7 +28,7 @@ def test_flag_regressions_respects_ratio_and_floor():
 def test_saved_run_defaults_to_strict_exit(monkeypatch, tmp_path):
     base = {"queries": {"q": 1.0}, "data_sig": "sig-a"}
     monkeypatch.setattr(
-        bc, "latest_committed_bench", lambda: ("BENCH_rTEST.json", base)
+        bc, "latest_committed_bench", lambda sig=None: ("BENCH_rTEST.json", base)
     )
     regressed = _write(tmp_path, "cur.json", {"q": 2.0})
     assert bc.main(["bench_check.py", regressed]) == 1
@@ -40,7 +40,7 @@ def test_saved_run_defaults_to_strict_exit(monkeypatch, tmp_path):
 def test_saved_run_passes_clean(monkeypatch, tmp_path):
     base = {"queries": {"q": 1.0}, "data_sig": "sig-a"}
     monkeypatch.setattr(
-        bc, "latest_committed_bench", lambda: ("BENCH_rTEST.json", base)
+        bc, "latest_committed_bench", lambda sig=None: ("BENCH_rTEST.json", base)
     )
     ok = _write(tmp_path, "ok.json", {"q": 1.05})
     assert bc.main(["bench_check.py", ok]) == 0
@@ -55,7 +55,7 @@ def test_changed_data_downgrades_to_informational(monkeypatch, tmp_path):
     monkeypatch.setattr(
         bc,
         "latest_committed_bench",
-        lambda: ("BENCH_rTEST.json",
+        lambda sig=None: ("BENCH_rTEST.json",
                  {"queries": {"q": 1.0}, "data_sig": "sig-a"}),
     )
     regressed = _write(tmp_path, "cur.json", {"q": 2.0}, sig="sig-b")
@@ -64,10 +64,51 @@ def test_changed_data_downgrades_to_informational(monkeypatch, tmp_path):
     monkeypatch.setattr(
         bc,
         "latest_committed_bench",
-        lambda: ("BENCH_rTEST.json", {"queries": {"q": 1.0}}),
+        lambda sig=None: ("BENCH_rTEST.json", {"queries": {"q": 1.0}}),
     )
     assert bc.main(["bench_check.py", regressed]) == 0
 
 
 def test_unreadable_saved_file_is_usage_error(tmp_path):
     assert bc.main(["bench_check.py", str(tmp_path / "missing.json")]) == 2
+
+
+def _write_baseline(root, name, queries, sig):
+    body = {"queries": queries}
+    if sig is not None:
+        body["data_sig"] = sig
+    (root / name).write_text(json.dumps(body))
+
+
+def test_baseline_prefers_same_sig_local(tmp_path):
+    """VERDICT r11 Next #1: the driver's BENCH_r*.json is always
+    cross-data by gating time (testdata regenerates each round), so the
+    per-round BENCH_LOCAL_r*.json with a MATCHING data_sig must win even
+    against a higher-round driver baseline."""
+    _write_baseline(tmp_path, "BENCH_LOCAL_r12.json", {"q": 1.0}, "sig-fresh")
+    _write_baseline(tmp_path, "BENCH_r13.json", {"q": 9.0}, "sig-stale")
+    name, data = bc.latest_committed_bench("sig-fresh", root=tmp_path)
+    assert name == "BENCH_LOCAL_r12.json"
+    assert data["queries"]["q"] == 1.0
+    # No same-sig candidate -> newest overall (cross-data fallback).
+    name, data = bc.latest_committed_bench("sig-other", root=tmp_path)
+    assert name == "BENCH_r13.json"
+    # Same round number: LOCAL sorts after the driver file (newer data).
+    _write_baseline(tmp_path, "BENCH_r12.json", {"q": 5.0}, "sig-fresh")
+    name, _ = bc.latest_committed_bench("sig-fresh", root=tmp_path)
+    assert name == "BENCH_LOCAL_r12.json"
+
+
+def test_planted_regression_hard_fails_with_same_sig_baseline(
+    monkeypatch, tmp_path
+):
+    """The gate is HARD again when a same-data baseline exists: a
+    deliberately planted 2x regression on the same data_sig must exit 1
+    (not the DATA-CHANGED informational pass)."""
+    _write_baseline(tmp_path, "BENCH_LOCAL_r12.json", {"q": 1.0}, "sig-a")
+    monkeypatch.setattr(bc, "ROOT", tmp_path)
+    planted = _write(tmp_path, "cur.json", {"q": 2.0}, sig="sig-a")
+    assert bc.main(["bench_check.py", planted]) == 1
+    # Identical plant on DIFFERENT data stays informational.
+    planted_x = _write(tmp_path, "cur_x.json", {"q": 2.0}, sig="sig-b")
+    assert bc.main(["bench_check.py", planted_x]) == 0

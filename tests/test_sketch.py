@@ -182,10 +182,17 @@ def test_cms_maintenance_crash_windows(spark, tmp_path):
     assert set(fs_list_subdirs(spark, d, "batch=")) == {"batch=-3"}
     assert _sketch_dict(spark, d) == before
 
-    # (b) simulate a crashed base write: a newer base without _SUCCESS.
+    # (b) simulate a crashed base write: a newer base without _SUCCESS
+    # whose data file is TORN (truncated garbage, not valid parquet) —
+    # the read must not even open its footer (ADVICE r11: the explicit
+    # directory-list read, not read-all-then-filter).
     bad = os.path.join(d, "batch=-7")
     shutil.copytree(os.path.join(d, "batch=-3"), bad)
     os.remove(os.path.join(bad, "_SUCCESS"))
+    for name in os.listdir(bad):
+        if name.endswith(".parquet"):
+            with open(os.path.join(bad, name), "wb") as fh:
+                fh.write(b"PAR1\x00torn-mid-write")
     assert _sketch_dict(spark, d) == before  # invalid base ignored
     out = cms_maintenance(spark, d, settled_before=3)
     assert out["debris_deleted"] == 1  # the invalid base swept
