@@ -51,6 +51,22 @@ def fs_mkdirs(spark: SparkSession, path: str) -> bool:
     return bool(fs.mkdirs(jpath))
 
 
+def fs_list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate child DATA files of ``path`` — regular
+    files minus the ``_``/``.`` bookkeeping names (_SUCCESS, .crc) —
+    empty list when ``path`` is absent. Metadata-only (one listStatus),
+    used by the graph-bucket manifest validation."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() and not name.startswith(("_", ".")):
+            out.append(name)
+    return out
+
+
 def fs_list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     """Names of the immediate child DIRECTORIES of ``path`` starting
     with ``prefix`` (e.g. hive partition dirs ``batch=``/``bucket=``);

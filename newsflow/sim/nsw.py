@@ -524,8 +524,13 @@ def nsw_entries_takedown(
 # crash mid-job leaves untouched buckets intact and the failed write
 # staged — but a crash INSIDE the commit window can lose a touched
 # bucket's base edges, which strip-then-reinsert cannot restore (it
-# only re-derives the batch's own rows). The recovery affordance is
-# `ann_index_rebuild_graph` (streaming/ingest.py): rebuild from the
+# only re-derives the batch's own rows). That tear is no longer a
+# silent manual-recovery hazard (VERDICT r11 Next #4): every write
+# refreshes a post-commit `{path}_manifest` of (bucket, n_files);
+# `validate_graph_buckets` detects a manifest-listed bucket left
+# file-less, `read_graph_edges(validate=True)` fails loud with
+# `TornGraphError`, and the streaming ingest path auto-repairs via
+# `ann_index_rebuild_graph` (streaming/ingest.py) — rebuild from the
 # persisted vector store through the IVF-pruned build.
 
 GRAPH_BUCKETS = 32  # check-scale default; production sizes B ~ thousands
@@ -572,12 +577,105 @@ def write_graph_bucketed(
     )
     fs_delete(spark, f"{graph_path}_layout")
     fs_mkdirs(spark, f"{graph_path}_layout/buckets={n_buckets}")
+    _write_graph_manifest(spark, graph_path, _list_bucket_files(spark, graph_path))
     spark.catalog.refreshByPath(graph_path)
 
 
-def read_graph_edges(spark: SparkSession, graph_path: str) -> DataFrame:
+class TornGraphError(RuntimeError):
+    """A bucketed-graph read found manifest-listed buckets with no data
+    files — the signature of a crash inside a bucket-overwrite commit
+    window. Carries the torn bucket ids; recover by re-deriving the
+    graph from the vector store (`ann_index_rebuild_graph`), which the
+    streaming ingest path does automatically."""
+
+    def __init__(self, graph_path: str, torn: list[int]):
+        self.torn = torn
+        super().__init__(
+            f"graph at {graph_path} has {len(torn)} torn bucket(s) "
+            f"{sorted(torn)[:8]}{'...' if len(torn) > 8 else ''}; "
+            "rebuild from the vector store (ann_index_rebuild_graph)"
+        )
+
+
+def _write_graph_manifest(
+    spark: SparkSession, graph_path: str, entries: dict[int, int]
+) -> None:
+    """Post-commit manifest: one (bucket, n_files) row per live bucket
+    partition, written strictly AFTER the bucket swap so it describes
+    committed state. Its own write crash window is fail-safe: no
+    _SUCCESS -> `validate_graph_buckets` reports 'cannot validate'
+    (None) rather than a false tear."""
+    spark.createDataFrame(
+        sorted(entries.items()), "bucket int, n_files int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{graph_path}_manifest")
+
+
+def _read_graph_manifest(
+    spark: SparkSession, graph_path: str
+) -> dict[int, int] | None:
+    from newsflow.fs import fs_exists
+
+    mpath = f"{graph_path}_manifest"
+    if not fs_exists(spark, f"{mpath}/_SUCCESS"):
+        return None
+    return {
+        r["bucket"]: r["n_files"]
+        for r in spark.read.parquet(mpath).collect()
+    }
+
+
+def _list_bucket_files(
+    spark: SparkSession, graph_path: str
+) -> dict[int, int]:
+    """(bucket -> data-file count) by listing the live partition dirs —
+    metadata-only, bounded by the bucket count."""
+    from newsflow.fs import fs_list_data_files, fs_list_subdirs
+
+    return {
+        int(name.split("=", 1)[1]): len(
+            fs_list_data_files(spark, f"{graph_path}/{name}")
+        )
+        for name in fs_list_subdirs(spark, graph_path, "bucket=")
+    }
+
+
+def validate_graph_buckets(
+    spark: SparkSession, graph_path: str
+) -> list[int] | None:
+    """Torn-bucket check against the post-commit manifest: a bucket the
+    manifest records with data files but whose partition dir is now
+    missing or file-less was lost inside an overwrite commit window.
+    Returns the torn bucket ids ([] = healthy); None = no valid
+    manifest to check against (legacy layout, pre-manifest graph, or a
+    manifest write that itself crashed — the fail-safe direction).
+    Metadata-only: one listing per manifest bucket, no data read."""
+    from newsflow.fs import fs_list_data_files
+
+    manifest = _read_graph_manifest(spark, graph_path)
+    if manifest is None:
+        return None
+    return [
+        b
+        for b, n_files in manifest.items()
+        if n_files > 0
+        and not fs_list_data_files(spark, f"{graph_path}/bucket={b}")
+    ]
+
+
+def read_graph_edges(
+    spark: SparkSession, graph_path: str, *, validate: bool = False
+) -> DataFrame:
     """The stored graph as the logical (src, dst, cosine_sim) relation,
-    whichever physical layout (bucketed or legacy) is on disk."""
+    whichever physical layout (bucketed or legacy) is on disk.
+
+    ``validate=True`` runs `validate_graph_buckets` first and raises
+    `TornGraphError` on a torn bucket instead of silently returning a
+    graph missing base edges; the streaming ingest path catches it and
+    auto-rebuilds from the vector store (`ann_index_apply_batch`)."""
+    if validate:
+        torn = validate_graph_buckets(spark, graph_path)
+        if torn:
+            raise TornGraphError(graph_path, torn)
     return spark.read.parquet(graph_path).select("src", "dst", "cosine_sim")
 
 
@@ -635,6 +733,22 @@ def overwrite_touched_graph_buckets(
             .write.mode("overwrite")
             .parquet(f"{graph_path}/bucket={b}")
         )
+    # Post-commit manifest refresh, touched buckets only (untouched
+    # entries carry over): the validate-on-read tear detector's ground
+    # truth. A missing/invalid prior manifest falls back to a full
+    # relist — still metadata-only, bounded by the bucket count.
+    from newsflow.fs import fs_list_data_files
+
+    prior = _read_graph_manifest(spark, graph_path)
+    if prior is None:
+        entries = _list_bucket_files(spark, graph_path)
+    else:
+        entries = dict(prior)
+        for b in set(touched_buckets) | written:
+            entries[b] = len(
+                fs_list_data_files(spark, f"{graph_path}/bucket={b}")
+            )
+    _write_graph_manifest(spark, graph_path, entries)
     spark.catalog.refreshByPath(graph_path)
     return {"buckets_rewritten": len(set(touched_buckets))}
 

@@ -297,6 +297,75 @@ def test_entries_takedown_repins_lost_cells(spark, tmp_path):
     } == before
 
 
+def _tear_one_bucket(graph: str) -> str:
+    """Simulate a crash inside a bucket-overwrite commit window: delete
+    every data file of one non-empty bucket (dir and bookkeeping files
+    remain — the post-delete/pre-rename state)."""
+    for name in sorted(os.listdir(graph)):
+        sub = os.path.join(graph, name)
+        if not (name.startswith("bucket=") and os.path.isdir(sub)):
+            continue
+        data = [f for f in os.listdir(sub) if not f.startswith(("_", "."))]
+        if data:
+            for f in data:
+                os.remove(os.path.join(sub, f))
+            return name
+    raise AssertionError("no non-empty bucket to tear")
+
+
+def test_torn_bucket_detected_on_read(spark, tmp_path):
+    """Validate-on-read (VERDICT r11 Next #4): the post-commit manifest
+    detects a bucket whose data files vanished mid-swap; the validating
+    read fails loud instead of returning a graph missing base edges."""
+    import pytest
+
+    from newsflow.sim.nsw import TornGraphError, validate_graph_buckets
+
+    emb = _emb(spark, n=40)
+    vectors, graph = str(tmp_path / "v"), str(tmp_path / "g")
+    ann_index_init(spark, emb, vectors_path=vectors, graph_path=graph)
+    assert validate_graph_buckets(spark, graph) == []  # healthy
+
+    torn_name = _tear_one_bucket(graph)
+    torn = validate_graph_buckets(spark, graph)
+    assert torn == [int(torn_name.split("=", 1)[1])]
+    with pytest.raises(TornGraphError):
+        read_graph_edges(spark, graph, validate=True)
+    # The non-validating read keeps legacy behavior (callers that
+    # handle recovery themselves).
+    read_graph_edges(spark, graph).count()
+
+
+def test_torn_bucket_auto_recovers_on_next_batch(spark, tmp_path):
+    """The streaming ingest path self-heals: a batch applied onto a
+    torn graph first rebuilds from the vector store (the durable
+    source of truth), then inserts. The exact pre-tear bytes are
+    unrecoverable by contract (bounded-degree mutation discards
+    pruned edges), so the assertion is the recovery CONTRACT: the
+    result is a VALID graph — every stored vector present with a
+    neighbor list, degree <= M — and the refreshed manifest reports
+    healthy."""
+    from newsflow.sim.nsw import GRAPH_M, validate_graph_buckets
+
+    emb = _emb(spark, n=60)
+    base = emb.filter(F.col("vec_id") < 50)
+    batch = emb.filter(F.col("vec_id") >= 50)
+
+    vectors, graph = str(tmp_path / "v"), str(tmp_path / "g")
+    ann_index_init(spark, base, vectors_path=vectors, graph_path=graph)
+    _tear_one_bucket(graph)
+    assert validate_graph_buckets(spark, graph)  # torn going in
+    ann_index_apply_batch(
+        spark, batch, 0, vectors_path=vectors, graph_path=graph
+    )
+    assert validate_graph_buckets(spark, graph) == []  # healed
+    edges = read_graph_edges(spark, graph)
+    srcs = {r.src for r in edges.select("src").distinct().collect()}
+    assert srcs == set(range(60))  # no node lost to the tear
+    max_deg = edges.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert max_deg <= GRAPH_M
+
+
 def test_rebuild_from_vector_store(spark, tmp_path):
     """Recovery affordance for a lost/corrupted graph: rebuild from the
     append-only vector store, exact build, bucketed layout."""
