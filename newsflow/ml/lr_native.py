@@ -139,6 +139,33 @@ ROUND_LOSS = 7
 ROUND_METRIC = 6
 
 
+def _auc_rank_frames(preds: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(totals, rank_sum) of the exact tie-corrected Mann-Whitney AUC
+    over a (y_true, prob) frame — shared by the train-set and held-out
+    metric queries; see `lr_train_metrics_df` for the determinism and
+    scale notes on the distinct-prob window."""
+    g = preds.groupBy("prob").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y_true").alias("cpos"),
+    )
+    w = Window.orderBy("prob").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.withColumn(
+        "cnt_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    rank_sum = cum.agg(
+        F.sum(
+            F.col("cpos")
+            * (F.col("cnt_less") + (F.col("cnt") + 1) / 2.0)
+        ).alias("rs")
+    )
+    totals = preds.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y_true").alias("npos")
+    )
+    return totals, rank_sum
+
+
 def lr_train_metrics_df(embeddings: DataFrame) -> DataFrame:
     """One-row training metrics for the native LR: (n, auc,
     avg_log_loss) — the evaluation itself as an exactly-oracled query
@@ -161,25 +188,7 @@ def lr_train_metrics_df(embeddings: DataFrame) -> DataFrame:
     {ROUND_LOSS} (the ln-ulp discipline), and takes a decimal-exact
     mean."""
     preds = lr_train_preds_df(embeddings)
-    g = preds.groupBy("prob").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("y_true").alias("cpos"),
-    )
-    w = Window.orderBy("prob").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = g.withColumn(
-        "cnt_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
-    )
-    rank_sum = cum.agg(
-        F.sum(
-            F.col("cpos")
-            * (F.col("cnt_less") + (F.col("cnt") + 1) / 2.0)
-        ).alias("rs")
-    )
-    totals = preds.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y_true").alias("npos")
-    )
+    totals, rank_sum = _auc_rank_frames(preds)
     clamp = lambda c: F.greatest(  # noqa: E731
         F.least(c, F.lit(1.0 - 1e-9)), F.lit(1e-9)
     )
@@ -408,4 +417,109 @@ def lr_train_preds_oracle_sql() -> str:
     SELECT ev.vec_id, CAST(ev.y AS BIGINT) AS y_true,
            {_sql_sigmoid(f"w{LR_ITERS}")} AS prob
     FROM ev, w{LR_ITERS}
+    """
+
+
+# --- Held-out evaluation (M11's native twin, VERDICT r11 Next #5) ---------
+
+_HEX = "0123456789abcdef"
+# Deterministic engine-shared split: first md5 nibble of the vec_id's
+# decimal string < 13 -> train (13/16 = 81.25%, the 80/20 analog of the
+# MLlib randomSplit in `lr_model_metrics`, which stays the rows-only
+# API-parity twin — randomSplit's partition-dependent sampling is not a
+# cross-engine contract; a hash split is).
+HOLDOUT_TRAIN_NIB = 13
+
+
+def _is_train_sql(cast: str) -> str:
+    return (
+        f"(instr('{_HEX}', substr(md5(CAST(vec_id AS {cast})), 1, 1)) - 1)"
+        f" < {HOLDOUT_TRAIN_NIB}"
+    )
+
+
+def lr_holdout_metrics_df(embeddings: DataFrame) -> DataFrame:
+    """(n_train, n_test, auc): the native LR fit on the hash-split
+    TRAIN slice only, scored on the held-out slice, with the exact
+    tie-corrected Mann-Whitney AUC — held-out model evaluation itself
+    as an exactly-oracled query (DuckDB re-runs the split, the unrolled
+    GD chain over the train rows, the held-out scoring pass, and the
+    rank statistic). Same scale shape as `lr_train_metrics_df`: the GD
+    passes and the scoring pass are row-local codegen; the only
+    single-partition window is over the distinct-prob table of the
+    held-out slice."""
+    xy = _xy(embeddings)
+    is_train = F.expr(_is_train_sql("string"))
+    # The GD loop makes LR_ITERS + 1 passes over the train slice;
+    # checkpoint so the split filter and md5 run once.
+    train = xy.filter(is_train).localCheckpoint(eager=True)
+    w = lr_fit_xy(train, N_COEF)
+    preds = xy.filter(~is_train).select(
+        "vec_id",
+        F.col("y").cast("long").alias("y_true"),
+        _prob_col(w).alias("prob"),
+    )
+    totals, rank_sum = _auc_rank_frames(preds)
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    auc = (
+        F.col("rs") - F.col("npos") * (F.col("npos") + 1) / 2.0
+    ) / (F.col("npos") * (F.col("n") - F.col("npos")))
+    return (
+        n_train.crossJoin(totals)
+        .crossJoin(rank_sum)
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n").cast("long").alias("n_test"),
+            dround(auc, ROUND_METRIC).alias("auc"),
+        )
+    )
+
+
+def lr_holdout_metrics_oracle_sql() -> str:
+    split = _is_train_sql("VARCHAR")
+    ev_sql = f"""ev AS (
+      SELECT vec_id, list_prepend(1.0, embedding::DOUBLE[]) AS x,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+      WHERE {split}
+    )"""
+    return f"""
+    WITH {lr_ctes_sql_for(ev_sql, N_COEF)},
+    evt AS (
+      SELECT vec_id, list_prepend(1.0, embedding::DOUBLE[]) AS x,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+      WHERE NOT ({split})
+    ),
+    preds AS (
+      SELECT evt.vec_id, evt.y AS y_true,
+             {_sql_sigmoid(f"w{LR_ITERS}", "evt")} AS prob
+      FROM evt, w{LR_ITERS}
+    ),
+    g AS (
+      SELECT prob, count(*) AS cnt, sum(y_true) AS cpos
+      FROM preds GROUP BY prob
+    ),
+    cum AS (
+      SELECT prob, cnt, cpos,
+             coalesce(sum(cnt) OVER (
+               ORDER BY prob
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cnt_less
+      FROM g
+    ),
+    ranks AS (
+      SELECT sum(cpos * (cnt_less + (cnt + 1) / 2.0)) AS rs FROM cum
+    ),
+    tot AS (
+      SELECT count(*) AS n, sum(y_true) AS npos FROM preds
+    )
+    SELECT CAST((SELECT n FROM nrows) AS BIGINT) AS n_train,
+           CAST(tot.n AS BIGINT) AS n_test,
+           {sql_dround(
+               "(ranks.rs - tot.npos * (tot.npos + 1) / 2.0)"
+               " / (tot.npos * (tot.n - tot.npos))",
+               ROUND_METRIC,
+           )} AS auc
+    FROM tot, ranks
     """

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.functions.scalars import tokenize
 from newsflow.ml.pipeline import coefficient_table, fit_binary_lr
-from newsflow.ml.tfidf import fit_transform_tfidf
 from newsflow.registry import register
 from newsflow.tables import load_table
 
@@ -22,6 +21,8 @@ LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 from newsflow.ml import bpe  # noqa: E402, F401  (registers bpe_* queries)
 from newsflow.ml.lr_native import (  # noqa: E402
     lr_calibration_df,
+    lr_holdout_metrics_df,
+    lr_holdout_metrics_oracle_sql,
     lr_calibration_oracle_sql,
     lr_coefficients_df,
     lr_coefficients_oracle_sql,
@@ -138,21 +139,188 @@ def lr_native_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lr_native_holdout_metrics",
+    oracle=lr_holdout_metrics_oracle_sql(),
+    tags=("ml", "iterative", "evaluation"),
+)
+def lr_native_holdout_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_train, n_test, auc): HELD-OUT evaluation of the native LR —
+    M11's generalization-measuring form as an exactly-oracled query
+    (VERDICT r11 Next #5). Deterministic engine-shared hash split
+    (first md5 nibble of vec_id < 13 -> train, ~81/19), GD fit on the
+    train slice only, exact Mann-Whitney AUC on the held-out slice;
+    DuckDB independently re-runs split, training chain, scoring, and
+    rank statistic (ml/lr_native.py::lr_holdout_metrics_df). The MLlib
+    randomSplit variant (`lr_model_metrics`) stays the rows-only
+    API-parity twin — partition-dependent sampling is not a
+    cross-engine contract; a hash split is."""
+    return lr_holdout_metrics_df(
+        spread(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def _sql_str_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _tfidf_top_terms_oracle() -> str:
+    from newsflow.ml.stopwords import ENGLISH_STOPWORDS
+    from newsflow.ml.tfidf import DOMAIN_STOPWORDS, TFIDF_PINNED_VOCAB
+
+    stops = _sql_str_list(list(ENGLISH_STOPWORDS) + list(DOMAIN_STOPWORDS))
+    return rf"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM docs
+    ),
+    filt AS (
+      SELECT doc_id,
+             list_filter(w, x -> NOT list_contains([{stops}], x)) AS f
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, f[i] || ' ' || f[i + 1] AS g
+      FROM filt, UNNEST(range(1, len(f))) AS u(i)
+      WHERE len(f) >= 2
+    ),
+    d AS (SELECT count(*) AS d FROM docs),
+    vocab AS (
+      SELECT g, row_number() OVER (ORDER BY count(*) DESC, g) AS vidx
+      FROM grams GROUP BY g
+      ORDER BY count(*) DESC, g
+      LIMIT {TFIDF_PINNED_VOCAB}
+    ),
+    tf AS (
+      SELECT doc_id, g, count(*) AS tf
+      FROM grams JOIN vocab USING (g)
+      GROUP BY 1, 2
+    ),
+    docfreq AS (SELECT g, count(*) AS df FROM tf GROUP BY g),
+    scored AS (
+      SELECT t.doc_id, t.g, v.vidx,
+             (round(t.tf * ln((d.d + 1.0) / (f.df + 1.0)) + 1e-09, 6)
+              + 0.0) AS s
+      FROM tf t
+      JOIN vocab v USING (g)
+      JOIN docfreq f USING (g)
+      CROSS JOIN d
+    ),
+    ranked AS (
+      SELECT doc_id, g,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY s DESC, vidx
+             ) AS rn
+      FROM scored WHERE s > 0
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(g, '|' ORDER BY rn) AS top_terms
+      FROM ranked WHERE rn <= 5 GROUP BY doc_id
+    )
+    SELECT dd.doc_id, COALESCE(a.top_terms, '') AS top_terms
+    FROM docs dd LEFT JOIN agg a USING (doc_id)
+    ORDER BY dd.doc_id
+    """
+
+
+@register(
     "tfidf_top_terms",
-    doc="M1-M6 — Tokenizer → StopWordsRemover → NGram(2) → CountVectorizer "
-    "→ IDF over documents, top-5 bigrams per doc via the native "
-    "vector_to_array/array_sort extractor (replaces the get_top_k UDF, "
-    "nlp_analysis.py:156-164). Rows-only: CountVectorizer's vocab order "
-    "on tied counts is not an SQL-stable contract.",
+    oracle=_tfidf_top_terms_oracle(),
+    doc="M1-M6 — RegexTokenizer(\\s+) → StopWordsRemover → NGram(2) → "
+    "CountVectorizerModel.from_vocabulary(pinned top-300) → IDF(fit) over "
+    "documents, top-5 bigrams per doc via the native rounded "
+    "vector_to_array extractor (replaces the get_top_k UDF, "
+    "nlp_analysis.py:156-164). EXACTLY oracled since round 12: the two "
+    "non-contractual choices are pinned (deterministic vocabulary "
+    "selection; regex whitespace tokenization) so DuckDB rebuilds the "
+    "whole MLlib chain — tokens, stopword filter, ngrams, tf, "
+    "ln((D+1)/(df+1)) idf, epsilon-rounded ranking — value-exactly "
+    "(ml/tfidf.py::fit_transform_tfidf_oracle_chain). The FITTED "
+    "CountVectorizer (unstable tie order) stays covered by "
+    "theme_lr_coefficients + tests/test_ml.py.",
     tags=("ml", "nlp"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsflow.ml.tfidf import fit_transform_tfidf_oracle_chain
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 200
     )
-    out = fit_transform_tfidf(docs, k=5, vocab_size=1500, min_df=1.0)
+    out, _vocab = fit_transform_tfidf_oracle_chain(docs, k=5)
     return out.select(
         "doc_id", F.array_join("top_terms", "|").alias("top_terms")
+    ).orderBy("doc_id")
+
+
+def _stopwords_filter_oracle() -> str:
+    from newsflow.ml.stopwords import ENGLISH_STOPWORDS
+    from newsflow.ml.tfidf import DOMAIN_STOPWORDS
+
+    stops = _sql_str_list(list(ENGLISH_STOPWORDS) + list(DOMAIN_STOPWORDS))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, t,
+             list_filter(t, x -> NOT list_contains([{stops}], x)) AS k
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(k) AS BIGINT) AS n_kept,
+           array_to_string(k, '|') AS kept_tokens
+    FROM kept
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "stopwords_filter_native",
+    oracle=_stopwords_filter_oracle(),
+    tags=("ml", "nlp"),
+)
+def stopwords_filter_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 StopWordsRemover as a native JVM-side filter, EXACTLY oracled
+    (VERDICT r11 Next #5): `F.filter` with a folded stopword-array
+    literal — ORDER- and DUPLICATE-preserving, which is
+    StopWordsRemover's actual contract (an `array_except` twin would
+    dedupe and lose it). The stopword set is the vendored MLlib English
+    list + the domain lexicon, the same set the TF-IDF chain uses;
+    equivalence with a live `StopWordsRemover.transform` on identical
+    token arrays is asserted in tests/test_ml.py. Scale shape: one
+    row-local expression over the corpus — no shuffle, no UDF, the
+    literal is constant-folded once per task."""
+    from newsflow.functions.text import tokens_expr
+    from newsflow.ml.stopwords import ENGLISH_STOPWORDS
+    from newsflow.ml.tfidf import DOMAIN_STOPWORDS
+
+    stops = ", ".join(
+        "'" + w.replace("'", "\\'") + "'"
+        for w in list(ENGLISH_STOPWORDS) + list(DOMAIN_STOPWORDS)
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tokens_expr("text").alias("t"))
+        .select(
+            "doc_id",
+            F.col("t"),
+            F.expr(
+                f"filter(t, x -> NOT array_contains(array({stops}), x))"
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.size("k").cast("long").alias("n_kept"),
+            F.array_join("k", "|").alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
     )
 
 

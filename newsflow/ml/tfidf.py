@@ -66,15 +66,26 @@ def tfidf_pipeline(
 
 
 def top_k_terms(
-    tfidf_col: Column, vocabulary: list[str], k: int = 5
+    tfidf_col: Column,
+    vocabulary: list[str],
+    k: int = 5,
+    round_dp: int | None = None,
 ) -> Column:
     """M6 — top-k vocabulary terms by TF-IDF, as a native expression.
 
     Matches the reference UDF's semantics (nlp_analysis.py:157-163): only
     nonzero entries compete; ties broken by vocabulary index (ascending),
     which is exactly Python's stable sort on (−score, position).
-    """
+
+    ``round_dp`` ranks by the EPSILON-ROUNDED score instead of the raw
+    double — the oracled chain's contract (a last-ulp ln() difference
+    between engines must not flip the ranking; the r3 rounded-sim
+    ordering rule)."""
+    from newsflow.functions.scalars import dround
+
     scores = vector_to_array(tfidf_col)
+    if round_dp is not None:
+        scores = F.transform(scores, lambda s: dround(s, round_dp))
     idx = F.sequence(F.lit(0), F.size(scores) - F.lit(1))
     pairs = F.transform(
         idx,
@@ -101,6 +112,91 @@ def fit_transform_tfidf(
     out = model.transform(df)
     return out.withColumn(
         "top_terms", top_k_terms(F.col("tfidf"), list(vocab), k=k)
+    )
+
+
+# The oracled chain's deterministic parameters (tfidf_top_terms).
+TFIDF_PINNED_VOCAB = 300
+ROUND_TFIDF = 6
+
+
+def pinned_vocabulary(docs_ngrams: DataFrame, size: int) -> list[str]:
+    """Deterministic vocabulary: top-``size`` ngrams by (corpus count
+    desc, gram asc) — the tie-stable selection rule CountVectorizer's
+    fit lacks (its order on tied counts is unspecified, the reason the
+    fitted-vocab chain stayed rows-only through round 11). Collected to
+    the driver: bounded by ``size``, a model parameter — the
+    `from_vocabulary` API's required form (the KMeans-centroid
+    precedent: small learned state IS the model artifact)."""
+    rows = (
+        docs_ngrams.select(F.explode("ngrams").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "g")
+        .limit(size)
+        .collect()
+    )
+    return [r["g"] for r in rows]
+
+
+def fit_transform_tfidf_oracle_chain(
+    df: DataFrame,
+    k: int = 5,
+    vocab_size: int = TFIDF_PINNED_VOCAB,
+    ngram_n: int = 2,
+) -> tuple[DataFrame, list[str]]:
+    """The M1-M6 chain in its fully-deterministic, SQL-replicable form:
+    every stage is the REAL MLlib transformer, with the two
+    non-contractual choices pinned down (VERDICT r11 Next #5):
+
+    - RegexTokenizer('\\\\s+') instead of Tokenizer — Tokenizer splits
+      on SINGLE whitespace chars, emitting empty tokens inside runs
+      (java.lang.String#split semantics incl. trailing-empty removal),
+      which no SQL engine reproduces as a stable contract; the regex
+      form is the standard whitespace tokenization both engines state
+      identically (lower + split \\\\s+ + drop empties).
+    - `CountVectorizerModel.from_vocabulary(pinned_vocabulary(...))`
+      instead of the fit — index i IS vocabulary[i].
+
+    Stopwords are the vendored English list + DOMAIN_STOPWORDS
+    (ml/stopwords.py; runtime-equality with
+    `loadDefaultStopWords('english')` is asserted in tests). IDF is
+    still FIT (document frequencies are order-independent):
+    idf_j = ln((D + 1) / (df_j + 1)). Returns (frame + top_terms,
+    vocabulary)."""
+    from pyspark.ml.feature import CountVectorizerModel, RegexTokenizer
+
+    from newsflow.ml.stopwords import ENGLISH_STOPWORDS
+
+    stages = [
+        RegexTokenizer(
+            inputCol="text", outputCol="words", pattern="\\s+"
+        ),
+        StopWordsRemover(
+            inputCol="words",
+            outputCol="filtered",
+            stopWords=list(ENGLISH_STOPWORDS) + list(DOMAIN_STOPWORDS),
+        ),
+        NGram(n=ngram_n, inputCol="filtered", outputCol="ngrams"),
+    ]
+    out = df
+    for s in stages:
+        out = s.transform(out)
+    vocab = pinned_vocabulary(out, vocab_size)
+    cv = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol="ngrams", outputCol="tf"
+    )
+    tf = cv.transform(out)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    scored = idf_model.transform(tf)
+    return (
+        scored.withColumn(
+            "top_terms",
+            top_k_terms(
+                F.col("tfidf"), vocab, k=k, round_dp=ROUND_TFIDF
+            ),
+        ),
+        vocab,
     )
 
 
