@@ -417,6 +417,48 @@ def bloom_probe(
     )
 
 
+def _bloom_full_bitmap_oracle() -> str:
+    """The whole-corpus (word, bits) bitmap over md5(text) keys,
+    rebuilt from scratch — the oracle for every streamed/merged bitmap
+    (bit_or is associative+idempotent, so any fold over any batch
+    split must equal this rebuild exactly)."""
+    wsql, bsql = (
+        s.replace("'{S}'", "salt") for s in _bloom_pos_sql("{S}", "k")
+    )
+    return f"""
+    WITH keys AS (SELECT DISTINCT md5(text) AS k FROM documents),
+    pos AS (
+      SELECT k, {wsql} AS word, {bsql} AS bit
+      FROM keys CROSS JOIN (VALUES ('bf0:'), ('bf1:'), ('bf2:'),
+                                   ('bf3:')) s(salt)
+    )
+    SELECT CAST(word AS INT) AS word, bit_or(1::BIGINT << bit) AS bits
+    FROM pos GROUP BY 1
+    ORDER BY word
+    """
+
+
+def _kmv_full_sketch_oracle() -> str:
+    """The whole-corpus per-source KMV sketch (source, h, rn <= k),
+    rebuilt from scratch — the oracle for streamed/merged per-source
+    sketches (k-smallest-distinct is associative+idempotent, so any
+    merge over any batch split must equal this rebuild exactly)."""
+    return f"""
+    WITH {_SQL_SOURCE_GRAMS},
+    hashed AS (SELECT source, md5(g) AS h FROM grams),
+    ranked AS (
+      SELECT source, h,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY h
+             ) AS INT) AS rn
+      FROM hashed
+    )
+    SELECT source, h, rn FROM ranked
+    WHERE rn <= {KMV_K}
+    ORDER BY source, rn
+    """
+
+
 # --- Sharded Bloom: production sizing as code (VERDICT r11 Next #3) -------
 
 # One global bitmap stops working long before 100 TB: at ~10^11 keys a

@@ -875,3 +875,145 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --- Streaming Bloom + KMV maintenance (VERDICT r11 stretch #8) -----------
+
+from newsflow.sketch import (  # noqa: E402
+    _bloom_full_bitmap_oracle,
+    _kmv_full_sketch_oracle,
+)
+
+
+def _replay_documents_stream(spark: SparkSession, sf_dir: str, base: str):
+    """Two-wave documents replay (doc_id parity — the standing
+    incremental split), returned as a maxFilesPerTrigger=1 file
+    stream; the caller owns the tmp dir."""
+    from newsflow.sources.sinks import write_single_parquet_file
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    replay = os.path.join(base, "replay")
+    os.makedirs(replay)
+    for i, wave in enumerate(
+        (
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+    ):
+        write_single_parquet_file(
+            wave,
+            os.path.join(replay, f"{i:02d}.parquet"),
+            mtime=1_000_000_000 + i * 1000,
+        )
+    schema = spark.read.parquet(os.path.join(replay, "00.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(replay)
+    )
+
+
+@register(
+    "streaming_bloom_ingest",
+    # Oracle: the whole-corpus bitmap rebuilt from scratch — the
+    # streamed per-batch deltas OR-folded at read time must equal it
+    # bit for bit (idempotent associative fold, proven on the EXECUTED
+    # stream path).
+    oracle=_bloom_full_bitmap_oracle(),
+    tags=("streaming", "sketch", "dedup", "incremental", "executed"),
+)
+def streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Bloom-bitmap maintenance, EXECUTED end to end
+    (VERDICT r11 stretch #8 — the `cms_ingest_stream` treatment for
+    the membership pre-filter): documents arrive as two micro-batches;
+    each writes its own <= BLOOM_WORDS-row (word, bits) delta into an
+    idempotent ``batch=<id>`` partition
+    (streaming/ingest.py::bloom_ingest_stream); batch 0 is then
+    compacted under a committed-offset watermark (bloom_maintenance)
+    and the returned frame is `read_bloom`'s OR-fold — which must
+    equal the from-scratch whole-corpus bitmap EXACTLY, because bit_or
+    is associative and idempotent. Per-batch state and write volume
+    are corpus-size-independent; this is the index side of
+    `bloom_dedup_prefilter` kept fresh by a stream instead of
+    rebuilt."""
+    from newsflow.streaming.ingest import (
+        bloom_ingest_stream,
+        bloom_maintenance,
+        read_bloom,
+    )
+
+    base = tempfile.mkdtemp(prefix="nf_bloom_ingest_")
+    try:
+        stream = _replay_documents_stream(spark, sf_dir, base)
+        q = bloom_ingest_stream(
+            spark,
+            stream,
+            bloom_dir=os.path.join(base, "bloom"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        bloom_maintenance(
+            spark, os.path.join(base, "bloom"), settled_before=1
+        )
+        out = (
+            read_bloom(spark, os.path.join(base, "bloom"))
+            .orderBy("word")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_kmv_ingest",
+    # Oracle: the whole-corpus per-source KMV sketch rebuilt from
+    # scratch — the streamed deltas' k-smallest-DISTINCT merge must
+    # equal it row for row (the KMV union rule, proven on the EXECUTED
+    # stream path).
+    oracle=_kmv_full_sketch_oracle(),
+    tags=("streaming", "sketch", "approx", "incremental", "executed"),
+)
+def streaming_kmv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-source KMV distinct-sketch maintenance, EXECUTED
+    end to end (VERDICT r11 stretch #8): two document micro-batches
+    each write their own k-row-per-source (source, h) delta
+    (streaming/ingest.py::kmv_ingest_stream); batch 0 is compacted
+    under a watermark (kmv_maintenance) and the returned frame is
+    `read_kmv`'s k-smallest-distinct merge with ranks reattached —
+    which must equal the from-scratch whole-corpus sketch EXACTLY
+    (K(A u B) is the k smallest distinct of K(A) u K(B); the same
+    gram in two batches hashes to the same md5, which is why the
+    merge DISTINCTs before ranking). Every downstream estimator
+    (`source_vocab_kmv`, `source_overlap_kmv`) runs unchanged on the
+    streamed state."""
+    from newsflow.streaming.ingest import (
+        kmv_ingest_stream,
+        kmv_maintenance,
+        read_kmv,
+    )
+
+    base = tempfile.mkdtemp(prefix="nf_kmv_ingest_")
+    try:
+        stream = _replay_documents_stream(spark, sf_dir, base)
+        q = kmv_ingest_stream(
+            spark,
+            stream,
+            kmv_dir=os.path.join(base, "kmv"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        kmv_maintenance(
+            spark, os.path.join(base, "kmv"), settled_before=1
+        )
+        out = (
+            read_kmv(spark, os.path.join(base, "kmv"))
+            .orderBy("source", "rn")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

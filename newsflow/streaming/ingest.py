@@ -726,6 +726,260 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     )
 
 
+def bloom_apply_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, bloom_dir: str
+) -> None:
+    """One micro-batch of Bloom-bitmap maintenance: build the batch's
+    OWN (word, bits) delta over md5(text) keys and overwrite its
+    ``batch=<id>`` partition (idempotent under redelivery, the
+    `cms_apply_batch` recipe). The fold is bit_or — associative AND
+    idempotent, so the streamed bitmap is even more forgiving than the
+    additive CMS: re-merging a delta can never corrupt it."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sketch import bloom_build
+
+    delta = bloom_build(batch.select(F.md5("text").alias("k")))
+    delta.coalesce(1).write.mode("overwrite").parquet(
+        f"{bloom_dir}/batch={int(batch_id)}"
+    )
+
+
+def bloom_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    bloom_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """STREAMING Bloom membership maintenance — the deployment form of
+    the `bloom_dedup_prefilter` index side: each micro-batch appends
+    its own <= BLOOM_WORDS-row bitmap delta; `read_bloom` OR-folds at
+    read time, `bloom_maintenance` compacts settled deltas. State is
+    (batches x W) rows bounded, per-batch write cost is the batch's own
+    key pass — corpus-size-independent."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        bloom_apply_batch(spark, batch, batch_id, bloom_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom(spark: SparkSession, bloom_dir: str) -> DataFrame:
+    """The current bitmap: bit_or across the newest compacted base and
+    every live delta, via the same explicit-directory watermark read as
+    `read_cms_sketch` (a torn excluded partition is never opened).
+    Because bit_or is idempotent, every crash window is absorbed even
+    without the exclusion — the rule here buys bounded listing and
+    uniform lifecycle, not correctness."""
+    import pyspark.sql.functions as F
+
+    from newsflow.fs import fs_list_subdirs
+
+    w = _cms_base_watermark(spark, bloom_dir)
+    dirs = []
+    for name in fs_list_subdirs(spark, bloom_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if (b == -w and w > 0) or b >= w:
+            dirs.append(f"{bloom_dir}/{name}")
+    if not dirs:
+        return spark.createDataFrame([], "word int, bits bigint")
+    return (
+        spark.read.schema("word int, bits bigint")
+        .parquet(*dirs)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+
+
+def bloom_maintenance(
+    spark: SparkSession, bloom_dir: str, *, settled_before: int
+) -> dict[str, int]:
+    """Compact settled Bloom deltas into one OR-folded base partition —
+    `cms_maintenance`'s lifecycle with bit_or in place of sum (the
+    idempotent fold makes every crash window here benign, but the
+    watermark discipline keeps reads bounded and the two sketch
+    stores symmetric)."""
+    import pyspark.sql.functions as F
+
+    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
+
+    if settled_before <= 0 or not fs_exists(spark, bloom_dir):
+        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
+    w = _cms_base_watermark(spark, bloom_dir)
+    if settled_before <= w:
+        settled_before = w
+    merge_dirs, debris = [], []
+    for name in fs_list_subdirs(spark, bloom_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if b < 0:
+            if -b < settled_before or not fs_exists(
+                spark, f"{bloom_dir}/{name}/_SUCCESS"
+            ):
+                debris.append(name)
+            if -b == w and w < settled_before:
+                merge_dirs.append(name)
+        elif b < w:
+            debris.append(name)
+        elif b < settled_before:
+            merge_dirs.append(name)
+    if merge_dirs and settled_before > w:
+        merged = (
+            spark.read.schema("word int, bits bigint")
+            .parquet(*[f"{bloom_dir}/{d}" for d in merge_dirs])
+            .groupBy("word")
+            .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+            .localCheckpoint(eager=True)
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{bloom_dir}/batch=-{settled_before}"
+        )
+        debris.extend(d for d in merge_dirs if d not in debris)
+    for name in set(debris):
+        fs_delete(spark, f"{bloom_dir}/{name}")
+    return {
+        "merged_deltas": len(merge_dirs),
+        "debris_deleted": len(set(debris)),
+        "watermark": max(settled_before, w),
+    }
+
+
+def kmv_apply_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, kmv_dir: str
+) -> None:
+    """One micro-batch of per-source KMV maintenance: the batch's OWN
+    k-smallest (source, h) summary, overwritten into ``batch=<id>``.
+    K(A u B) is the k smallest DISTINCT values of K(A) u K(B), so the
+    merge (`read_kmv`) is associative and idempotent — a replayed or
+    re-merged delta can never move an estimate."""
+    import pyspark.sql.functions as F
+
+    from newsflow.sketch import KMV_K, _source_grams, kmv_sketch
+
+    delta = kmv_sketch(_source_grams(batch)).filter(
+        F.col("rn") <= KMV_K
+    ).select("source", "h")
+    delta.coalesce(1).write.mode("overwrite").parquet(
+        f"{kmv_dir}/batch={int(batch_id)}"
+    )
+
+
+def kmv_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    kmv_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """STREAMING per-source KMV distinct-sketch maintenance — the
+    deployment form of `source_vocab_kmv`'s sketch side: per-batch
+    k-row-per-source deltas, k-smallest-distinct merge at read time,
+    watermark compaction. Per-batch cost is the batch's own distinct
+    pass; stored state is (batches x sources x k) rows bounded."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        kmv_apply_batch(spark, batch, batch_id, kmv_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv(spark: SparkSession, kmv_dir: str) -> DataFrame:
+    """The current merged sketch: per source, the k smallest DISTINCT
+    md5 values across the base and live deltas (rank attached — the
+    same (source, h, rn) shape `kmv_sketch` produces, so every
+    downstream estimator works unchanged on streamed state). DISTINCT
+    before ranking is what makes the merge idempotent: the same gram
+    seen by two batches lands the same md5 in both deltas."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from newsflow.fs import fs_list_subdirs
+    from newsflow.sketch import KMV_K
+
+    w = _cms_base_watermark(spark, kmv_dir)
+    dirs = []
+    for name in fs_list_subdirs(spark, kmv_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if (b == -w and w > 0) or b >= w:
+            dirs.append(f"{kmv_dir}/{name}")
+    if not dirs:
+        return spark.createDataFrame(
+            [], "source string, h string, rn int"
+        )
+    win = Window.partitionBy("source").orderBy("h")
+    return (
+        spark.read.schema("source string, h string")
+        .parquet(*dirs)
+        .distinct()
+        .withColumn("rn", F.row_number().over(win).cast("int"))
+        .filter(F.col("rn") <= KMV_K)
+    )
+
+
+def kmv_maintenance(
+    spark: SparkSession, kmv_dir: str, *, settled_before: int
+) -> dict[str, int]:
+    """Compact settled KMV deltas into one k-smallest-distinct base —
+    the `cms_maintenance` lifecycle with the idempotent KMV merge, so
+    every crash window is benign (re-merging debris cannot change the
+    k smallest distinct values)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
+    from newsflow.sketch import KMV_K
+
+    if settled_before <= 0 or not fs_exists(spark, kmv_dir):
+        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
+    w = _cms_base_watermark(spark, kmv_dir)
+    if settled_before <= w:
+        settled_before = w
+    merge_dirs, debris = [], []
+    for name in fs_list_subdirs(spark, kmv_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if b < 0:
+            if -b < settled_before or not fs_exists(
+                spark, f"{kmv_dir}/{name}/_SUCCESS"
+            ):
+                debris.append(name)
+            if -b == w and w < settled_before:
+                merge_dirs.append(name)
+        elif b < w:
+            debris.append(name)
+        elif b < settled_before:
+            merge_dirs.append(name)
+    if merge_dirs and settled_before > w:
+        win = Window.partitionBy("source").orderBy("h")
+        merged = (
+            spark.read.schema("source string, h string")
+            .parquet(*[f"{kmv_dir}/{d}" for d in merge_dirs])
+            .distinct()
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") <= KMV_K)
+            .select("source", "h")
+            .localCheckpoint(eager=True)
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{kmv_dir}/batch=-{settled_before}"
+        )
+        debris.extend(d for d in merge_dirs if d not in debris)
+    for name in set(debris):
+        fs_delete(spark, f"{kmv_dir}/{name}")
+    return {
+        "merged_deltas": len(merge_dirs),
+        "debris_deleted": len(set(debris)),
+        "watermark": max(settled_before, w),
+    }
+
+
 def cms_maintenance(
     spark: SparkSession, sketch_dir: str, *, settled_before: int
 ) -> dict[str, int]:

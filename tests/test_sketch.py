@@ -391,3 +391,75 @@ def test_kmv_overlap_plan_shape(spark):
     for line in plan.splitlines():
         if "NestedLoopJoin" in line or "CartesianProduct" in line:
             assert "(sa" in line and "sb" in line, line
+
+
+def _bloom_dict(spark, d):
+    from newsflow.streaming.ingest import read_bloom
+
+    return {(r.word): r.bits for r in read_bloom(spark, d).collect()}
+
+
+def _kmv_set(spark, d):
+    from newsflow.streaming.ingest import read_kmv
+
+    return {(r.source, r.h, r.rn) for r in read_kmv(spark, d).collect()}
+
+
+def test_bloom_stream_lifecycle(spark, tmp_path):
+    """Streamed bitmap: replay-idempotent deltas, compaction-invariant
+    reads, and the crash window (base written, source deletes lost) —
+    all benign because bit_or is associative AND idempotent. The merged
+    read must equal the from-scratch build exactly."""
+    import shutil as sh
+
+    from newsflow.streaming.ingest import bloom_apply_batch, bloom_maintenance
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = str(tmp_path / "bloom")
+    for b in range(2):
+        bloom_apply_batch(spark, docs.filter(F.col("doc_id") % 2 == b), b, d)
+    full = {
+        r.word: r.bits
+        for r in sk.bloom_build(docs.select(F.md5("text").alias("k")))
+        .collect()
+    }
+    assert _bloom_dict(spark, d) == full
+    # Replay batch 1: idempotent overwrite.
+    bloom_apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, d)
+    assert _bloom_dict(spark, d) == full
+    # Compact batch 0; read unchanged.
+    out = bloom_maintenance(spark, d, settled_before=1)
+    assert out["merged_deltas"] == 1
+    assert _bloom_dict(spark, d) == full
+    # Crash window: base written but source deletes lost — resurrected
+    # debris is excluded by the watermark rule (and would be harmless
+    # even if folded: OR is idempotent).
+    saved = str(tmp_path / "saved")
+    sh.copytree(d, saved)
+    bloom_maintenance(spark, d, settled_before=2)
+    sh.copytree(saved + "/batch=1", d + "/batch=1")
+    assert _bloom_dict(spark, d) == full
+
+
+def test_kmv_stream_lifecycle(spark, tmp_path):
+    """Streamed per-source KMV: the k-smallest-DISTINCT merge equals
+    the from-scratch sketch (same gram in two batches -> same md5, so
+    DISTINCT-before-rank is load-bearing); replay and compaction are
+    no-ops on the read."""
+    from newsflow.streaming.ingest import kmv_apply_batch, kmv_maintenance
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = str(tmp_path / "kmv")
+    for b in range(2):
+        kmv_apply_batch(spark, docs.filter(F.col("doc_id") % 2 == b), b, d)
+    full = {
+        (r.source, r.h, r.rn)
+        for r in sk.kmv_sketch(sk._source_grams(docs)).collect()
+    }
+    got = _kmv_set(spark, d)
+    assert got == full and len(got) > 0
+    kmv_apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, d)
+    assert _kmv_set(spark, d) == full
+    out = kmv_maintenance(spark, d, settled_before=2)
+    assert out["merged_deltas"] == 2
+    assert _kmv_set(spark, d) == full
