@@ -231,6 +231,31 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_near_dup_pairs_cms_planned",
+    # Same oracle as minhash_near_dup_pairs: the sketch informs only
+    # the PHYSICAL plan (which route a bucket's pairs take), so the
+    # verified output is identical by construction — the driver row
+    # proves "correctness unchanged" for the sketch-informed plan.
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "lsh", "sketch"),
+)
+def minhash_near_dup_pairs_cms_planned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`minhash_near_dup_pairs` under the SKETCH-INFORMED candidate
+    plan (VERDICT r11 stretch #9): a Count-Min row-frequency sketch of
+    the band keys routes est-heavy keys to a list-free star path
+    BEFORE any collect_list runs, making the per-task buffer bound
+    structural instead of after-the-fact
+    (dedup/minhash.py::native_minhash_candidates_cms_planned; planted
+    10x/20x skew measured in scripts/stress_sketch_planning.py +
+    BENCH_sf1.md round-12)."""
+    return minhash.native_minhash_near_dup_pairs_cms_planned(
+        spread(load_table(spark, sf_dir, "documents")), n=3, threshold=0.8
+    )
+
+
 # Single-entry cache for the shared shingle projection: (app id, sf_dir)
 # -> cached DataFrame. The audit queries below are lazy (the consuming
 # action runs in the driver AFTER the builder returns), so the builder

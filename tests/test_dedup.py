@@ -408,3 +408,41 @@ def test_mllib_twin_driver_heap_guard(spark):
     _require_driver_heap_for_mllib_twin(
         spark, docs, "q", max_docs=10, min_heap=1
     )
+
+
+def test_cms_planned_candidates_equal_static_star(spark):
+    """The sketch-informed candidate plan (VERDICT r11 stretch #9) must
+    produce EXACTLY the static (max_bucket, star) policy's pairs — on
+    the real corpus and under a planted viral bucket that forces both
+    the star route and the demotion (false-heavy) route to run."""
+    import pyspark.sql.functions as F2
+
+    from newsflow.dedup import minhash
+    from newsflow.tables import load_table, spread
+
+    docs = spread(load_table(spark, SF_SMOKE, "documents")).select(
+        "doc_id", "text"
+    )
+    viral = (
+        docs.filter(F2.col("doc_id") == 3)
+        .select("text")
+        .crossJoin(
+            spark.range(300).select((F2.col("id") + 100000).alias("doc_id"))
+        )
+        .select("doc_id", "text")
+    )
+    big = docs.unionByName(viral)
+    arrays = minhash.doc_shingle_arrays(big, 3).cache()
+    static = {
+        (r.doc_a, r.doc_b)
+        for r in minhash.native_minhash_candidates(
+            arrays, max_bucket=64, oversize="star"
+        ).collect()
+    }
+    planned = {
+        (r.doc_a, r.doc_b)
+        for r in minhash.native_minhash_candidates_cms_planned(
+            arrays, max_bucket=64
+        ).collect()
+    }
+    assert planned == static and len(static) > 300
