@@ -113,6 +113,13 @@ HEADLINE = [
                                  # (broadcast bitmap dedup gate)
     "source_overlap_kmv",        # KMV set algebra (union/Jaccard/
                                  # intersection from k-row summaries)
+    # Round-12 additions:
+    "bloom_sharded_fpr_eval",    # sharded production Bloom sizing
+                                 # (both forms built + FPR-measured)
+    "minhash_near_dup_pairs_cms_planned",  # sketch-informed oversize
+                                 # routing (structural buffer bound)
+    "tfidf_top_terms",           # full MLlib M1-M6 chain, now oracled
+                                 # (pinned vocab + rounded ranking)
 ]
 
 

@@ -51,6 +51,38 @@ def fs_mkdirs(spark: SparkSession, path: str) -> bool:
     return bool(fs.mkdirs(jpath))
 
 
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file in ONE JVM call (FileSystem.create,
+    overwrite) — no Spark job. For marker/manifest state next to
+    persisted tables: a per-micro-batch Spark write job costs ~0.5 s of
+    scheduler overhead for a 32-row frame (the same-data bench gate
+    caught exactly that as an ingest regression); this costs a
+    filesystem round-trip. Crash mid-write leaves an unparsable file,
+    which readers must treat as absent (the fail-safe direction)."""
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file in one JVM call; None when absent."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+
+
 def fs_list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Names of the immediate child DATA files of ``path`` — regular
     files minus the ``_``/``.`` bookkeeping names (_SUCCESS, .crc) —

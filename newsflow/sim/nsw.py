@@ -600,28 +600,40 @@ class TornGraphError(RuntimeError):
 def _write_graph_manifest(
     spark: SparkSession, graph_path: str, entries: dict[int, int]
 ) -> None:
-    """Post-commit manifest: one (bucket, n_files) row per live bucket
-    partition, written strictly AFTER the bucket swap so it describes
-    committed state. Its own write crash window is fail-safe: no
-    _SUCCESS -> `validate_graph_buckets` reports 'cannot validate'
-    (None) rather than a false tear."""
-    spark.createDataFrame(
-        sorted(entries.items()), "bucket int, n_files int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{graph_path}_manifest")
+    """Post-commit manifest: (bucket -> data-file count) for every live
+    bucket partition, written strictly AFTER the bucket swap so it
+    describes committed state. One JSON text file via a single
+    FileSystem call — NOT a Spark write job (a per-micro-batch job for
+    32 rows costs ~0.5 s of scheduler overhead; the same-data bench
+    gate caught exactly that as a 1.7x ingest regression when this was
+    parquet). Its own crash window is fail-safe: a torn write leaves
+    unparsable JSON, which `_read_graph_manifest` reports as 'cannot
+    validate' (None) rather than a false tear."""
+    import json
+
+    from newsflow.fs import fs_write_text
+
+    fs_write_text(
+        spark,
+        f"{graph_path}_manifest/manifest.json",
+        json.dumps(sorted(entries.items())),
+    )
 
 
 def _read_graph_manifest(
     spark: SparkSession, graph_path: str
 ) -> dict[int, int] | None:
-    from newsflow.fs import fs_exists
+    import json
 
-    mpath = f"{graph_path}_manifest"
-    if not fs_exists(spark, f"{mpath}/_SUCCESS"):
+    from newsflow.fs import fs_read_text
+
+    txt = fs_read_text(spark, f"{graph_path}_manifest/manifest.json")
+    if txt is None:
         return None
-    return {
-        r["bucket"]: r["n_files"]
-        for r in spark.read.parquet(mpath).collect()
-    }
+    try:
+        return {int(b): int(n) for b, n in json.loads(txt)}
+    except (ValueError, TypeError):
+        return None  # torn manifest write: cannot validate, fail-safe
 
 
 def _list_bucket_files(
