@@ -249,10 +249,17 @@ def embed_media(media: DataFrame, dim: int = 16) -> DataFrame:
             vecs = []
             for p in pdf["payload"]:
                 raw = decode_media(p, "any", fake=True)
+                # float64 throughout: integer counts, one IEEE sqrt and
+                # one IEEE division — bit-identical in any engine — then
+                # ONE rounding to float32 at the schema boundary (Arrow
+                # cast). Computing in float32 here would make the
+                # division round differently than a float64 engine can
+                # reproduce, which is what kept this rows-only through
+                # round 11.
                 hist = np.bincount(raw % dim, minlength=dim).astype(
-                    "float32"
+                    "float64"
                 )
-                norm = float(np.linalg.norm(hist))
+                norm = float(np.sqrt(np.sum(hist * hist)))
                 vecs.append((hist / norm if norm > 0 else hist).tolist())
             yield pd.DataFrame(
                 {

@@ -103,26 +103,65 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synth_media(spark, sf_dir), every_n=10)
 
 
+_MEDIA_EMBED_ORACLE = """
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             COALESCE(ascii(substr(text, i, 1)), 0) % 16 AS bucket
+      FROM documents,
+           UNNEST(range(1, GREATEST(length(text), 1) + 1)) AS u(i)
+    ),
+    hist AS (
+      SELECT media_id, bucket, CAST(count(*) AS DOUBLE) AS c
+      FROM b GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT doc_id AS media_id, CAST(d AS BIGINT) AS d
+      FROM documents, UNNEST(range(0, 16)) AS u(d)
+    ),
+    h AS (
+      SELECT dims.media_id, dims.d, COALESCE(hist.c, 0.0) AS c
+      FROM dims LEFT JOIN hist
+        ON hist.media_id = dims.media_id AND hist.bucket = dims.d
+    ),
+    nrm AS (SELECT media_id, sqrt(sum(c * c)) AS n FROM h GROUP BY 1)
+    SELECT h.media_id, h.d AS dim_idx,
+           (round(CAST(CAST(
+              CASE WHEN nrm.n > 0 THEN h.c / nrm.n ELSE h.c END
+            AS REAL) AS DOUBLE) + 1e-09, 7) + 0.0) AS component
+    FROM h JOIN nrm ON nrm.media_id = h.media_id
+    ORDER BY h.media_id, dim_idx
+    """
+
+
 @register(
     "media_embeddings",
+    oracle=_MEDIA_EMBED_ORACLE,
     doc="Deterministic fake feature extraction: payload → L2-normalized "
     "byte-histogram vector, layout-compatible with the embeddings table. "
-    "Rows-only: float vectors aren't hash-stable across engines.",
+    "EXACTLY oracled since round 12: the histogram is integer counts and "
+    "the normalization is one IEEE sqrt + one IEEE division in float64 "
+    "(bit-identical across engines), rounded ONCE to float32 at the "
+    "schema boundary — DuckDB reproduces byte histogram, norm, and the "
+    "float32 cast (CAST AS REAL) per component.",
     tags=("multimodal",),
 )
 def media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component verification of the mapInPandas embedding path:
+    (media_id, dim_idx, component) — every float of every vector
+    hash-checked against the DuckDB rebuild (payload = UTF-8 text
+    bytes, see module docstring), a far stronger contract than the
+    old rows-only sq_norm ≈ 1 summary."""
     emb = embed_media(synth_media(spark, sf_dir), dim=16)
-    return emb.select(
-        "media_id",
-        F.size("embedding").alias("dim"),
-        F.round(
-            F.aggregate(
-                "embedding",
-                F.lit(0.0),
-                lambda acc, x: acc + (x * x).cast("double"),
-            ),
-            2,
-        ).alias("sq_norm"),
+    from newsflow.functions.scalars import dround
+
+    return (
+        emb.select("media_id", F.posexplode("embedding"))
+        .select(
+            "media_id",
+            F.col("pos").cast("long").alias("dim_idx"),
+            dround(F.col("col").cast("double"), 7).alias("component"),
+        )
+        .orderBy("media_id", "dim_idx")
     )
 
 
