@@ -727,19 +727,35 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
 
 
 def bloom_apply_batch(
-    spark: SparkSession, batch: DataFrame, batch_id: int, bloom_dir: str
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    bloom_dir: str,
+    n_shards: int | None = None,
 ) -> None:
     """One micro-batch of Bloom-bitmap maintenance: build the batch's
-    OWN (word, bits) delta over md5(text) keys and overwrite its
+    OWN bitmap delta over md5(text) keys and overwrite its
     ``batch=<id>`` partition (idempotent under redelivery, the
     `cms_apply_batch` recipe). The fold is bit_or — associative AND
     idempotent, so the streamed bitmap is even more forgiving than the
-    additive CMS: re-merging a delta can never corrupt it."""
+    additive CMS: re-merging a delta can never corrupt it.
+
+    ``n_shards`` selects the PRODUCTION-sized sharded form
+    (`bloom_build_sharded`, ~12 bits/key at any key count): deltas are
+    (shard, word, bits) and every consumer must be called with the
+    same ``n_shards`` — shard ids are hash-stable, so deltas built at
+    equal shard counts fold freely. None keeps the fixed 4096-bit
+    check-scale geometry."""
     import pyspark.sql.functions as F
 
-    from newsflow.sketch import bloom_build
+    from newsflow.sketch import bloom_build, bloom_build_sharded
 
-    delta = bloom_build(batch.select(F.md5("text").alias("k")))
+    keys = batch.select(F.md5("text").alias("k"))
+    delta = (
+        bloom_build(keys)
+        if n_shards is None
+        else bloom_build_sharded(keys, n_shards=n_shards)
+    )
     delta.coalesce(1).write.mode("overwrite").parquet(
         f"{bloom_dir}/batch={int(batch_id)}"
     )
@@ -750,6 +766,7 @@ def bloom_ingest_stream(
     stream: DataFrame,
     bloom_dir: str,
     checkpoint_dir: str,
+    n_shards: int | None = None,
 ) -> StreamingQuery:
     """STREAMING Bloom membership maintenance — the deployment form of
     the `bloom_dedup_prefilter` index side: each micro-batch appends
@@ -759,7 +776,7 @@ def bloom_ingest_stream(
     key pass — corpus-size-independent."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        bloom_apply_batch(spark, batch, batch_id, bloom_dir)
+        bloom_apply_batch(spark, batch, batch_id, bloom_dir, n_shards)
 
     return (
         stream.writeStream.foreachBatch(_apply)
@@ -769,15 +786,35 @@ def bloom_ingest_stream(
     )
 
 
-def read_bloom(spark: SparkSession, bloom_dir: str) -> DataFrame:
+def _bloom_delta_schema(sharded: bool) -> str:
+    return (
+        "shard int, word int, bits bigint"
+        if sharded
+        else "word int, bits bigint"
+    )
+
+
+def _bloom_fold(df: DataFrame, sharded: bool) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    keys = ["shard", "word"] if sharded else ["word"]
+    return df.groupBy(*keys).agg(
+        F.expr("bit_or(bits)").cast("long").alias("bits")
+    )
+
+
+def read_bloom(
+    spark: SparkSession, bloom_dir: str, sharded: bool = False
+) -> DataFrame:
     """The current bitmap: bit_or across the newest compacted base and
     every live delta, via the same explicit-directory watermark read as
     `read_cms_sketch` (a torn excluded partition is never opened).
     Because bit_or is idempotent, every crash window is absorbed even
     without the exclusion — the rule here buys bounded listing and
-    uniform lifecycle, not correctness."""
-    import pyspark.sql.functions as F
-
+    uniform lifecycle, not correctness. ``sharded=True`` reads a store
+    of `bloom_build_sharded` deltas ((shard, word, bits), the
+    production geometry) — pass it consistently with the writer's
+    ``n_shards``."""
     from newsflow.fs import fs_list_subdirs
 
     w = _cms_base_watermark(spark, bloom_dir)
@@ -787,17 +824,19 @@ def read_bloom(spark: SparkSession, bloom_dir: str) -> DataFrame:
         if (b == -w and w > 0) or b >= w:
             dirs.append(f"{bloom_dir}/{name}")
     if not dirs:
-        return spark.createDataFrame([], "word int, bits bigint")
-    return (
-        spark.read.schema("word int, bits bigint")
-        .parquet(*dirs)
-        .groupBy("word")
-        .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+        return spark.createDataFrame([], _bloom_delta_schema(sharded))
+    return _bloom_fold(
+        spark.read.schema(_bloom_delta_schema(sharded)).parquet(*dirs),
+        sharded,
     )
 
 
 def bloom_maintenance(
-    spark: SparkSession, bloom_dir: str, *, settled_before: int
+    spark: SparkSession,
+    bloom_dir: str,
+    *,
+    settled_before: int,
+    sharded: bool = False,
 ) -> dict[str, int]:
     """Compact settled Bloom deltas into one OR-folded base partition —
     `cms_maintenance`'s lifecycle with bit_or in place of sum (the
@@ -828,13 +867,12 @@ def bloom_maintenance(
         elif b < settled_before:
             merge_dirs.append(name)
     if merge_dirs and settled_before > w:
-        merged = (
-            spark.read.schema("word int, bits bigint")
-            .parquet(*[f"{bloom_dir}/{d}" for d in merge_dirs])
-            .groupBy("word")
-            .agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
-            .localCheckpoint(eager=True)
-        )
+        merged = _bloom_fold(
+            spark.read.schema(_bloom_delta_schema(sharded)).parquet(
+                *[f"{bloom_dir}/{d}" for d in merge_dirs]
+            ),
+            sharded,
+        ).localCheckpoint(eager=True)
         merged.coalesce(1).write.mode("overwrite").parquet(
             f"{bloom_dir}/batch=-{settled_before}"
         )

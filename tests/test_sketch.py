@@ -460,6 +460,62 @@ def test_kmv_stream_lifecycle(spark, tmp_path):
     assert got == full and len(got) > 0
     kmv_apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, d)
     assert _kmv_set(spark, d) == full
+    import shutil as sh
+
+    saved = str(tmp_path / "saved")
+    sh.copytree(d, saved)
     out = kmv_maintenance(spark, d, settled_before=2)
     assert out["merged_deltas"] == 2
     assert _kmv_set(spark, d) == full
+    # Crash window: base written, source deletes lost — resurrected
+    # debris is excluded by the watermark rule, and would be harmless
+    # even if folded (k-smallest-distinct is idempotent).
+    sh.copytree(saved + "/batch=1", d + "/batch=1")
+    assert _kmv_set(spark, d) == full
+    out = kmv_maintenance(spark, d, settled_before=2)
+    assert out["debris_deleted"] == 1
+    assert _kmv_set(spark, d) == full
+
+
+def test_bloom_stream_lifecycle_sharded(spark, tmp_path):
+    """The PRODUCTION-sized sharded bitmap under the same stream
+    lifecycle: per-batch (shard, word, bits) deltas OR-fold to the
+    from-scratch sharded build, and compaction leaves the read
+    unchanged — shard ids are hash-stable, so deltas built at equal
+    shard counts merge freely."""
+    from newsflow.streaming.ingest import (
+        bloom_apply_batch,
+        bloom_maintenance,
+        read_bloom,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    d = str(tmp_path / "bloom_sharded")
+    ns = 7
+    for b in range(2):
+        bloom_apply_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == b), b, d, n_shards=ns
+        )
+    full = {
+        (r.shard, r.word): r.bits
+        for r in sk.bloom_build_sharded(
+            docs.select(F.md5("text").alias("k")), n_shards=ns
+        ).collect()
+    }
+
+    def _read():
+        return {
+            (r.shard, r.word): r.bits
+            for r in read_bloom(spark, d, sharded=True).collect()
+        }
+
+    assert _read() == full and len(full) > 0
+    out = bloom_maintenance(spark, d, settled_before=2, sharded=True)
+    assert out["merged_deltas"] == 2
+    assert _read() == full
+    # Probing the streamed bitmap: no false negatives, structural.
+    keys = docs.select(F.md5("text").alias("k")).distinct()
+    probed = sk.bloom_probe_sharded(
+        keys, read_bloom(spark, d, sharded=True), n_shards=ns
+    )
+    assert probed.filter(~F.col("might_contain")).count() == 0
