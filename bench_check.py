@@ -6,6 +6,13 @@ Usage:
     python bench_check.py                 # runs bench.py, compares
     python bench_check.py current.json    # compares a saved bench line
 
+Round-start ritual (keeps the gate HARD): the driver regenerates
+/root/testdata every round, so run `python bench.py` once on the fresh
+corpus FIRST THING each round and commit the JSON line as
+BENCH_LOCAL_r<N>.json — every subsequent in-round commit is then gated
+against a same-data_sig baseline instead of the always-cross-data
+driver bench.
+
 Noise floor: regressions smaller than ABS_FLOOR_SEC absolute are
 ignored — at sf0.1 several headline queries run in ~0.2 s, where a
 1.5x "regression" is run-to-run jitter, not a plan change (the exact
