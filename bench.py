@@ -171,6 +171,20 @@ def main() -> None:
         except Exception:
             pass
 
+    # Machine-speed calibration: a fixed CPU-bound probe (64M xxhash64
+    # + sum, data-independent, codegen) timed best-of-3 AFTER the warm
+    # pass. `data_sig` already separates data variance from code
+    # regressions; this separates MACHINE variance — the round-12 close
+    # measured the identical code + identical corpus 1.5-2x slower than
+    # at round start (shared host drift over ~11 h, worktree-bisected),
+    # which would read as a broad false regression. bench_check scales
+    # the baseline by the calibration ratio before applying the gate.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(64_000_000).selectExpr("sum(xxhash64(id))").collect()
+        calib = min(calib, time.perf_counter() - t0)
+
     specs = registry.all_specs()
     timings: dict[str, float] = {}
     total = 0.0
@@ -202,6 +216,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "data_sig": data_sig(sf_dir),
+                "calib_sec": round(calib, 3),
             }
         )
     )

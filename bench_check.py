@@ -13,6 +13,13 @@ BENCH_LOCAL_r<N>.json — every subsequent in-round commit is then gated
 against a same-data_sig baseline instead of the always-cross-data
 driver bench.
 
+Variance model — three stamped signals separate a real plan
+regression from the two big confounders: `data_sig` (same corpus?) and
+`calib_sec` (same machine speed? a fixed CPU probe; the baseline is
+scaled by the calibration ratio before the gate applies, see
+`drift_factor`). What survives both corrections and the two-run rule
+is a code regression.
+
 Noise floor: regressions smaller than ABS_FLOOR_SEC absolute are
 ignored — at sf0.1 several headline queries run in ~0.2 s, where a
 1.5x "regression" is run-to-run jitter, not a plan change (the exact
@@ -115,12 +122,31 @@ def run_bench() -> dict:
     raise RuntimeError("bench.py printed no JSON line")
 
 
-def flag_regressions(current: dict, baseline: dict) -> list[str]:
-    """Queries exceeding the ratio gate AND the absolute floor."""
+def drift_factor(current: dict, baseline: dict) -> float:
+    """Machine-speed ratio between the two runs, from bench.py's fixed
+    CPU-bound calibration probe (`calib_sec`): > 1 means the current
+    machine is SLOWER than when the baseline was measured. The round-12
+    close hit exactly this — identical code + identical corpus measured
+    1.5-2x slower after ~11 h of shared-host drift (worktree-bisected),
+    a broad false FAIL under an uncorrected gate. The factor scales the
+    baseline before the ratio test, keeping the gate hard under drift;
+    clamped to [0.5, 4] so a corrupt probe can never fully disarm it,
+    and 1.0 (no correction) when either side predates the probe."""
+    c, b = current.get("calib_sec"), baseline.get("calib_sec")
+    if not c or not b or b <= 0:
+        return 1.0
+    return min(max(c / b, 0.5), 4.0)
+
+
+def flag_regressions(
+    current: dict, baseline: dict, drift: float = 1.0
+) -> list[str]:
+    """Queries exceeding the ratio gate AND the absolute floor, against
+    the drift-scaled baseline."""
     shared = set(current.get("queries", {})) & set(baseline.get("queries", {}))
     out = []
     for q in sorted(shared):
-        cur, old = current["queries"][q], baseline["queries"][q]
+        cur, old = current["queries"][q], baseline["queries"][q] * drift
         ratio = cur / old if old > 0 else float("inf")
         if ratio > REGRESSION_FACTOR and (cur - old) > ABS_FLOOR_SEC:
             out.append(q)
@@ -161,17 +187,19 @@ def main(argv: list[str]) -> int:
     # (informational) instead of failing the gate.
     base_sig = baseline.get("data_sig")
     same_data = cur_sig is not None and cur_sig == base_sig
+    drift = drift_factor(current, baseline)
 
     shared = sorted(
         set(current.get("queries", {})) & set(baseline.get("queries", {}))
     )
-    suspects = flag_regressions(current, baseline)
+    suspects = flag_regressions(current, baseline, drift)
     print(f"bench_check: current vs {base_name} "
           f"({len(shared)} shared queries, gate {REGRESSION_FACTOR}x, "
           f"floor {ABS_FLOOR_SEC}s, two-run rule, "
-          f"data {'SAME' if same_data else 'CHANGED/unknown'})")
+          f"data {'SAME' if same_data else 'CHANGED/unknown'}, "
+          f"machine drift {drift:4.2f}x)")
     for q in shared:
-        cur, old = current["queries"][q], baseline["queries"][q]
+        cur, old = current["queries"][q], baseline["queries"][q] * drift
         ratio = cur / old if old > 0 else float("inf")
         flag = "  <-- suspect" if q in suspects else ""
         print(f"  {q:40s} {old:7.3f}s -> {cur:7.3f}s  ({ratio:4.2f}x){flag}")
@@ -203,10 +231,13 @@ def main(argv: list[str]) -> int:
     print(f"bench_check: re-running to confirm {len(suspects)} suspect(s) "
           "(two-run rule)...")
     second = run_bench()
-    confirmed = [q for q in flag_regressions(second, baseline) if q in suspects]
+    drift2 = drift_factor(second, baseline)
+    confirmed = [
+        q for q in flag_regressions(second, baseline, drift2) if q in suspects
+    ]
     for q in suspects:
         cur2 = second["queries"].get(q)
-        old = baseline["queries"][q]
+        old = baseline["queries"][q] * drift2
         verdict = "REGRESSION" if q in confirmed else "noise (2nd run ok)"
         print(f"  {q:40s} 2nd run {cur2:7.3f}s vs {old:7.3f}s  -> {verdict}")
     if confirmed:

@@ -112,3 +112,37 @@ def test_planted_regression_hard_fails_with_same_sig_baseline(
     # Identical plant on DIFFERENT data stays informational.
     planted_x = _write(tmp_path, "cur_x.json", {"q": 2.0}, sig="sig-b")
     assert bc.main(["bench_check.py", planted_x]) == 0
+
+
+def test_machine_drift_correction(monkeypatch, tmp_path):
+    """Round-12 close: identical code + identical corpus measured
+    1.5-2x slower after hours of shared-host drift (worktree-bisected)
+    — a broad false FAIL. With calibration stamped on both sides, the
+    gate scales the baseline by the machine-speed ratio: uniform drift
+    passes, while a REAL regression riding on top of the drift still
+    fails."""
+    base = {
+        "queries": {"a": 1.0, "b": 2.0},
+        "data_sig": "sig-a",
+        "calib_sec": 0.5,
+    }
+    monkeypatch.setattr(
+        bc, "latest_committed_bench", lambda sig=None: ("B.json", base)
+    )
+    # Uniform 1.8x slowdown, calibration agrees -> not a regression.
+    drifted = _write(tmp_path, "d.json", {"a": 1.8, "b": 3.6})
+    body = json.loads(open(drifted).read())
+    body["calib_sec"] = 0.9
+    open(drifted, "w").write(json.dumps(body))
+    assert bc.main(["bench_check.py", drifted]) == 0
+    # Query 'a' regressed 3.6x while the machine drifted only 1.8x ->
+    # still 2x against the corrected baseline: FAIL.
+    mixed = _write(tmp_path, "m.json", {"a": 3.6, "b": 3.6})
+    body = json.loads(open(mixed).read())
+    body["calib_sec"] = 0.9
+    open(mixed, "w").write(json.dumps(body))
+    assert bc.main(["bench_check.py", mixed]) == 1
+    # Clamp: a corrupt probe (100x) cannot disarm the gate past 4x.
+    assert bc.drift_factor({"calib_sec": 50.0}, {"calib_sec": 0.5}) == 4.0
+    # Pre-probe baselines: no correction.
+    assert bc.drift_factor({"calib_sec": 0.9}, {"queries": {}}) == 1.0
