@@ -146,6 +146,33 @@ def data_sig(sf_dir: str) -> str:
         return "unknown"
 
 
+def calibration_probe(spark, rows: int = 64_000_000, reps: int = 3) -> float:
+    """Machine-speed calibration: a fixed CPU-bound probe (xxhash64 +
+    sum over `rows` generated ids, data-independent, codegen) timed
+    best-of-`reps`. `data_sig` separates data variance from code
+    regressions; this separates MACHINE variance — the round-12 close
+    measured identical code + identical corpus 1.5-2x slower than at
+    round start (shared host drift over ~11 h, worktree-bisected),
+    which would read as a broad false regression. bench_check scales
+    the baseline by the calibration ratio before applying the gate.
+
+    The reduction is `sum(xxhash64(id) % 1000000007)`: xxhash64 yields
+    pseudorandom int64s whose plain running sum overflows long within
+    64M rows, and Spark 4.x runs ANSI mode ON by default, so the
+    unreduced form throws ARITHMETIC_OVERFLOW (this killed the entire
+    round-12 driver bench, BENCH_r12.json rc=1). The modulus bounds the
+    sum at rows * 1e9 << 2^63 while keeping the probe CPU-shape
+    identical (hash + arithmetic + single-agg shuffle)."""
+    calib = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(rows).selectExpr(
+            "sum(xxhash64(id) % 1000000007)"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    return calib
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -171,19 +198,10 @@ def main() -> None:
         except Exception:
             pass
 
-    # Machine-speed calibration: a fixed CPU-bound probe (64M xxhash64
-    # + sum, data-independent, codegen) timed best-of-3 AFTER the warm
-    # pass. `data_sig` already separates data variance from code
-    # regressions; this separates MACHINE variance — the round-12 close
-    # measured the identical code + identical corpus 1.5-2x slower than
-    # at round start (shared host drift over ~11 h, worktree-bisected),
-    # which would read as a broad false regression. bench_check scales
-    # the baseline by the calibration ratio before applying the gate.
-    calib = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        spark.range(64_000_000).selectExpr("sum(xxhash64(id))").collect()
-        calib = min(calib, time.perf_counter() - t0)
+    # Timed AFTER the warm pass so it measures machine speed, not JVM
+    # startup. See calibration_probe's docstring for the ANSI-overflow
+    # history behind the reduction shape.
+    calib = calibration_probe(spark)
 
     specs = registry.all_specs()
     timings: dict[str, float] = {}

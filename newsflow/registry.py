@@ -108,25 +108,33 @@ def _load_all_modules() -> None:
 # then least-recently-green), so a new query can never silently sit
 # outside the driver's 50-slot window for more than ceil(N/50) rounds
 # (tests/test_registry_schedule.py proves the bound by simulation).
-_RECHECK_DECLARED_ROUND = 12
+_RECHECK_DECLARED_ROUND = 13
 _RECHECK_THIS_ROUND = (
-    # Round-12 freshness pins (VERDICT r11 Next #2): these ten oracled
-    # queries were last driver-green in round 7 — four rounds stale —
-    # and since NEVER-green (new) registrations rank ahead of
-    # least-recently-green ones, heavy new registration could starve
-    # them past the 50-slot window again. Pinning jumps them to the
-    # front of the r12 window; each auto-expires on its first green row
-    # in a round >= 12 and returns to normal rotation.
-    "doc_tfidf_keywords",
-    "doc_unigram_nll",
-    "exact_dedup_stream",
-    "mmr_diversified_topk",
-    "session_window_stats_stream",
-    "sliding_window_counts_stream",
-    "source_kl_divergence",
-    "streaming_takedown_exec",
-    "tumbling_window_counts_stream",
-    "user_event_keys_stream_watermarked",
+    # Round-13 freshness pins (VERDICT r12 Next #5): the 18 oracled
+    # queries last driver-green in round 8 — the oldest cohort left
+    # after round 12 cleared the r7 debt. Pinning jumps them to the
+    # front of the r13 window so the last-green histogram floor rises
+    # to r9; each auto-expires on its first green row in a round >= 13
+    # and returns to normal rotation. (The round-12 pins — the r7
+    # cohort — all went green in CORRECTNESS_r12 and have expired.)
+    "bm25_topk",
+    "cohort_retention",
+    "doc_weighted_sample",
+    "event_burst_collapse",
+    "event_type_transitions",
+    "events_asof_updates",
+    "events_value_tiers",
+    "incremental_agg_update",
+    "incremental_percentile_update",
+    "keep_first_dedup",
+    "large_order_customers",
+    "national_supply_balance",
+    "revenue_by_status_salted",
+    "session_window_stats_stream_watermarked",
+    "sliding_window_counts_stream_watermarked",
+    "stream_static_enrichment",
+    "tokenizer_vocab",
+    "tumbling_window_counts_stream_watermarked",
 )
 
 

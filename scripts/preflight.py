@@ -76,8 +76,52 @@ def artifacts_committed() -> None:
     print("artifacts OK: none loose", flush=True)
 
 
+def bench_harness_dirty() -> bool:
+    """True when bench.py / bench_check.py differ from HEAD (staged,
+    unstaged, or untracked). Round 12 shipped a calibration probe in
+    bench.py via a `--fast` commit; it had never executed once and
+    crashed the entire driver bench (ANSI overflow, BENCH_r12 rc=1).
+    A change to the bench harness is exactly the change `--fast`
+    cannot be allowed to skip."""
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--", "bench.py", "bench_check.py"],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+    ).stdout
+    return bool(out.strip())
+
+
+def bench_smoke() -> None:
+    """Execute bench.py's calibration probe (small range) plus one
+    headline query end-to-end — the minimum proof that an edited bench
+    harness still runs. Unit tests on the drift math can't catch a
+    probe expression that only fails when EXECUTED (round 12's ANSI
+    overflow)."""
+    code = (
+        f"import sys; sys.path.insert(0, {ROOT!r})\n"
+        "from newsflow.session import get_spark\n"
+        "import bench\n"
+        "spark = get_spark(app_name='bench-smoke', master='local[4]',\n"
+        "                  shuffle_partitions=4)\n"
+        "c = bench.calibration_probe(spark, rows=1_000_000, reps=1)\n"
+        "assert c > 0, 'probe returned nonpositive time'\n"
+        "import bench_check\n"
+        "print(f'bench smoke OK: calib={c:.3f}s')\n"
+    )
+    stage("bench smoke (probe executes)", [sys.executable, "-c", code])
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
+    if fast and bench_harness_dirty():
+        print(
+            "preflight: bench.py/bench_check.py changed — --fast refused "
+            "for the bench harness (r12 lesson); running bench smoke + "
+            "full trend gate.",
+            flush=True,
+        )
+        fast = False
     artifacts_committed()
     contract()
     stage(
@@ -85,6 +129,7 @@ def main() -> None:
         [sys.executable, "-m", "pytest", "tests/test_oracle_parity.py", "-q", "-x"],
     )
     if not fast:
+        bench_smoke()
         stage("bench trend gate", [sys.executable, "bench_check.py"])
     print("\npreflight PASS", flush=True)
 

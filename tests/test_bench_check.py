@@ -146,3 +146,34 @@ def test_machine_drift_correction(monkeypatch, tmp_path):
     assert bc.drift_factor({"calib_sec": 50.0}, {"calib_sec": 0.5}) == 4.0
     # Pre-probe baselines: no correction.
     assert bc.drift_factor({"calib_sec": 0.9}, {"queries": {}}) == 1.0
+
+
+def test_calibration_probe_executes(spark):
+    """EXECUTE bench.py's machine-speed probe on a real session — the
+    round-12 probe (`sum(xxhash64(id))`, no reduction) passed every
+    unit test yet crashed the entire driver bench with
+    ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode, because no
+    test ever ran the expression. Small range keeps this fast; the
+    expression shape (hash + modulus + sum) is identical to the 64M
+    production probe, so an ANSI-illegal edit fails here first."""
+    import bench
+
+    calib = bench.calibration_probe(spark, rows=1_000_000, reps=1)
+    assert calib > 0.0
+
+
+def test_calibration_probe_survives_ansi_on(spark):
+    """The probe must be legal under ANSI mode specifically (Spark 4
+    default; the driver's session does not disable it)."""
+    import bench
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        calib = bench.calibration_probe(spark, rows=1_000_000, reps=1)
+        assert calib > 0.0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
