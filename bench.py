@@ -146,6 +146,34 @@ def data_sig(sf_dir: str) -> str:
         return "unknown"
 
 
+def cpu_calibration_probe(
+    elems: int = 32_000_000, rounds: int = 3, reps: int = 3
+) -> float:
+    """Spark-INDEPENDENT machine-speed probe: a fixed single-threaded
+    numpy integer workload (splitmix-style multiply/xor/shift sweeps),
+    best-of-reps. ADVICE r12: the Spark-side probe (`calibration_probe`)
+    measures the engine too, so an engine/session-config regression
+    that slows the probe partially masks itself through its own drift
+    correction. bench_check prefers THIS probe for the correction —
+    pure CPU cannot be slowed by a Spark change, so any engine-side
+    slowdown surfaces as a genuine regression — and uses disagreement
+    between the two probes to call out "engine drift, not machine
+    drift" loudly."""
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a = np.arange(elems, dtype=np.uint64)
+        for _ in range(rounds):
+            a = a * np.uint64(0x9E3779B97F4A7C15)
+            a ^= a >> np.uint64(29)
+        sink = int(a[::4_000_003].sum())  # touch the result
+        assert sink >= 0
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def calibration_probe(spark, rows: int = 64_000_000, reps: int = 3) -> float:
     """Machine-speed calibration: a fixed CPU-bound probe (xxhash64 +
     sum over `rows` generated ids, data-independent, codegen) timed
@@ -202,6 +230,7 @@ def main() -> None:
     # startup. See calibration_probe's docstring for the ANSI-overflow
     # history behind the reduction shape.
     calib = calibration_probe(spark)
+    cpu_calib = cpu_calibration_probe()
 
     specs = registry.all_specs()
     timings: dict[str, float] = {}
@@ -235,6 +264,7 @@ def main() -> None:
                 "sf": sf,
                 "data_sig": data_sig(sf_dir),
                 "calib_sec": round(calib, 3),
+                "cpu_calib_sec": round(cpu_calib, 3),
             }
         )
     )

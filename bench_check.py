@@ -122,20 +122,72 @@ def run_bench() -> dict:
     raise RuntimeError("bench.py printed no JSON line")
 
 
+DRIFT_WARN_FACTOR = 1.5  # |drift| beyond this is shouted, not silent
+PROBE_DISAGREE_FACTOR = 1.5  # spark-vs-cpu probe drift mismatch alarm
+
+
+def _probe_ratio(current: dict, baseline: dict, key: str) -> float | None:
+    c, b = current.get(key), baseline.get(key)
+    if not c or not b or b <= 0:
+        return None
+    return c / b
+
+
 def drift_factor(current: dict, baseline: dict) -> float:
-    """Machine-speed ratio between the two runs, from bench.py's fixed
-    CPU-bound calibration probe (`calib_sec`): > 1 means the current
+    """Machine-speed ratio between the two runs: > 1 means the current
     machine is SLOWER than when the baseline was measured. The round-12
     close hit exactly this — identical code + identical corpus measured
     1.5-2x slower after ~11 h of shared-host drift (worktree-bisected),
     a broad false FAIL under an uncorrected gate. The factor scales the
     baseline before the ratio test, keeping the gate hard under drift;
     clamped to [0.5, 4] so a corrupt probe can never fully disarm it,
-    and 1.0 (no correction) when either side predates the probe."""
-    c, b = current.get("calib_sec"), baseline.get("calib_sec")
-    if not c or not b or b <= 0:
+    and 1.0 (no correction) when neither probe spans both runs.
+
+    The correction PREFERS the Spark-independent pure-CPU probe
+    (`cpu_calib_sec`, ADVICE r12): the Spark-executed probe
+    (`calib_sec`) runs through get_spark + the scheduler, so an
+    engine/session-config regression that slows the probe would scale
+    the baseline up and partially mask itself. A numpy loop cannot be
+    slowed by a Spark change — with the CPU probe in charge, engine
+    slowdowns stay visible as query regressions, and
+    `drift_diagnostics` flags spark-vs-cpu probe disagreement as
+    "engine drift, not machine drift"."""
+    cpu = _probe_ratio(current, baseline, "cpu_calib_sec")
+    spark = _probe_ratio(current, baseline, "calib_sec")
+    r = cpu if cpu is not None else spark
+    if r is None:
         return 1.0
-    return min(max(c / b, 0.5), 4.0)
+    return min(max(r, 0.5), 4.0)
+
+
+def drift_diagnostics(current: dict, baseline: dict) -> list[str]:
+    """Loud-warning lines for suspicious drift (ADVICE r12): a large
+    correction should never be silent, and the two probes disagreeing
+    means the 'drift' lives in the engine, not the machine."""
+    warnings = []
+    cpu = _probe_ratio(current, baseline, "cpu_calib_sec")
+    spark = _probe_ratio(current, baseline, "calib_sec")
+    applied = drift_factor(current, baseline)
+    if applied > DRIFT_WARN_FACTOR or applied < 1.0 / DRIFT_WARN_FACTOR:
+        warnings.append(
+            f"bench_check: WARNING — machine drift correction {applied:.2f}x "
+            f"exceeds {DRIFT_WARN_FACTOR}x; the gate is being rescaled "
+            "heavily. Verify host load before trusting a PASS."
+        )
+    if cpu is not None and spark is not None and cpu > 0:
+        mismatch = spark / cpu
+        if (
+            mismatch > PROBE_DISAGREE_FACTOR
+            or mismatch < 1.0 / PROBE_DISAGREE_FACTOR
+        ):
+            warnings.append(
+                f"bench_check: WARNING — Spark probe drift {spark:.2f}x vs "
+                f"pure-CPU probe drift {cpu:.2f}x: the machine did not slow "
+                "down, the ENGINE did (session config / scheduler change?). "
+                "Correction uses the CPU probe, so the slowdown will show "
+                "in the per-query ratios — investigate before shipping."
+            )
+    return warnings
 
 
 def flag_regressions(
@@ -188,6 +240,8 @@ def main(argv: list[str]) -> int:
     base_sig = baseline.get("data_sig")
     same_data = cur_sig is not None and cur_sig == base_sig
     drift = drift_factor(current, baseline)
+    for w in drift_diagnostics(current, baseline):
+        print(w)
 
     shared = sorted(
         set(current.get("queries", {})) & set(baseline.get("queries", {}))

@@ -348,6 +348,7 @@ def native_minhash_candidates_cms_planned(
     rows_per_band: int = 2,
     max_bucket: int = 64,
     sketch: DataFrame | None = None,
+    sketch_covers_input: bool = False,
 ) -> DataFrame:
     """Sketch-informed PHYSICAL plan for the banded candidate pairs —
     same output, by construction, as
@@ -376,7 +377,28 @@ def native_minhash_candidates_cms_planned(
     between two paths that produce identical pairs for it, so
     equality with the static plan is structural, not probabilistic
     (asserted anyway in tests/test_dedup.py, and measured at planted
-    10x/20x skew in scripts/stress_sketch_planning.py)."""
+    10x/20x skew in scripts/stress_sketch_planning.py).
+
+    The "CMS never underestimates" leg of that argument holds ONLY
+    when the sketch was built over the input signature rows (or a
+    superset). The in-query build satisfies it by construction. A
+    provided ``sketch`` — the maintained-state deployment shape
+    (`streaming/ingest.py::plan_cms_ingest_stream`, per-batch additive
+    deltas) — can LAG the input, underestimate a key that went viral
+    since the last delta, and route a truly over-cap bucket through
+    the full expansion: exactly the O(k^2) buffer the plan exists to
+    remove, plus an output divergence from the star policy (ADVICE
+    r12). So a provided sketch is untrusted by default
+    (``sketch_covers_input=False``): the light route re-checks TRUE
+    bucket size with the same O(1)-per-key count/min aggregation the
+    heavy route already does, demoting est-light/true-heavy keys to
+    the star path. Equality is again unconditional — a stale, partial,
+    or even empty sketch only degrades the plan (one extra map-side
+    combined count pass over light rows; the demotion broadcast is
+    empty whenever the sketch really did cover the input), never the
+    output or the buffer bound. Callers that can PROVE coverage (e.g.
+    the sketch was just built over this exact frame) pass
+    ``sketch_covers_input=True`` to skip the guard."""
     sigs = band_signatures(arrays, num_hashes, rows_per_band).withColumn(
         "ck",
         F.concat_ws(
@@ -387,13 +409,17 @@ def native_minhash_candidates_cms_planned(
     )
     if sketch is None:
         # Cold path: build the sketch in-query (one extra pass over the
-        # signatures — checkpoint them so the pass runs once). In the
-        # deployment shape the sketch is MAINTAINED alongside the
-        # persisted band-sig index (the `cms_ingest_stream` lifecycle:
-        # per-batch additive deltas), so the routing estimate comes
-        # free from stored state and this branch never runs.
+        # signatures — checkpoint them so the pass runs once). Built
+        # over exactly the input rows, so coverage holds by
+        # construction and the light-route guard below is skipped. In
+        # the deployment shape the sketch is MAINTAINED alongside the
+        # persisted band-sig index (the `plan_cms_ingest_stream`
+        # lifecycle: per-batch additive deltas), so the routing
+        # estimate comes free from stored state and this branch never
+        # runs — see `minhash_near_dup_pairs_cms_streamed`.
         sigs = sigs.localCheckpoint(eager=True)
         sketch = _plan_cms_build(sigs).localCheckpoint(eager=True)
+        sketch_covers_input = True
     routed = _plan_cms_attach_est(sigs, sketch)
 
     pair_expr = F.flatten(
@@ -416,6 +442,41 @@ def native_minhash_candidates_cms_planned(
 
     light = routed.filter(F.col("est") <= max_bucket)
     heavy = routed.filter(F.col("est") > max_bucket)
+    guard_star = None
+    if not sketch_covers_input:
+        # Lag guard (ADVICE r12): with an untrusted (maintained-state)
+        # sketch, an underestimated key can route light while truly
+        # over-cap. Exact count/min per light key — O(1) aggregation
+        # buffers, map-side combined, never a list — then demote
+        # true-heavies to the same star policy. Routing is per-key
+        # (est is a function of the key alone), so every row of a
+        # demoted key is here and min("doc_id") is the key's global
+        # min — the static policy's sorted-ids[0].
+        lag_heavy = (
+            light.groupBy("band", "key")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("doc_id").alias("rep"),
+            )
+            .filter(F.col("cnt") > max_bucket)
+            .select("band", "key", "rep")
+            .localCheckpoint(eager=True)  # empty unless the sketch lags
+        )
+        guard_star = (
+            light.join(F.broadcast(lag_heavy), ["band", "key"])
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.struct(
+                    F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                ).alias("p")
+            )
+        )
+        light = light.join(
+            F.broadcast(lag_heavy.select("band", "key")),
+            ["band", "key"],
+            "left_anti",
+        )
     stats = (
         heavy.groupBy("band", "key")
         .agg(
@@ -441,13 +502,10 @@ def native_minhash_candidates_cms_planned(
             ).alias("p")
         )
     )
-    return (
-        _expand(light)
-        .unionByName(_expand(demoted))
-        .unionByName(star)
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    out = _expand(light).unionByName(_expand(demoted)).unionByName(star)
+    if guard_star is not None:
+        out = out.unionByName(guard_star)
+    return out.select("p.doc_a", "p.doc_b").distinct()
 
 
 def native_minhash_near_dup_pairs_cms_planned(
@@ -457,12 +515,24 @@ def native_minhash_near_dup_pairs_cms_planned(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     max_bucket: int = 64,
+    sketch: DataFrame | None = None,
+    sketch_covers_input: bool = False,
 ) -> DataFrame:
     """`native_minhash_near_dup_pairs(..., max_bucket, "star")` with the
-    sketch-informed candidate plan — identical verified output."""
+    sketch-informed candidate plan — identical verified output. Pass
+    ``sketch`` (e.g. `streaming/ingest.py::read_plan_cms` state) to
+    route from maintained estimates instead of an in-query build; the
+    untrusted-sketch lag guard keeps the output identical even when
+    that state lags the corpus (see
+    `native_minhash_candidates_cms_planned`)."""
     arrays = doc_shingle_arrays(docs, n).cache()
     cands = native_minhash_candidates_cms_planned(
-        arrays, num_hashes, rows_per_band, max_bucket
+        arrays,
+        num_hashes,
+        rows_per_band,
+        max_bucket,
+        sketch=sketch,
+        sketch_covers_input=sketch_covers_input,
     )
     return _verify_pairs(arrays, cands, threshold)
 

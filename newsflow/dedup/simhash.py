@@ -24,8 +24,17 @@ from newsflow.functions.text import tokens_expr
 N_BITS = 64
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame, bits: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash BIGINT) — 64-bit SimHash over distinct tokens.
+
+    ``bits`` selects the per-token 64-bit source: ``"xxhash64"`` (one
+    native hash per token — the cheapest-possible derivation) or
+    ``"md5"`` (the engine-shared nibble derivation of
+    `dedup/simhash_md5.py`, reproducible in DuckDB SQL, so the WHOLE
+    scale plan becomes exactly oracle-checkable; VERDICT r12 Next #4).
+    SimHash quality depends only on per-token bit uniformity, so the
+    two sources are interchangeable semantically — they differ in hash
+    cost and in verifiability.
 
     One shuffle, no row blowup: per-doc token dedup is row-local
     (`array_distinct` before the explode — no `distinct` shuffle), and
@@ -42,13 +51,35 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_expr("text"))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if bits == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+
+        def bit(b: int):
+            return F.shiftright("h", b).bitwiseAND(F.lit(1))
+
+    elif bits == "md5":
+        from newsflow.dedup.simhash_md5 import _nib_expr
+
+        # 16 nibble columns of md5(tok) — one md5 per token row (CSE
+        # collapses the 16 references), bit b = bit (b mod 4) of nibble
+        # (b div 4): byte-identical to simhash_md5.signatures, so its
+        # DuckDB oracle replays this plan's output exactly.
+        tok = tok.select(
+            "doc_id",
+            *[F.expr(_nib_expr(p)).alias(f"nib{p}") for p in range(1, 17)],
+        )
+
+        def bit(b: int):
+            return F.shiftright(F.col(f"nib{b // 4 + 1}"), b % 4).bitwiseAND(
+                F.lit(1)
+            )
+
+    else:
+        raise ValueError(f"unknown bits source: {bits!r}")
     sums = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(N_BITS)
-        ],
+        *[F.sum(bit(b)).alias(f"b{b}") for b in range(N_BITS)],
     )
     sig = None
     for b in range(N_BITS):
@@ -75,7 +106,10 @@ def _n_bands(max_hamming: int) -> int:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 1000
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    bits: str = "xxhash64",
 ) -> DataFrame:
     """Pairs (doc_a < doc_b) with Hamming(simhash_a, simhash_b) ≤ radius.
 
@@ -119,7 +153,7 @@ def simhash_near_dup_pairs(
     n_bands = _n_bands(max_hamming)
     band_width = N_BITS // n_bands
     band_mask = (1 << band_width) - 1
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, bits=bits)
     banded = sig.select(
         "doc_id",
         "simhash",

@@ -52,19 +52,41 @@ def fs_mkdirs(spark: SparkSession, path: str) -> bool:
 
 
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write a small text file in ONE JVM call (FileSystem.create,
-    overwrite) — no Spark job. For marker/manifest state next to
-    persisted tables: a per-micro-batch Spark write job costs ~0.5 s of
-    scheduler overhead for a 32-row frame (the same-data bench gate
-    caught exactly that as an ingest regression); this costs a
-    filesystem round-trip. Crash mid-write leaves an unparsable file,
-    which readers must treat as absent (the fail-safe direction)."""
+    """Write a small text file atomically-by-rename (create a sibling
+    ``.<name>.tmp``, then rename over the target) — a couple of JVM
+    calls, no Spark job. For marker/manifest state next to persisted
+    tables: a per-micro-batch Spark write job costs ~0.5 s of scheduler
+    overhead for a 32-row frame (the same-data bench gate caught
+    exactly that as an ingest regression); this costs filesystem
+    round-trips.
+
+    The rename matters (ADVICE r12): an in-place overwrite that crashes
+    mid-write DESTROYS the previous good copy — for the graph manifest
+    that silently disarmed torn-bucket detection in exactly the crash
+    scenarios the manifest exists to catch. With write-then-rename a
+    crash before the rename leaves the old file intact (validation
+    stays armed); HDFS/posix rename is atomic, and on S3A the rename is
+    copy+delete — not atomic, but the tmp object is fully written
+    before the copy starts, so no reader ever sees a torn manifest
+    (worst case: stale tmp debris, overwritten by the next write)."""
     fs, jpath = _fs_and_path(spark, path)
-    out = fs.create(jpath, True)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), f".{jpath.getName()}.tmp"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    # Hadoop rename refuses to clobber an existing destination on most
+    # filesystems; delete-then-rename keeps the crash window at "old
+    # copy deleted, rename pending" — the reader then sees ABSENT (the
+    # fail-safe direction), never a torn file.
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not bool(fs.rename(tmp, jpath)):
+        raise IOError(f"fs_write_text: rename {tmp} -> {jpath} failed")
 
 
 def fs_read_text(spark: SparkSession, path: str) -> str | None:

@@ -105,10 +105,24 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEDIA_EMBED_ORACLE = """
     WITH b AS (
+      -- UTF-8 BYTES, not codepoints (ADVICE r12): the Spark side
+      -- histograms np.frombuffer(text.encode()), so the oracle walks
+      -- hex(encode(text)) two nibbles at a time — exact byte parity
+      -- for ANY unicode text, where the old ascii(substr(text,i,1))
+      -- form silently held only for an all-ASCII corpus. The
+      -- GREATEST(...,1) + COALESCE(...,0) pair is NOT a phantom: it
+      -- replicates decode_media's explicit empty-payload contract
+      -- (an empty payload decodes to one zero byte, media.py:89), so
+      -- an empty text embeds as the e0 unit vector in both engines —
+      -- asserted on a planted unicode+empty corpus in
+      -- tests/test_multimodal.py.
       SELECT doc_id AS media_id,
-             COALESCE(ascii(substr(text, i, 1)), 0) % 16 AS bucket
+             COALESCE(TRY_CAST(
+                 ('0x' || substr(hex(encode(text)), 2 * i + 1, 2))
+                 AS INT), 0) % 16 AS bucket
       FROM documents,
-           UNNEST(range(1, GREATEST(length(text), 1) + 1)) AS u(i)
+           UNNEST(range(0, GREATEST(octet_length(encode(text)), 1)))
+             AS u(i)
     ),
     hist AS (
       SELECT media_id, bucket, CAST(count(*) AS DOUBLE) AS c

@@ -682,6 +682,99 @@ def _cms_base_watermark(spark: SparkSession, sketch_dir: str) -> int:
     return best
 
 
+def _live_sketch_dirs(spark: SparkSession, sketch_dir: str) -> list[str]:
+    """The explicit directory list a sketch read may open: the newest
+    valid compacted base (``batch=-W``) plus every delta at or above
+    its watermark W. Shared by every sketch family so the
+    crash-window reasoning in `read_cms_sketch`'s docstring holds for
+    all of them verbatim."""
+    from newsflow.fs import fs_list_subdirs
+
+    w = _cms_base_watermark(spark, sketch_dir)
+    dirs = []
+    for name in fs_list_subdirs(spark, sketch_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if (b == -w and w > 0) or b >= w:
+            dirs.append(f"{sketch_dir}/{name}")
+    return dirs
+
+
+def _sketch_maintenance(
+    spark: SparkSession,
+    sketch_dir: str,
+    *,
+    settled_before: int,
+    schema: str,
+    fold,
+) -> dict[str, int]:
+    """The ONE watermark/debris/merge compaction lifecycle for every
+    additive sketch store (CMS / Bloom / KMV / planning-CMS),
+    parameterized by the store's delta ``schema`` and its associative
+    ``fold`` (DataFrame -> folded DataFrame). Extracted per ADVICE r12
+    (three verbatim copies of ~40 lines of crash-window logic were one
+    edit away from drifting).
+
+    ``settled_before`` is the caller's committed-offset promise: no
+    batch with a smaller id can ever replay. The merge reads the
+    current base (watermark W) plus deltas in [W, settled_before),
+    materializes the folded rows BEFORE any write (the standing
+    replay-safety rule), writes them to ``batch=-settled_before``, and
+    only then deletes the merged sources. Crash anywhere in between is
+    absorbed by the `_live_sketch_dirs` watermark read rule; leftover
+    source dirs below the new watermark are debris, deleted (never
+    re-merged — they are already IN the base) by the next pass."""
+    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
+
+    if settled_before <= 0 or not fs_exists(spark, sketch_dir):
+        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
+    w = _cms_base_watermark(spark, sketch_dir)
+    if settled_before <= w:
+        # Nothing newly settled; still sweep sub-watermark debris.
+        settled_before = w
+    merge_dirs, debris = [], []
+    for name in fs_list_subdirs(spark, sketch_dir, "batch="):
+        b = int(name.split("=", 1)[1])
+        if b < 0:
+            if -b < settled_before or not fs_exists(
+                spark, f"{sketch_dir}/{name}/_SUCCESS"
+            ):
+                debris.append(name)  # older/invalid base generation
+            if -b == w and w < settled_before:
+                merge_dirs.append(name)
+        elif b < w:
+            debris.append(name)  # already folded into the base
+        elif b < settled_before:
+            merge_dirs.append(name)
+    if merge_dirs and settled_before > w:
+        merged = fold(
+            spark.read.schema(schema).parquet(
+                *[f"{sketch_dir}/{d}" for d in merge_dirs]
+            )
+        ).localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch=-{settled_before}"
+        )
+        debris.extend(d for d in merge_dirs if d not in debris)
+    for name in set(debris):
+        fs_delete(spark, f"{sketch_dir}/{name}")
+    return {
+        "merged_deltas": len(merge_dirs),
+        "debris_deleted": len(set(debris)),
+        "watermark": max(settled_before, w),
+    }
+
+
+_CMS_SCHEMA = "salt string, bucket bigint, cell bigint"
+
+
+def _cms_fold(df: DataFrame) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    return df.groupBy("salt", "bucket").agg(
+        F.sum("cell").cast("long").alias("cell")
+    )
+
+
 def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """The current sketch: cells summed across the newest compacted
     base (if any) and every batch delta at or above its watermark.
@@ -702,28 +795,10 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     inference touch an EXCLUDED partition, so a torn data file inside
     a crashed base write could fail the read during exactly the crash
     window the rule exists to absorb (ADVICE r11)."""
-    import pyspark.sql.functions as F
-
-    from newsflow.fs import fs_list_subdirs
-
-    w = _cms_base_watermark(spark, sketch_dir)
-    dirs = []
-    for name in fs_list_subdirs(spark, sketch_dir, "batch="):
-        b = int(name.split("=", 1)[1])
-        # The valid base (batch=-w, _SUCCESS-verified by the watermark
-        # scan) plus every live delta at or above the watermark.
-        if (b == -w and w > 0) or b >= w:
-            dirs.append(f"{sketch_dir}/{name}")
+    dirs = _live_sketch_dirs(spark, sketch_dir)
     if not dirs:
-        return spark.createDataFrame(
-            [], "salt string, bucket bigint, cell bigint"
-        )
-    return (
-        spark.read.schema("salt string, bucket bigint, cell bigint")
-        .parquet(*dirs)
-        .groupBy("salt", "bucket")
-        .agg(F.sum("cell").cast("long").alias("cell"))
-    )
+        return spark.createDataFrame([], _CMS_SCHEMA)
+    return _cms_fold(spark.read.schema(_CMS_SCHEMA).parquet(*dirs))
 
 
 def bloom_apply_batch(
@@ -815,14 +890,7 @@ def read_bloom(
     of `bloom_build_sharded` deltas ((shard, word, bits), the
     production geometry) — pass it consistently with the writer's
     ``n_shards``."""
-    from newsflow.fs import fs_list_subdirs
-
-    w = _cms_base_watermark(spark, bloom_dir)
-    dirs = []
-    for name in fs_list_subdirs(spark, bloom_dir, "batch="):
-        b = int(name.split("=", 1)[1])
-        if (b == -w and w > 0) or b >= w:
-            dirs.append(f"{bloom_dir}/{name}")
+    dirs = _live_sketch_dirs(spark, bloom_dir)
     if not dirs:
         return spark.createDataFrame([], _bloom_delta_schema(sharded))
     return _bloom_fold(
@@ -839,51 +907,17 @@ def bloom_maintenance(
     sharded: bool = False,
 ) -> dict[str, int]:
     """Compact settled Bloom deltas into one OR-folded base partition —
-    `cms_maintenance`'s lifecycle with bit_or in place of sum (the
+    `_sketch_maintenance`'s lifecycle with bit_or in place of sum (the
     idempotent fold makes every crash window here benign, but the
-    watermark discipline keeps reads bounded and the two sketch
-    stores symmetric)."""
-    import pyspark.sql.functions as F
-
-    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
-
-    if settled_before <= 0 or not fs_exists(spark, bloom_dir):
-        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
-    w = _cms_base_watermark(spark, bloom_dir)
-    if settled_before <= w:
-        settled_before = w
-    merge_dirs, debris = [], []
-    for name in fs_list_subdirs(spark, bloom_dir, "batch="):
-        b = int(name.split("=", 1)[1])
-        if b < 0:
-            if -b < settled_before or not fs_exists(
-                spark, f"{bloom_dir}/{name}/_SUCCESS"
-            ):
-                debris.append(name)
-            if -b == w and w < settled_before:
-                merge_dirs.append(name)
-        elif b < w:
-            debris.append(name)
-        elif b < settled_before:
-            merge_dirs.append(name)
-    if merge_dirs and settled_before > w:
-        merged = _bloom_fold(
-            spark.read.schema(_bloom_delta_schema(sharded)).parquet(
-                *[f"{bloom_dir}/{d}" for d in merge_dirs]
-            ),
-            sharded,
-        ).localCheckpoint(eager=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{bloom_dir}/batch=-{settled_before}"
-        )
-        debris.extend(d for d in merge_dirs if d not in debris)
-    for name in set(debris):
-        fs_delete(spark, f"{bloom_dir}/{name}")
-    return {
-        "merged_deltas": len(merge_dirs),
-        "debris_deleted": len(set(debris)),
-        "watermark": max(settled_before, w),
-    }
+    watermark discipline keeps reads bounded and the sketch stores
+    symmetric)."""
+    return _sketch_maintenance(
+        spark,
+        bloom_dir,
+        settled_before=settled_before,
+        schema=_bloom_delta_schema(sharded),
+        fold=lambda df: _bloom_fold(df, sharded),
+    )
 
 
 def kmv_apply_batch(
@@ -939,15 +973,9 @@ def read_kmv(spark: SparkSession, kmv_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
-    from newsflow.fs import fs_list_subdirs
     from newsflow.sketch import KMV_K
 
-    w = _cms_base_watermark(spark, kmv_dir)
-    dirs = []
-    for name in fs_list_subdirs(spark, kmv_dir, "batch="):
-        b = int(name.split("=", 1)[1])
-        if (b == -w and w > 0) or b >= w:
-            dirs.append(f"{kmv_dir}/{name}")
+    dirs = _live_sketch_dirs(spark, kmv_dir)
     if not dirs:
         return spark.createDataFrame(
             [], "source string, h string, rn int"
@@ -966,115 +994,166 @@ def kmv_maintenance(
     spark: SparkSession, kmv_dir: str, *, settled_before: int
 ) -> dict[str, int]:
     """Compact settled KMV deltas into one k-smallest-distinct base —
-    the `cms_maintenance` lifecycle with the idempotent KMV merge, so
-    every crash window is benign (re-merging debris cannot change the
-    k smallest distinct values)."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
+    `_sketch_maintenance` with the idempotent KMV merge, so every
+    crash window is benign (re-merging debris cannot change the k
+    smallest distinct values)."""
 
-    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
-    from newsflow.sketch import KMV_K
+    def _kmv_fold(df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
 
-    if settled_before <= 0 or not fs_exists(spark, kmv_dir):
-        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
-    w = _cms_base_watermark(spark, kmv_dir)
-    if settled_before <= w:
-        settled_before = w
-    merge_dirs, debris = [], []
-    for name in fs_list_subdirs(spark, kmv_dir, "batch="):
-        b = int(name.split("=", 1)[1])
-        if b < 0:
-            if -b < settled_before or not fs_exists(
-                spark, f"{kmv_dir}/{name}/_SUCCESS"
-            ):
-                debris.append(name)
-            if -b == w and w < settled_before:
-                merge_dirs.append(name)
-        elif b < w:
-            debris.append(name)
-        elif b < settled_before:
-            merge_dirs.append(name)
-    if merge_dirs and settled_before > w:
+        from newsflow.sketch import KMV_K
+
         win = Window.partitionBy("source").orderBy("h")
-        merged = (
-            spark.read.schema("source string, h string")
-            .parquet(*[f"{kmv_dir}/{d}" for d in merge_dirs])
-            .distinct()
+        return (
+            df.distinct()
             .withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") <= KMV_K)
             .select("source", "h")
-            .localCheckpoint(eager=True)
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{kmv_dir}/batch=-{settled_before}"
-        )
-        debris.extend(d for d in merge_dirs if d not in debris)
-    for name in set(debris):
-        fs_delete(spark, f"{kmv_dir}/{name}")
-    return {
-        "merged_deltas": len(merge_dirs),
-        "debris_deleted": len(set(debris)),
-        "watermark": max(settled_before, w),
-    }
+
+    return _sketch_maintenance(
+        spark,
+        kmv_dir,
+        settled_before=settled_before,
+        schema="source string, h string",
+        fold=_kmv_fold,
+    )
+
 
 
 def cms_maintenance(
     spark: SparkSession, sketch_dir: str, *, settled_before: int
 ) -> dict[str, int]:
     """Compact settled CMS batch deltas into one base partition,
-    bounding the O(batches) directory listing the stream accrues (the
-    `ann_index_maintenance` lifecycle, adapted to additive state).
+    bounding the O(batches) directory listing the stream accrues —
+    `_sketch_maintenance` with the additive cell-sum fold (see that
+    helper for the settled-before / crash-window contract)."""
+    return _sketch_maintenance(
+        spark,
+        sketch_dir,
+        settled_before=settled_before,
+        schema=_CMS_SCHEMA,
+        fold=_cms_fold,
+    )
 
-    ``settled_before`` is the caller's committed-offset promise: no
-    batch with a smaller id can ever replay. The merge reads the
-    current base (watermark W) plus deltas in [W, settled_before),
-    materializes the summed cells BEFORE any write (the standing
-    replay-safety rule), writes them to ``batch=-settled_before``, and
-    only then deletes the merged sources. Crash anywhere in between is
-    absorbed by `read_cms_sketch`'s watermark rule; leftover source
-    dirs below the new watermark are debris, deleted (never re-merged
-    — they are already IN the base) by the next maintenance pass."""
+
+# --- MinHash planning-sketch maintenance (VERDICT r12 Next #6) -------------
+#
+# The CMS that routes `native_minhash_candidates_cms_planned`'s band keys
+# (dedup/minhash.py) under the same additive batch=<id> delta lifecycle as
+# the oracled sketch tier, so the routing estimate in the deployment shape
+# comes from PERSISTED state maintained alongside the corpus — not an
+# in-query extra pass over the signatures.
+
+_PLAN_CMS_SCHEMA = "d int, bkt int, cell bigint"
+
+
+def _plan_cms_fold(df: DataFrame) -> DataFrame:
     import pyspark.sql.functions as F
 
-    from newsflow.fs import fs_delete, fs_exists, fs_list_subdirs
+    return df.groupBy("d", "bkt").agg(
+        F.sum("cell").cast("long").alias("cell")
+    )
 
-    if settled_before <= 0 or not fs_exists(spark, sketch_dir):
-        return {"merged_deltas": 0, "debris_deleted": 0, "watermark": 0}
-    w = _cms_base_watermark(spark, sketch_dir)
-    if settled_before <= w:
-        # Nothing newly settled; still sweep sub-watermark debris.
-        settled_before = w
-    merge_dirs, debris = [], []
-    for name in fs_list_subdirs(spark, sketch_dir, "batch="):
-        b = int(name.split("=", 1)[1])
-        if b < 0:
-            if -b < settled_before or not fs_exists(
-                spark, f"{sketch_dir}/{name}/_SUCCESS"
-            ):
-                debris.append(name)  # older/invalid base generation
-            if -b == w and w < settled_before:
-                merge_dirs.append(name)
-        elif b < w:
-            debris.append(name)  # already folded into the base
-        elif b < settled_before:
-            merge_dirs.append(name)
-    if merge_dirs and settled_before > w:
-        merged = (
-            spark.read.parquet(
-                *[f"{sketch_dir}/{d}" for d in merge_dirs]
-            )
-            .groupBy("salt", "bucket")
-            .agg(F.sum("cell").cast("long").alias("cell"))
-            .localCheckpoint(eager=True)
+
+def plan_cms_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    sketch_dir: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> None:
+    """One micro-batch of planning-sketch maintenance: shingle the
+    batch's documents, compute their band signatures with EXACTLY the
+    parameters the query-time plan will use, sketch the band-key row
+    frequencies, and overwrite the delta into ``batch=<id>``. Additive
+    across batches because each doc_id's signature rows land in
+    exactly one batch; idempotent under replay because the partition
+    is overwritten whole. Delta size is <= D*W rows (32,768 at the
+    planning defaults) regardless of batch size."""
+    import pyspark.sql.functions as F
+
+    from newsflow.dedup.minhash import (
+        _plan_cms_build,
+        band_signatures,
+        doc_shingle_arrays,
+    )
+
+    sigs = band_signatures(
+        doc_shingle_arrays(batch, n), num_hashes, rows_per_band
+    ).withColumn(
+        "ck",
+        F.concat_ws(
+            ":",
+            F.col("band").cast("string"),
+            F.col("key").cast("array<string>"),
+        ),
+    )
+    delta = _plan_cms_build(sigs)
+    delta.coalesce(1).write.mode("overwrite").parquet(
+        f"{sketch_dir}/batch={int(batch_id)}"
+    )
+
+
+def plan_cms_ingest_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> StreamingQuery:
+    """STREAMING maintenance of the MinHash planning sketch — the
+    `cms_ingest_stream` lifecycle applied to band-key frequencies, so
+    `minhash_near_dup_pairs_cms_streamed` can route its candidate plan
+    from stored state instead of an in-query sketch build."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        plan_cms_apply_batch(
+            spark,
+            batch,
+            batch_id,
+            sketch_dir,
+            n=n,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            f"{sketch_dir}/batch=-{settled_before}"
-        )
-        debris.extend(d for d in merge_dirs if d not in debris)
-    for name in set(debris):
-        fs_delete(spark, f"{sketch_dir}/{name}")
-    return {
-        "merged_deltas": len(merge_dirs),
-        "debris_deleted": len(set(debris)),
-        "watermark": max(settled_before, w),
-    }
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_plan_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The current planning sketch: (d, bkt, cell) cells summed across
+    the newest compacted base and live deltas under the shared
+    watermark read rule — the exact frame
+    `native_minhash_candidates_cms_planned` accepts as ``sketch``."""
+    dirs = _live_sketch_dirs(spark, sketch_dir)
+    if not dirs:
+        return spark.createDataFrame([], _PLAN_CMS_SCHEMA)
+    return _plan_cms_fold(
+        spark.read.schema(_PLAN_CMS_SCHEMA).parquet(*dirs)
+    )
+
+
+def plan_cms_maintenance(
+    spark: SparkSession, sketch_dir: str, *, settled_before: int
+) -> dict[str, int]:
+    """`_sketch_maintenance` with the planning sketch's cell-sum fold."""
+    return _sketch_maintenance(
+        spark,
+        sketch_dir,
+        settled_before=settled_before,
+        schema=_PLAN_CMS_SCHEMA,
+        fold=_plan_cms_fold,
+    )

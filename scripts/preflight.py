@@ -106,6 +106,8 @@ def bench_smoke() -> None:
         "                  shuffle_partitions=4)\n"
         "c = bench.calibration_probe(spark, rows=1_000_000, reps=1)\n"
         "assert c > 0, 'probe returned nonpositive time'\n"
+        "c2 = bench.cpu_calibration_probe(elems=1_000_000, rounds=1, reps=1)\n"
+        "assert c2 > 0, 'cpu probe returned nonpositive time'\n"
         "import bench_check\n"
         "print(f'bench smoke OK: calib={c:.3f}s')\n"
     )

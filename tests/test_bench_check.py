@@ -177,3 +177,45 @@ def test_calibration_probe_survives_ansi_on(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_drift_prefers_cpu_probe_over_spark_probe():
+    """ADVICE r12: an engine regression that slows the Spark probe must
+    not feed back into its own correction — when both probes span the
+    runs, the pure-CPU ratio is the one applied."""
+    baseline = {"calib_sec": 1.0, "cpu_calib_sec": 1.0}
+    # Spark probe says 2x slower (engine regression); CPU says steady.
+    current = {"calib_sec": 2.0, "cpu_calib_sec": 1.0}
+    assert bc.drift_factor(current, baseline) == 1.0
+    # Fallback: no cpu probe on either side -> spark probe still used.
+    assert bc.drift_factor({"calib_sec": 2.0}, {"calib_sec": 1.0}) == 2.0
+    # Neither probe -> no correction.
+    assert bc.drift_factor({}, {}) == 1.0
+
+
+def test_drift_diagnostics_warn_on_large_and_disagreeing_drift():
+    baseline = {"calib_sec": 1.0, "cpu_calib_sec": 1.0}
+    # Probe disagreement (spark 2x, cpu 1x) -> engine-drift warning.
+    warns = bc.drift_diagnostics(
+        {"calib_sec": 2.0, "cpu_calib_sec": 1.0}, baseline
+    )
+    assert any("ENGINE" in w for w in warns)
+    # Large genuine drift (both probes 2x) -> loud rescale warning.
+    warns = bc.drift_diagnostics(
+        {"calib_sec": 2.0, "cpu_calib_sec": 2.0}, baseline
+    )
+    assert any("rescaled" in w for w in warns)
+    # Quiet case: modest agreeing drift -> no warnings.
+    assert (
+        bc.drift_diagnostics(
+            {"calib_sec": 1.2, "cpu_calib_sec": 1.2}, baseline
+        )
+        == []
+    )
+
+
+def test_cpu_calibration_probe_executes():
+    import bench
+
+    c = bench.cpu_calibration_probe(elems=1_000_000, rounds=1, reps=1)
+    assert c > 0.0

@@ -446,3 +446,118 @@ def test_cms_planned_candidates_equal_static_star(spark):
         ).collect()
     }
     assert planned == static and len(static) > 300
+
+
+def test_cms_planned_lag_guard_unconditional_equality(spark):
+    """ADVICE r12 (medium): a PROVIDED sketch — the maintained-state
+    deployment shape — can lag the input and underestimate a key that
+    went viral since the last delta. The untrusted-sketch light-route
+    guard must keep the output identical to the static star policy
+    under (a) a stale sketch missing the viral docs entirely and
+    (b) an empty sketch; and the planted scenario must be REAL — the
+    same stale sketch with the guard wrongly skipped
+    (sketch_covers_input=True) must diverge, proving the guard is
+    load-bearing, not decorative."""
+    import pyspark.sql.functions as F2
+
+    from newsflow.dedup import minhash
+    from newsflow.tables import load_table, spread
+
+    docs = spread(load_table(spark, SF_SMOKE, "documents")).select(
+        "doc_id", "text"
+    )
+    viral = (
+        docs.filter(F2.col("doc_id") == 3)
+        .select("text")
+        .crossJoin(
+            spark.range(300).select((F2.col("id") + 100000).alias("doc_id"))
+        )
+        .select("doc_id", "text")
+    )
+    big = docs.unionByName(viral)
+    arrays = minhash.doc_shingle_arrays(big, 3).cache()
+    static = {
+        (r.doc_a, r.doc_b)
+        for r in minhash.native_minhash_candidates(
+            arrays, max_bucket=64, oversize="star"
+        ).collect()
+    }
+    # Stale sketch: built over only the pre-viral corpus.
+    stale_sigs = minhash.band_signatures(
+        minhash.doc_shingle_arrays(docs, 3), 16, 2
+    ).withColumn(
+        "ck",
+        F2.concat_ws(
+            ":",
+            F2.col("band").cast("string"),
+            F2.col("key").cast("array<string>"),
+        ),
+    )
+    stale = minhash._plan_cms_build(stale_sigs).localCheckpoint(eager=True)
+
+    def run(sketch, covers):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in minhash.native_minhash_candidates_cms_planned(
+                arrays,
+                max_bucket=64,
+                sketch=sketch,
+                sketch_covers_input=covers,
+            ).collect()
+        }
+
+    assert run(stale, covers=False) == static
+    empty = spark.createDataFrame([], "d int, bkt int, cell long")
+    assert run(empty, covers=False) == static
+    # The hazard is real: unguarded stale sketch expands the viral
+    # bucket all-pairs (est stale-low routes it light) and diverges.
+    assert run(stale, covers=True) != static
+
+
+def test_simhash_md5_scale_plan_equals_join_plan(spark):
+    """Round 13 (VERDICT r12 Next #4): the registered SimHash query now
+    runs the bucket-grouped SCALE plan over engine-shared md5 bits —
+    its output must equal the join-plan md5 twin row-for-row (same
+    bits, same banding, same first-matching-band rule, same radius),
+    which is what lets both share one DuckDB oracle."""
+    from newsflow.dedup import simhash, simhash_md5
+    from newsflow.tables import load_table, spread
+
+    docs = spread(load_table(spark, SF_SMOKE, "documents")).select(
+        "doc_id", "text"
+    )
+    scale = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash.simhash_near_dup_pairs(
+            docs, max_hamming=3, max_bucket=None, bits="md5"
+        ).collect()
+    }
+    join = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_md5.near_dup_pairs(docs).collect()
+    }
+    assert scale == join
+
+
+def test_simhash_bits_sources_same_shape(spark):
+    """The xxhash64 perf derivation stays available and produces the
+    same schema/semantics (pairs within radius); outputs differ only
+    through the hash bits. Rejects unknown sources loudly."""
+    import pytest as _pytest
+
+    from newsflow.dedup import simhash
+    from newsflow.tables import load_table, spread
+
+    docs = (
+        spread(load_table(spark, SF_SMOKE, "documents"))
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    out = simhash.simhash_near_dup_pairs(docs, bits="xxhash64")
+    assert [f.name for f in out.schema.fields] == [
+        "doc_a",
+        "doc_b",
+        "hamming",
+    ]
+    with _pytest.raises(ValueError, match="unknown bits source"):
+        simhash.simhash_signatures(docs, bits="sha9000")

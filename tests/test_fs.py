@@ -128,3 +128,28 @@ def test_write_single_parquet_file_rejects_lake_uri(spark, tmp_path):
         write_single_parquet_file(
             spark.range(1), "s3a://bucket/key.parquet"
         )
+
+
+def test_fs_write_text_preserves_old_copy_until_new_is_complete(
+    spark, tmp_path
+):
+    """ADVICE r12: manifest writes must be write-then-rename, so a
+    crash mid-write cannot destroy the previous good copy. Simulate the
+    crash window by checking the tmp-sibling protocol: after a
+    successful write no tmp debris remains and the content is the new
+    one; and a pre-planted tmp file (a dead writer's leftovers) is
+    simply overwritten by the next write."""
+    from newsflow.fs import fs_read_text, fs_write_text
+
+    target = str(tmp_path / "manifest.json")
+    fs_write_text(spark, target, "v1")
+    assert fs_read_text(spark, target) == "v1"
+    # A dead writer left tmp debris: the next write must still land.
+    (tmp_path / ".manifest.json.tmp").write_text("torn-half-write")
+    fs_write_text(spark, target, "v2")
+    assert fs_read_text(spark, target) == "v2"
+    assert not (tmp_path / ".manifest.json.tmp").exists()
+    # The crash-window claim itself: writing the tmp file does not
+    # touch the target (old copy intact until the rename).
+    (tmp_path / ".manifest.json.tmp").write_text("in-flight")
+    assert fs_read_text(spark, target) == "v2"

@@ -122,3 +122,60 @@ def test_resize_ppm_nearest_neighbor():
     for y in range(3):
         for x in range(4):
             assert (out[y, x] == a[y * 6 // 3, x * 8 // 4]).all()
+
+
+def test_media_embed_oracle_is_byte_based_on_unicode_and_empty(spark):
+    """ADVICE r12: the media_embeddings oracle must histogram UTF-8
+    BYTES like the Spark side (np.frombuffer of text.encode()), not
+    codepoints — and an empty text must yield the all-zero vector in
+    both engines, not a phantom bucket. Plant a corpus the old
+    codepoint oracle provably got wrong (multibyte unicode + empty
+    text embeds as decode_media's one-zero-byte contract — the e0
+    unit vector — in both engines) and assert Spark == oracle
+    value-for-value."""
+    import duckdb
+
+    from newsflow.multimodal.queries import _MEDIA_EMBED_ORACLE, register
+    from newsflow.multimodal.media import embed_media
+    from newsflow.multimodal.queries import synth_media  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [
+            (0, "héllo ✓ wörld"),  # multibyte: codepoints != bytes
+            (1, ""),  # empty: decodes as one zero byte -> e0 vector
+            (2, "plain ascii"),
+        ],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F2
+
+    from newsflow.functions.scalars import dround
+
+    media = docs.select(
+        docs.doc_id.alias("media_id"),
+        F2.encode("text", "UTF-8").alias("payload"),
+    )
+
+    got = {
+        (r.media_id, r.dim_idx): r.component
+        for r in embed_media(media.withColumn("kind", F2.lit("image"))
+                             .withColumn("meta", F2.lit(None)), dim=16)
+        .select("media_id", F2.posexplode("embedding"))
+        .select(
+            "media_id",
+            F2.col("pos").cast("long").alias("dim_idx"),
+            dround(F2.col("col").cast("double"), 7).alias("component"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.sql(_MEDIA_EMBED_ORACLE).fetchall()
+    }
+    assert got == want
+    # The empty doc embeds as the e0 unit vector in both engines
+    # (decode_media's one-zero-byte contract for empty payloads).
+    assert want[(1, 0)] == 1.0
+    assert all(want[(1, d)] == 0.0 for d in range(1, 16))
