@@ -74,6 +74,8 @@ HEADLINE = [
     "orders_approx_bounds",     # sketch error-bound audit (HLL/GK vs exact)
     "knn_cosine_ivf_native",    # IVF ANN on the deterministic quantizer
                                 # (exact end-to-end oracle)
+    "knn_cosine_filtered",      # filtered ANN: predicate pushed below
+                                # the IVF probe (round-13)
     "shared_span_pairs",        # span-level dedup (20-gram, hashed keys)
     # Round-6 additions:
     "incremental_neardup_new_docs",  # batch-vs-stored-index LSH probe

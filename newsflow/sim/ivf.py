@@ -129,6 +129,7 @@ def ivf_topk_native(
     k: int = 5,
     n_probe: int = 2,
     round_to: int = 6,
+    neighbor_filter: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k on the DETERMINISTIC quantizer
     (sim/kmeans.py) — the IVF tier with an EXACT end-to-end DuckDB
@@ -147,7 +148,20 @@ def ivf_topk_native(
     queries is neighbor-side partitioned by cell id; at 100 TB the
     inverted lists are the bucketing/layout key — see ops/layout.py),
     candidates are bounded by the probed cells' sizes, and the final
-    window runs per query over candidates only."""
+    window runs per query over candidates only.
+
+    ``neighbor_filter`` (one column of allowed neighbor ids) is the
+    FILTERED-search form (VERDICT r12 Next #7): the predicate is pushed
+    onto the inverted-list side BELOW the probe — a semi-join on the
+    corpus before any candidate forms — so the result is the true
+    top-k AMONG QUALIFYING vectors in the probed cells. Filtering the
+    unfiltered top-k afterwards is the classic recall trap: a
+    qualifying neighbor ranked k+1 overall but 1st among qualifiers
+    would be lost, and most queries would return far fewer than k rows
+    (tests/test_sim_ivf.py demonstrates the divergence on the real
+    corpus). At 100 TB the filter column lives bucketed WITH the
+    inverted lists (ops/layout.py), so this semi-join is co-located,
+    not a shuffle."""
     from newsflow.sim.kmeans import ROUND_DIST, _dist2_expr, kmeans_fit
 
     assigned, cents = kmeans_fit(embeddings)
@@ -156,6 +170,15 @@ def ivf_topk_native(
         F.col("v").alias("nvec"),
         F.col("cluster").alias("cell"),
     ).withColumn("n_norm", norm_expr(F.col("nvec")))
+    if neighbor_filter is not None:
+        # No forced broadcast: AQE broadcasts a small allowed set on
+        # its own, and a large one (a 25%-of-corpus licence slice)
+        # must stay a shuffle/co-located semi-join — forcing broadcast
+        # here would OOM exactly at the scale the filter matters.
+        allowed = neighbor_filter.select(
+            F.col(neighbor_filter.columns[0]).alias("neighbor_id")
+        )
+        corpus = corpus.join(allowed, "neighbor_id", "left_semi")
 
     qs = queries.select(
         F.col("vec_id").alias("query_id"),

@@ -183,6 +183,78 @@ def knn_cosine_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTER_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+def ivf_filtered_oracle_sql(k: int = 5, n_probe: int = 2) -> str:
+    """`ivf_native_oracle_sql` with the metadata predicate applied to
+    the CANDIDATE side (below the probe) — the oracle replays the
+    pushed-filter semantics: top-k among qualifying vectors within the
+    probed cells, never a post-filter of the unfiltered top-k."""
+    from newsflow.sim.kmeans import _sql_dist_stage, kmeans_ctes_sql
+
+    probe = _sql_dist_stage(
+        "dims", "c1", rn_max=n_probe, where="WHERE d.vec_id < 8"
+    )
+    return f"""
+    WITH {kmeans_ctes_sql()},
+    qprobe AS ({probe}),
+    cand AS (
+      SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
+      FROM qprobe p
+      JOIN a1 t ON t.cluster = p.cluster
+      JOIN documents dd ON dd.doc_id = t.vec_id
+      WHERE t.vec_id <> p.vec_id AND dd.source IN {_FILTER_SOURCES}
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY (round(sim + 1e-9, 6) + 0.0) DESC, neighbor_id
+      ) AS rn FROM sims
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "knn_cosine_filtered",
+    oracle=ivf_filtered_oracle_sql(),
+    tags=("similarity", "ivf", "filtered"),
+)
+def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (VERDICT r12 Next #7): IVF top-5 restricted to
+    neighbors whose document source is in an allowed licence slice
+    (5 of the 20 sources, ~25% of the corpus). The predicate is pushed
+    onto the inverted-list side BELOW the probe (semi-join before any
+    candidate forms — sim/ivf.py::ivf_topk_native), so each query gets
+    the true top-k among QUALIFYING vectors in its probed cells;
+    post-filtering the unfiltered top-k would return ~k/4 rows per
+    query and silently drop qualifying neighbors ranked below the
+    unfiltered cut (divergence demonstrated on this corpus in
+    tests/test_sim_ivf.py). Exactly oracled end-to-end: quantizer,
+    probe, pushed filter, and rounded re-rank all replayed in SQL."""
+    from newsflow.sim.ivf import ivf_topk_native
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ).select("doc_id")
+    return ivf_topk_native(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        n_probe=2,
+        neighbor_filter=allowed,
+    )
+
+
 @register(
     "kmeans_assignments",
     oracle=kmeans_oracle_sql(),

@@ -46,16 +46,18 @@ def _write_single(df, path: str) -> None:
     write_single_parquet_file(df, path)
 
 
-def synthesize(spark, copies: int) -> None:
-    os.makedirs(OUT_DIR, exist_ok=True)
+def synthesize(
+    spark, copies: int, src_sf: str = SRC_SF, out_dir: str = OUT_DIR
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
     # unscaled dimensions: straight copies
     for t in ("region", "nation", "customer", "supplier", "part"):
         _write_single(
-            load_table(spark, SRC_SF, t), os.path.join(OUT_DIR, f"{t}.parquet")
+            load_table(spark, src_sf, t), os.path.join(out_dir, f"{t}.parquet")
         )
 
     def replicate(name, key_cols, mutate=None):
-        base = load_table(spark, SRC_SF, name)
+        base = load_table(spark, src_sf, name)
         out = None
         for i in range(copies):
             c = base
@@ -64,7 +66,7 @@ def synthesize(spark, copies: int) -> None:
             if mutate is not None:
                 c = mutate(c, i)
             out = c if out is None else out.unionByName(c)
-        _write_single(out, os.path.join(OUT_DIR, f"{name}.parquet"))
+        _write_single(out, os.path.join(out_dir, f"{name}.parquet"))
 
     replicate("orders", ["o_orderkey"])
     replicate("lineitem", ["l_orderkey"])

@@ -66,7 +66,7 @@ def artifacts_committed() -> None:
         for line in out.splitlines()
         if any(
             line[3:].startswith(p)
-            for p in ("CORRECTNESS_r", "BENCH_r", "LEAKCHECK")
+            for p in ("CORRECTNESS_r", "BENCH_r", "BENCH_LOCAL_r", "LEAKCHECK")
         )
     ]
     if loose:

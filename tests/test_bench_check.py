@@ -219,3 +219,41 @@ def test_cpu_calibration_probe_executes():
 
     c = bench.cpu_calibration_probe(elems=1_000_000, rounds=1, reps=1)
     assert c > 0.0
+
+
+def test_live_run_on_fresh_sig_adopts_baseline(monkeypatch, tmp_path):
+    """VERDICT r12 stretch #9: a LIVE run on a corpus with no committed
+    same-sig baseline must write BENCH_LOCAL_r<N>.json itself (the
+    round-start ritual as code) — and the file must gate the next run."""
+    from pathlib import Path
+
+    monkeypatch.setattr(bc, "ROOT", Path(tmp_path))
+    # Round artifacts on disk say the last driver round was 41.
+    (tmp_path / "CORRECTNESS_r41.json").write_text("{}")
+    fresh = {"queries": {"q": 1.0}, "data_sig": "sig-new", "value": 1.0}
+    monkeypatch.setattr(bc, "run_bench", lambda: fresh)
+    # Cross-data: committed baseline has a different sig.
+    monkeypatch.setattr(
+        bc,
+        "latest_committed_bench",
+        lambda sig=None: (
+            "BENCH_rTEST.json",
+            {"queries": {"q": 0.3}, "data_sig": "sig-old"},
+        ),
+    )
+    assert bc.main(["bench_check.py"]) == 0
+    adopted = tmp_path / "BENCH_LOCAL_r42.json"
+    assert adopted.exists()
+    assert json.loads(adopted.read_text())["data_sig"] == "sig-new"
+
+    # No committed baseline at all: same adoption.
+    adopted.unlink()
+    monkeypatch.setattr(bc, "latest_committed_bench", lambda sig=None: None)
+    assert bc.main(["bench_check.py"]) == 0
+    assert adopted.exists()
+
+    # A SAVED run must never write baselines (unknown concurrent load).
+    adopted.unlink()
+    saved = _write(tmp_path, "cur.json", {"q": 1.0}, sig="sig-new")
+    assert bc.main(["bench_check.py", saved]) == 0
+    assert not adopted.exists()

@@ -50,3 +50,47 @@ def test_partial_probe_recall(emb, queries):
     # n_probe 2/4/6 of 8 cells on this fixture — half the cells keeps
     # ~3/4 of true neighbors at ~half the search cost.
     assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
+
+
+def test_filtered_search_beats_post_filter_of_topk(spark):
+    """VERDICT r12 Next #7's 'done' condition: pushing the filter below
+    the probe returns the true top-k among qualifying vectors, while
+    post-filtering the unfiltered top-k on the same corpus provably
+    loses recall — fewer rows, and missing qualifying neighbors that
+    rank below the unfiltered cut."""
+    import pyspark.sql.functions as F2
+
+    from newsflow.sim.ivf import ivf_topk_native
+    from newsflow.tables import load_table, spread
+
+    emb = spread(load_table(spark, SF_SMOKE, "embeddings"))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    allowed = docs.filter(
+        F2.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    ).select("doc_id")
+    queries = emb.filter(F2.col("vec_id") < 8)
+
+    pushed = ivf_topk_native(
+        emb, queries, k=5, n_probe=2, neighbor_filter=allowed
+    ).collect()
+    unfiltered = ivf_topk_native(emb, queries, k=5, n_probe=2).collect()
+
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+    # Post-filter of the unfiltered top-5 (the trap).
+    post = [r for r in unfiltered if r.neighbor_id in allowed_ids]
+
+    # Soundness of the pushed form: every row qualifies.
+    assert all(r.neighbor_id in allowed_ids for r in pushed)
+    # The trap is real on this corpus: post-filtering loses rows...
+    assert len(post) < len(pushed)
+    # ...and specifically drops qualifying neighbors the pushed form
+    # finds (ranked below the unfiltered cut).
+    pushed_pairs = {(r.query_id, r.neighbor_id) for r in pushed}
+    post_pairs = {(r.query_id, r.neighbor_id) for r in post}
+    assert post_pairs < pushed_pairs
+    # And the pushed form fills k wherever the probed cells hold at
+    # least k qualifying vectors (here: every query).
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in pushed)
+    assert set(per_q) == set(range(8)) and min(per_q.values()) == 5
