@@ -44,7 +44,12 @@ COPIES = 2
 
 
 def run_one(cores: int, sf_dir: str) -> None:
-    """One fresh-JVM measurement pass: warm + best-of-2 per query."""
+    """One fresh-JVM measurement pass: warm + best-of-2 per query, with
+    a pure-CPU calibration sample so host drift is visible per point
+    (the shared host's speed swings minute-to-minute — two sequential
+    full sweeps disagreed by 30% per point while agreeing best-vs-best,
+    which is why main() interleaves passes and takes the min)."""
+    from bench import cpu_calibration_probe
     from newsflow import registry
     from newsflow.session import get_spark
 
@@ -55,6 +60,7 @@ def run_one(cores: int, sf_dir: str) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
+    calib = cpu_calibration_probe(reps=1)
     specs = registry.all_specs()
     timings = {}
     for name in QUERIES:
@@ -71,7 +77,11 @@ def run_one(cores: int, sf_dir: str) -> None:
             ).save()
             dt = min(dt, time.perf_counter() - t0)
         timings[name] = round(dt, 3)
-    print(json.dumps({"cores": cores, "queries": timings}))
+    print(
+        json.dumps(
+            {"cores": cores, "queries": timings, "cpu_calib": round(calib, 3)}
+        )
+    )
     spark.stop()
 
 
@@ -91,29 +101,51 @@ def main() -> None:
     t_gen = time.perf_counter() - t0
     spark.stop()
 
+    # Two INTERLEAVED passes (8,16,32, 8,16,32), min per point: the
+    # shared host drifts minute-to-minute (measured: two sequential
+    # whole sweeps disagreed ~30% per point), so a single sequential
+    # pass confounds host drift with the core-count effect. Min-of-two
+    # passes ~15 minutes apart cancels the drift spikes; the per-JVM
+    # cpu_calib sample is recorded so residual drift stays visible.
     results: dict[int, dict[str, float]] = {}
-    for cores in CORES:
-        out = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--one",
-                str(cores),
-                OUT_DIR,
-            ],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=ROOT,
-        ).stdout
-        line = [x for x in out.strip().splitlines() if x.startswith("{")][-1]
-        results[cores] = json.loads(line)["queries"]
-        print(f"[sweep] local[{cores}]: {results[cores]}", file=sys.stderr)
+    calibs: dict[int, list[float]] = {c: [] for c in CORES}
+    for pass_no in (1, 2):
+        for cores in CORES:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--one",
+                    str(cores),
+                    OUT_DIR,
+                ],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=ROOT,
+            ).stdout
+            line = [
+                x for x in out.strip().splitlines() if x.startswith("{")
+            ][-1]
+            point = json.loads(line)
+            calibs[cores].append(point.get("cpu_calib", 0.0))
+            prev = results.get(cores)
+            results[cores] = (
+                point["queries"]
+                if prev is None
+                else {q: min(prev[q], point["queries"][q]) for q in QUERIES}
+            )
+            print(
+                f"[sweep] pass {pass_no} local[{cores}]: "
+                f"{point['queries']} calib={point.get('cpu_calib')}",
+                file=sys.stderr,
+            )
 
     summary = {
         "metric": "executor_sweep_sf0.2",
         "synthesize_sec": round(t_gen, 1),
         "cores": {str(c): results[c] for c in CORES},
+        "cpu_calib": {str(c): calibs[c] for c in CORES},
         "speedup_8_to_32": {
             q: round(results[8][q] / results[32][q], 2) for q in QUERIES
         },
@@ -132,12 +164,17 @@ def main() -> None:
 
 `python scripts/stress_executor_sweep.py` — fixed 2x-sf0.1 replica
 ({COPIES} key-shifted copies, one ~0.9-Jaccard sibling per doc), cores
-swept 8 → 16 → 32, each in a fresh JVM, warm-up + best-of-2 per point.
+swept 8 → 16 → 32, each point a fresh JVM, warm-up + best-of-2, TWO
+interleaved passes with min-per-point (single sequential sweeps
+confound shared-host drift with the core effect — two back-to-back
+full sweeps disagreed ~30% per point with opposite conclusions; the
+per-JVM cpu-probe samples in the JSON make residual drift visible).
 This is the local-mode proxy for "does adding executors help": a plan
 that cannot use 4x the cores here is serialized somewhere and would
 not spread over a 1000-executor cluster either. 4.0x is perfect
 strong scaling; streaming/index plans carry fixed per-batch scheduling
-cost, so their ceiling is lower by design.
+cost, so their ceiling is lower by design — and more cores can even
+hurt them at small batch sizes (more tasks per tiny micro-batch stage).
 
 | query | local[8] (s) | local[16] (s) | local[32] (s) | 8→32 speedup |
 |---|---|---|---|---|
