@@ -257,3 +257,39 @@ def test_live_run_on_fresh_sig_adopts_baseline(monkeypatch, tmp_path):
     saved = _write(tmp_path, "cur.json", {"q": 1.0}, sig="sig-new")
     assert bc.main(["bench_check.py", saved]) == 0
     assert not adopted.exists()
+
+
+def test_host_unmeasurable_passes_informationally(monkeypatch, capsys):
+    """Round-13 field event: the shared host ran 6-12x slower than the
+    baseline window for over an hour. Beyond the drift clamp no timing
+    conclusion is valid — the gate must say so and pass, not hard-fail
+    every commit with false regressions."""
+    base = {
+        "queries": {"q": 1.0},
+        "data_sig": "sig-a",
+        "cpu_calib_sec": 0.65,
+    }
+    monkeypatch.setattr(
+        bc,
+        "latest_committed_bench",
+        lambda sig=None: ("BENCH_rTEST.json", base),
+    )
+    # 8x CPU drift, query 'regressed' 5x — all contention.
+    cur = {
+        "queries": {"q": 5.0},
+        "data_sig": "sig-a",
+        "cpu_calib_sec": 5.2,
+    }
+    monkeypatch.setattr(bc, "run_bench", lambda: cur)
+    assert bc.main(["bench_check.py"]) == 0
+    out = capsys.readouterr().out
+    assert "HOST-UNMEASURABLE" in out
+    # Below the clamp the gate stays hard: same data, confirmed 5x at
+    # only 2x drift fails.
+    cur2 = {
+        "queries": {"q": 5.0},
+        "data_sig": "sig-a",
+        "cpu_calib_sec": 1.3,
+    }
+    monkeypatch.setattr(bc, "run_bench", lambda: cur2)
+    assert bc.main(["bench_check.py"]) == 1
