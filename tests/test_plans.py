@@ -362,3 +362,25 @@ def test_rag_rerank_pool_scoring_broadcasts_token_frames(spark):
     assert "BroadcastHashJoin" in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_filtered_ann_pushes_filter_below_probe(spark):
+    """knn_cosine_filtered's licence predicate must reach the CORPUS
+    side as a semi-join BEFORE candidates form (round 13): the plan has
+    a LeftSemi against the documents-derived allowed set, the documents
+    scan carries the pushed source-IN filter, and there is no cartesian
+    anywhere. Post-filter-of-top-k would show neither."""
+    plan = plan_of(spark, "knn_cosine_filtered")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # The source IN-list reaches the documents parquet scan.
+    assert "PushedFilters" in plan and "src0" in plan
+
+
+def test_cms_streamed_estimates_broadcast(spark):
+    """The persisted-sketch routing must attach estimates via broadcast
+    hash joins (row-local, no shuffle of the signature stream) and the
+    lag guard must not introduce a cartesian."""
+    plan = plan_of(spark, "minhash_near_dup_pairs_cms_streamed")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
