@@ -100,14 +100,44 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         t0 = time.perf_counter()
         warm = minhash.native_minhash_candidates_cms_planned(
-            arrays, max_bucket=CAP, sketch=pre
+            arrays, max_bucket=CAP, sketch=pre, sketch_covers_input=True
         ).localCheckpoint(eager=True)
         n_warm = warm.count()
         warm_s = time.perf_counter() - t0
 
+        # STALE maintained state (round 13, ADVICE r12): the sketch
+        # covers only the pre-viral corpus — exactly the lag a
+        # maintained delta store has while a viral batch is in flight.
+        # Untrusted by default, the light-route guard demotes the
+        # underestimated key to the star path: output must stay equal
+        # AND the buffer bound stays structural (<= CAP) even though
+        # the sketch routed the viral key light.
+        stale = minhash._plan_cms_build(
+            minhash.band_signatures(
+                minhash.doc_shingle_arrays(docs, 3)
+            ).withColumn(
+                "ck",
+                F.concat_ws(
+                    ":",
+                    F.col("band").cast("string"),
+                    F.col("key").cast("array<string>"),
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        guarded = minhash.native_minhash_candidates_cms_planned(
+            arrays, max_bucket=CAP, sketch=stale, sketch_covers_input=False
+        ).localCheckpoint(eager=True)
+        n_guarded = guarded.count()
+        guarded_s = time.perf_counter() - t0
+
         equal = (
             static.exceptAll(planned).isEmpty()
             and planned.exceptAll(static).isEmpty()
+        )
+        stale_equal = (
+            static.exceptAll(guarded).isEmpty()
+            and guarded.exceptAll(static).isEmpty()
         )
         # Largest bucket the static plan materialized as ONE list
         # (the viral key's full membership) vs the planned plan's
@@ -122,9 +152,13 @@ def main() -> None:
         out[f"v{v}"] = {
             "pairs": int(n_static),
             "pairs_equal": bool(equal and n_warm == n_planned),
+            "stale_sketch_pairs_equal": bool(
+                stale_equal and n_guarded == n_planned
+            ),
             "static_wall_s": round(static_s, 2),
             "planned_cold_wall_s": round(planned_s, 2),
             "planned_warm_wall_s": round(warm_s, 2),
+            "planned_stale_guarded_wall_s": round(guarded_s, 2),
             "static_max_list": int(max_bucket_true),
             "planned_max_list_bound": CAP,
         }
