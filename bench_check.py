@@ -191,16 +191,22 @@ def drift_diagnostics(current: dict, baseline: dict) -> list[str]:
         )
     if cpu is not None and spark is not None and cpu > 0:
         mismatch = spark / cpu
-        if (
-            mismatch > PROBE_DISAGREE_FACTOR
-            or mismatch < 1.0 / PROBE_DISAGREE_FACTOR
-        ):
+        if mismatch > PROBE_DISAGREE_FACTOR:
             warnings.append(
                 f"bench_check: WARNING — Spark probe drift {spark:.2f}x vs "
                 f"pure-CPU probe drift {cpu:.2f}x: the machine did not slow "
                 "down, the ENGINE did (session config / scheduler change?). "
                 "Correction uses the CPU probe, so the slowdown will show "
                 "in the per-query ratios — investigate before shipping."
+            )
+        elif mismatch < 1.0 / PROBE_DISAGREE_FACTOR:
+            warnings.append(
+                f"bench_check: NOTE — Spark probe drift {spark:.2f}x vs "
+                f"pure-CPU probe drift {cpu:.2f}x: the ENGINE got faster "
+                "relative to the machine (session/scheduler improvement?). "
+                "Correction uses the CPU probe, so per-query ratios will "
+                "look better than machine speed alone explains — refresh "
+                "the baseline so the gate re-anchors on the faster engine."
             )
     return warnings
 
@@ -239,6 +245,20 @@ def adopt_baseline(current: dict) -> str:
             if m:
                 rounds.append(int(m.group(1)))
     path = ROOT / f"BENCH_LOCAL_r{max(rounds) + 1}.json"
+    if path.exists():
+        # NEVER clobber an existing round baseline (review r13): a live
+        # run against a different sf_dir (sf0.01 smoke, a stress
+        # corpus) reaches this branch with a foreign data_sig, and
+        # overwriting would destroy the round-start sf-default baseline
+        # — silently degrading the hard gate to informational for the
+        # rest of the round. Mid-round corpus regeneration is the only
+        # legitimate overwrite, and that is a deliberate manual step.
+        print(
+            f"bench_check: NOT adopting — {path.name} already exists with "
+            "a different data_sig (foreign sf_dir run, or the corpus was "
+            "regenerated mid-round; delete the file manually if so)."
+        )
+        return ""
     path.write_text(json.dumps(current) + "\n")
     return str(path)
 
@@ -283,28 +303,35 @@ def main(argv: list[str]) -> int:
     # (informational) instead of failing the gate.
     base_sig = baseline.get("data_sig")
     same_data = cur_sig is not None and cur_sig == base_sig
+    drift = drift_factor(current, baseline)
+    for w in drift_diagnostics(current, baseline):
+        print(w)
+    if host_unmeasurable(current, baseline):
+        # The pure-CPU probe is data-independent, so this verdict is
+        # valid even against a cross-data baseline — which is exactly
+        # why it must be checked BEFORE any baseline adoption (review
+        # r13: adopting a 6x-inflated fresh-sig run would arm the hard
+        # gate with garbage and mask real regressions all round).
+        cpu = _probe_ratio(current, baseline, "cpu_calib_sec")
+        print(
+            f"bench_check: HOST-UNMEASURABLE — pure-CPU probe ratio "
+            f"{cpu:.2f}x exceeds the {DRIFT_CLAMP}x correction clamp; no "
+            "timing conclusion is valid in this window (baseline NOT "
+            "adopted). PASS (informational) — re-run when the probe "
+            "reads near-nominal."
+        )
+        return 0
     if not same_data and not from_file and cur_sig is not None:
         # Live run on a corpus no committed baseline covers: the gate
         # below degrades to informational (cross-data), so arm the next
         # run by adopting this clean live measurement as the new
         # same-sig baseline.
         p = adopt_baseline(current)
-        print(
-            f"bench_check: fresh data_sig {cur_sig!r} — adopted this run "
-            f"as the same-data baseline {p}; commit it"
-        )
-    drift = drift_factor(current, baseline)
-    for w in drift_diagnostics(current, baseline):
-        print(w)
-    if host_unmeasurable(current, baseline):
-        cpu = _probe_ratio(current, baseline, "cpu_calib_sec")
-        print(
-            f"bench_check: HOST-UNMEASURABLE — pure-CPU probe ratio "
-            f"{cpu:.2f}x exceeds the {DRIFT_CLAMP}x correction clamp; no "
-            "timing conclusion is valid in this window. PASS "
-            "(informational) — re-run when the probe reads near-nominal."
-        )
-        return 0
+        if p:
+            print(
+                f"bench_check: fresh data_sig {cur_sig!r} — adopted this "
+                f"run as the same-data baseline {p}; commit it"
+            )
 
     shared = sorted(
         set(current.get("queries", {})) & set(baseline.get("queries", {}))

@@ -420,6 +420,15 @@ def native_minhash_candidates_cms_planned(
         sigs = sigs.localCheckpoint(eager=True)
         sketch = _plan_cms_build(sigs).localCheckpoint(eager=True)
         sketch_covers_input = True
+    else:
+        # Provided sketch: the routed stream feeds several consumers
+        # (light expansion, heavy stats, demotion, star — plus the lag
+        # guard's eager count/min job when untrusted), so materialize
+        # the signatures once here too — without this,
+        # band_signatures recomputes per consumer and the maintained-
+        # state path pays ~4-6 full signature passes instead of one
+        # (review r13), inverting its whole point.
+        sigs = sigs.localCheckpoint(eager=True)
     routed = _plan_cms_attach_est(sigs, sketch)
 
     pair_expr = F.flatten(

@@ -68,7 +68,14 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     stays armed); HDFS/posix rename is atomic, and on S3A the rename is
     copy+delete — not atomic, but the tmp object is fully written
     before the copy starts, so no reader ever sees a torn manifest
-    (worst case: stale tmp debris, overwritten by the next write)."""
+    (worst case: stale tmp debris, overwritten by the next write).
+
+    The swap itself uses FileContext.rename(OVERWRITE) — one atomic
+    clobbering rename, so there is NO window where the target is
+    absent. Filesystems without a FileContext implementation fall back
+    to delete-then-rename, whose only crash window ("old deleted,
+    rename pending") leaves the target ABSENT — the fail-safe
+    direction (readers treat absent as cannot-validate), never torn."""
     fs, jpath = _fs_and_path(spark, path)
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(
@@ -79,14 +86,23 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    # Hadoop rename refuses to clobber an existing destination on most
-    # filesystems; delete-then-rename keeps the crash window at "old
-    # copy deleted, rename pending" — the reader then sees ABSENT (the
-    # fail-safe direction), never a torn file.
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    if not bool(fs.rename(tmp, jpath)):
-        raise IOError(f"fs_write_text: rename {tmp} -> {jpath} failed")
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration()
+        )
+        rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fc.rename(tmp, jpath, opts)
+    except Exception:
+        # No FileContext for this scheme (some object stores): fall
+        # back to delete+rename; crash window leaves ABSENT, not torn.
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        if not bool(fs.rename(tmp, jpath)):
+            raise IOError(
+                f"fs_write_text: rename {tmp} -> {jpath} failed"
+            ) from None
 
 
 def fs_read_text(spark: SparkSession, path: str) -> str | None:

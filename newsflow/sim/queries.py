@@ -121,13 +121,21 @@ from newsflow.sim.kmeans import kmeans_assign, kmeans_oracle_sql  # noqa: E402
 
 
 def ivf_native_oracle_sql(
-    k: int = 5, n_probe: int = 2, max_query_id: int = 8
+    k: int = 5,
+    n_probe: int = 2,
+    max_query_id: int = 8,
+    candidate_joins: str = "",
+    candidate_where: str = "",
 ) -> str:
     """Exact end-to-end IVF oracle: extends the unrolled-Lloyd CTE
     chain (quantizer c1 + corpus assignment a1, shared verbatim with
     `kmeans_assignments`' oracle) with the probe ranking, the in-cell
     candidate join and the rounded-cosine re-rank — every stage of the
-    ANN index replayed in SQL."""
+    ANN index replayed in SQL. ``candidate_joins``/``candidate_where``
+    splice a metadata predicate into the CANDIDATE stage (below the
+    probe) for the filtered-search form — ONE oracle body for both
+    queries, so a rounding/probe change can never drift between
+    twins."""
     from newsflow.sim.kmeans import _sql_dist_stage, kmeans_ctes_sql
 
     probe = _sql_dist_stage(
@@ -142,7 +150,8 @@ def ivf_native_oracle_sql(
     cand AS (
       SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
       FROM qprobe p JOIN a1 t ON t.cluster = p.cluster
-      WHERE t.vec_id <> p.vec_id
+      {candidate_joins}
+      WHERE t.vec_id <> p.vec_id {candidate_where}
     ),
     sims AS (
       SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS sim
@@ -183,43 +192,24 @@ def knn_cosine_ivf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FILTER_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+# The allowed "licence slice" for filtered search — ONE tuple; the
+# oracle SQL, the Spark predicate, and the recall-trap test all derive
+# from it (review r13: it had drifted into three separate literals).
+FILTERED_ANN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
 def ivf_filtered_oracle_sql(k: int = 5, n_probe: int = 2) -> str:
-    """`ivf_native_oracle_sql` with the metadata predicate applied to
-    the CANDIDATE side (below the probe) — the oracle replays the
-    pushed-filter semantics: top-k among qualifying vectors within the
-    probed cells, never a post-filter of the unfiltered top-k."""
-    from newsflow.sim.kmeans import _sql_dist_stage, kmeans_ctes_sql
-
-    probe = _sql_dist_stage(
-        "dims", "c1", rn_max=n_probe, where="WHERE d.vec_id < 8"
+    """The shared IVF oracle body with the metadata predicate spliced
+    into the CANDIDATE stage (below the probe) — pushed-filter
+    semantics: top-k among qualifying vectors within the probed cells,
+    never a post-filter of the unfiltered top-k."""
+    in_list = ", ".join(f"'{s}'" for s in FILTERED_ANN_SOURCES)
+    return ivf_native_oracle_sql(
+        k=k,
+        n_probe=n_probe,
+        candidate_joins="JOIN documents dd ON dd.doc_id = t.vec_id",
+        candidate_where=f"AND dd.source IN ({in_list})",
     )
-    return f"""
-    WITH {kmeans_ctes_sql()},
-    qprobe AS ({probe}),
-    cand AS (
-      SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id
-      FROM qprobe p
-      JOIN a1 t ON t.cluster = p.cluster
-      JOIN documents dd ON dd.doc_id = t.vec_id
-      WHERE t.vec_id <> p.vec_id AND dd.source IN {_FILTER_SOURCES}
-    ),
-    sims AS (
-      SELECT c.query_id, c.neighbor_id, {_COS_SQL} AS sim
-      FROM cand c
-      JOIN embeddings q ON q.vec_id = c.query_id
-      JOIN embeddings e ON e.vec_id = c.neighbor_id
-    )
-    SELECT query_id, neighbor_id, (round(sim + 1e-9, 6) + 0.0) AS cosine_sim
-    FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id
-        ORDER BY (round(sim + 1e-9, 6) + 0.0) DESC, neighbor_id
-      ) AS rn FROM sims
-    ) WHERE rn <= {k}
-    """
 
 
 @register(
@@ -244,7 +234,7 @@ def knn_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     docs = load_table(spark, sf_dir, "documents")
     allowed = docs.filter(
-        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        F.col("source").isin(*FILTERED_ANN_SOURCES)
     ).select("doc_id")
     return ivf_topk_native(
         emb,

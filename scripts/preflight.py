@@ -125,13 +125,18 @@ def main() -> None:
         )
         fast = False
     artifacts_committed()
+    # The smoke runs UNCONDITIONALLY (review r13): the dirty check above
+    # only sees the working tree, so a bench edit that was already
+    # committed would sail through --fast without the probe ever
+    # executing — the exact r12 failure class. ~30 s of JVM startup is
+    # the full cost; the expensive stage --fast skips is the trend gate.
+    bench_smoke()
     contract()
     stage(
         "oracle parity @ sf0.01",
         [sys.executable, "-m", "pytest", "tests/test_oracle_parity.py", "-q", "-x"],
     )
     if not fast:
-        bench_smoke()
         stage("bench trend gate", [sys.executable, "bench_check.py"])
     print("\npreflight PASS", flush=True)
 

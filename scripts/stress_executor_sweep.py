@@ -111,7 +111,7 @@ def main() -> None:
     calibs: dict[int, list[float]] = {c: [] for c in CORES}
     for pass_no in (1, 2):
         for cores in CORES:
-            out = subprocess.run(
+            proc = subprocess.run(
                 [
                     sys.executable,
                     os.path.abspath(__file__),
@@ -121,13 +121,25 @@ def main() -> None:
                 ],
                 capture_output=True,
                 text=True,
-                check=True,
                 cwd=ROOT,
-            ).stdout
-            line = [
-                x for x in out.strip().splitlines() if x.startswith("{")
-            ][-1]
-            point = json.loads(line)
+            )
+            lines = [
+                x
+                for x in proc.stdout.strip().splitlines()
+                if x.startswith("{")
+            ]
+            if proc.returncode != 0 or not lines:
+                # Surface WHICH point died and the child's actual error
+                # (review r13: check=True + captured stderr made a
+                # failed multi-hour sweep die with no diagnostic).
+                sys.stderr.write(
+                    f"[sweep] FAILED pass {pass_no} local[{cores}] "
+                    f"(rc={proc.returncode}); child stderr tail:\n"
+                    + "\n".join(proc.stderr.splitlines()[-20:])
+                    + "\n"
+                )
+                raise SystemExit(1)
+            point = json.loads(lines[-1])
             calibs[cores].append(point.get("cpu_calib", 0.0))
             prev = results.get(cores)
             results[cores] = (

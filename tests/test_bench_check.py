@@ -293,3 +293,72 @@ def test_host_unmeasurable_passes_informationally(monkeypatch, capsys):
     }
     monkeypatch.setattr(bc, "run_bench", lambda: cur2)
     assert bc.main(["bench_check.py"]) == 1
+
+
+def test_adopt_refuses_to_clobber_existing_round_baseline(
+    monkeypatch, tmp_path, capsys
+):
+    """Review r13: a live run against a foreign sf_dir (sf0.01 smoke, a
+    stress corpus) must never overwrite the round-start baseline — the
+    hard gate for the default corpus would silently die for the round."""
+    from pathlib import Path
+
+    monkeypatch.setattr(bc, "ROOT", Path(tmp_path))
+    (tmp_path / "CORRECTNESS_r41.json").write_text("{}")
+    good = {"queries": {"q": 1.0}, "data_sig": "sig-round", "sf": 0.1}
+    (tmp_path / "BENCH_LOCAL_r42.json").write_text(json.dumps(good))
+    foreign = {"queries": {"q": 0.1}, "data_sig": "sig-foreign", "sf": 0.01}
+    monkeypatch.setattr(bc, "run_bench", lambda: foreign)
+    monkeypatch.setattr(
+        bc,
+        "latest_committed_bench",
+        lambda sig=None: ("BENCH_LOCAL_r42.json", good),
+    )
+    assert bc.main(["bench_check.py"]) == 0
+    assert "NOT adopting" in capsys.readouterr().out
+    assert (
+        json.loads((tmp_path / "BENCH_LOCAL_r42.json").read_text())[
+            "data_sig"
+        ]
+        == "sig-round"
+    )
+
+
+def test_unmeasurable_host_never_adopts_baseline(monkeypatch, tmp_path, capsys):
+    """Review r13: a fresh-sig run during a >4x-slow host window must
+    NOT become the round's hard baseline — the cpu probe is data-
+    independent, so the cross-data comparison is valid and checked
+    BEFORE adoption."""
+    from pathlib import Path
+
+    monkeypatch.setattr(bc, "ROOT", Path(tmp_path))
+    (tmp_path / "CORRECTNESS_r41.json").write_text("{}")
+    old = {
+        "queries": {"q": 1.0},
+        "data_sig": "sig-old",
+        "cpu_calib_sec": 0.65,
+    }
+    monkeypatch.setattr(
+        bc,
+        "latest_committed_bench",
+        lambda sig=None: ("BENCH_rTEST.json", old),
+    )
+    inflated = {
+        "queries": {"q": 6.0},
+        "data_sig": "sig-new",
+        "cpu_calib_sec": 5.0,  # ~7.7x the old probe: unmeasurable
+    }
+    monkeypatch.setattr(bc, "run_bench", lambda: inflated)
+    assert bc.main(["bench_check.py"]) == 0
+    out = capsys.readouterr().out
+    assert "HOST-UNMEASURABLE" in out and "NOT adopted" in out
+    assert not (tmp_path / "BENCH_LOCAL_r42.json").exists()
+
+
+def test_probe_disagreement_faster_engine_is_a_note_not_alarm():
+    baseline = {"calib_sec": 1.0, "cpu_calib_sec": 1.0}
+    warns = bc.drift_diagnostics(
+        {"calib_sec": 0.5, "cpu_calib_sec": 1.0}, baseline
+    )
+    assert any("faster" in w for w in warns)
+    assert not any("investigate before shipping" in w for w in warns)

@@ -40,7 +40,11 @@ def test_fast_refused_when_bench_harness_dirty(preflight, monkeypatch):
     assert "bench" in calls, "trend gate skipped despite dirty harness"
 
 
-def test_fast_honored_when_harness_clean(preflight, monkeypatch):
+def test_fast_skips_trend_gate_but_never_the_smoke(preflight, monkeypatch):
+    """--fast with a clean harness skips the expensive trend gate — but
+    the bench smoke runs UNCONDITIONALLY (review r13: the dirty check
+    sees only the working tree, so a committed-then-preflighted bench
+    edit would otherwise skip the probe exactly like the r12 failure)."""
     calls = []
     monkeypatch.setattr(preflight, "bench_harness_dirty", lambda: False)
     monkeypatch.setattr(preflight, "artifacts_committed", lambda: calls.append("artifacts"))
@@ -51,7 +55,7 @@ def test_fast_honored_when_harness_clean(preflight, monkeypatch):
     )
     monkeypatch.setattr(preflight.sys, "argv", ["preflight.py", "--fast"])
     preflight.main()
-    assert "smoke" not in calls
+    assert "smoke" in calls
     assert "bench" not in calls
     assert "oracle" in calls
 

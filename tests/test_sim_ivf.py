@@ -61,12 +61,13 @@ def test_filtered_search_beats_post_filter_of_topk(spark):
     import pyspark.sql.functions as F2
 
     from newsflow.sim.ivf import ivf_topk_native
+    from newsflow.sim.queries import FILTERED_ANN_SOURCES
     from newsflow.tables import load_table, spread
 
     emb = spread(load_table(spark, SF_SMOKE, "embeddings"))
     docs = load_table(spark, SF_SMOKE, "documents")
     allowed = docs.filter(
-        F2.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        F2.col("source").isin(*FILTERED_ANN_SOURCES)
     ).select("doc_id")
     queries = emb.filter(F2.col("vec_id") < 8)
 
