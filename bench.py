@@ -20,6 +20,7 @@ same plan run-to-run); the minimum is the reproducible cost of the plan.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -256,20 +257,40 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "data_sig": data_sig(sf_dir),
-                "calib_sec": round(calib, 3),
-                "cpu_calib_sec": round(cpu_calib, 3),
-            }
-        )
-    )
+    sig = data_sig(sf_dir)
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "data_sig": sig,
+        "calib_sec": round(calib, 3),
+        "cpu_calib_sec": round(cpu_calib, 3),
+    }
+    print(json.dumps(full))
+    # Compact summary printed LAST: the driver archives only a bounded
+    # TAIL of stdout, and at 65 queries the full line overruns it —
+    # BENCH_r13.json lost its first ~4 queries to front-truncation and
+    # every BENCH_r* has parsed:null. The tail therefore always ends
+    # with this short, complete, parseable record (totals + both
+    # calibration probes + data_sig + an md5 of the per-query map so a
+    # surviving full line can be validated against it). bench_check
+    # deliberately skips this line when scanning for the full map.
+    summary = {
+        "metric": "headline_summary",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "data_sig": sig,
+        "calib_sec": full["calib_sec"],
+        "cpu_calib_sec": full["cpu_calib_sec"],
+        "queries_md5": hashlib.md5(
+            json.dumps(timings, sort_keys=True).encode()
+        ).hexdigest()[:16],
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

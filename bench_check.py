@@ -108,6 +108,24 @@ def latest_committed_bench(
     return p.name, data
 
 
+def parse_bench_stdout(out: str) -> dict:
+    """Newest JSON line carrying the per-query map. bench.py prints the
+    full map, THEN a compact summary line (so the driver's
+    tail-truncated archive always ends with a complete record); the
+    gate needs the map, so summary-shaped lines are skipped."""
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            data = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(data.get("queries"), dict):
+            return data
+    raise RuntimeError("bench.py printed no per-query JSON line")
+
+
 def run_bench() -> dict:
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")],
@@ -115,11 +133,7 @@ def run_bench() -> dict:
         text=True,
         check=True,
     ).stdout
-    for line in reversed(out.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError("bench.py printed no JSON line")
+    return parse_bench_stdout(out)
 
 
 DRIFT_WARN_FACTOR = 1.5  # |drift| beyond this is shouted, not silent
@@ -282,10 +296,12 @@ def main(argv: list[str]) -> int:
         print("bench_check: no committed BENCH_*r*.json baseline; PASS")
         if not from_file:
             p = adopt_baseline(current)
-            print(
-                f"bench_check: adopted this run as the same-data baseline "
-                f"{p} — commit it (preflight refuses loose artifacts)"
-            )
+            if p:  # adopt_baseline may refuse (existing unparsable file)
+                print(
+                    f"bench_check: adopted this run as the same-data "
+                    f"baseline {p} — commit it (preflight refuses loose "
+                    "artifacts)"
+                )
         return 0
     base_name, baseline = base
 
@@ -325,13 +341,31 @@ def main(argv: list[str]) -> int:
         # Live run on a corpus no committed baseline covers: the gate
         # below degrades to informational (cross-data), so arm the next
         # run by adopting this clean live measurement as the new
-        # same-sig baseline.
-        p = adopt_baseline(current)
-        if p:
+        # same-sig baseline — UNLESS the host is visibly drifted. The
+        # pure-CPU probe is data-independent, so its ratio against even
+        # a cross-data baseline is a valid host-speed reading; adopting
+        # inside a 1.5-4x slow window would arm the round's HARD gate
+        # with inflated numbers (with the 0.5 drift floor, later
+        # nominal-speed runs gate up to ~2x loose — ADVICE r13), and a
+        # fast window would arm it tight (false FAILs later). Defer:
+        # the next clean-window run adopts instead.
+        cpu = _probe_ratio(current, baseline, "cpu_calib_sec")
+        sym = max(cpu, 1.0 / cpu) if cpu else 1.0
+        if sym > DRIFT_WARN_FACTOR:
             print(
-                f"bench_check: fresh data_sig {cur_sig!r} — adopted this "
-                f"run as the same-data baseline {p}; commit it"
+                f"bench_check: NOT adopting — pure-CPU probe ratio "
+                f"{cpu:.2f}x vs {base_name} exceeds the "
+                f"{DRIFT_WARN_FACTOR}x warn factor; a baseline adopted "
+                "in a drifted window would mis-scale the round's hard "
+                "gate. Re-run when the probe reads near-nominal to adopt."
             )
+        else:
+            p = adopt_baseline(current)
+            if p:
+                print(
+                    f"bench_check: fresh data_sig {cur_sig!r} — adopted "
+                    f"this run as the same-data baseline {p}; commit it"
+                )
 
     shared = sorted(
         set(current.get("queries", {})) & set(baseline.get("queries", {}))

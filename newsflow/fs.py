@@ -97,6 +97,19 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     except Exception:
         # No FileContext for this scheme (some object stores): fall
         # back to delete+rename; crash window leaves ABSENT, not torn.
+        # Guard (ADVICE r13): if the FileContext rename actually
+        # APPLIED before the exception surfaced (tmp already moved over
+        # the target), deleting jpath here would destroy the freshly
+        # installed file and leave the target absent on a SUCCESS path.
+        # The tmp file still existing is the proof the rename did not
+        # apply; otherwise the write already landed and we're done.
+        if not fs.exists(tmp):
+            if fs.exists(jpath):
+                return
+            raise IOError(
+                f"fs_write_text: FileContext rename failed and {tmp} is "
+                f"gone without {jpath} existing — state lost"
+            ) from None
         if fs.exists(jpath):
             fs.delete(jpath, False)
         if not bool(fs.rename(tmp, jpath)):

@@ -108,33 +108,37 @@ def _load_all_modules() -> None:
 # then least-recently-green), so a new query can never silently sit
 # outside the driver's 50-slot window for more than ceil(N/50) rounds
 # (tests/test_registry_schedule.py proves the bound by simulation).
-_RECHECK_DECLARED_ROUND = 13
+_RECHECK_DECLARED_ROUND = 14
 _RECHECK_THIS_ROUND = (
-    # Round-13 freshness pins (VERDICT r12 Next #5): the 18 oracled
-    # queries last driver-green in round 8 — the oldest cohort left
-    # after round 12 cleared the r7 debt. Pinning jumps them to the
-    # front of the r13 window so the last-green histogram floor rises
-    # to r9; each auto-expires on its first green row in a round >= 13
-    # and returns to normal rotation. (The round-12 pins — the r7
-    # cohort — all went green in CORRECTNESS_r12 and have expired.)
-    "bm25_topk",
-    "cohort_retention",
-    "doc_weighted_sample",
-    "event_burst_collapse",
-    "event_type_transitions",
-    "events_asof_updates",
-    "events_value_tiers",
-    "incremental_agg_update",
-    "incremental_percentile_update",
-    "keep_first_dedup",
-    "large_order_customers",
-    "national_supply_balance",
-    "revenue_by_status_salted",
-    "session_window_stats_stream_watermarked",
-    "sliding_window_counts_stream_watermarked",
-    "stream_static_enrichment",
-    "tokenizer_vocab",
-    "tumbling_window_counts_stream_watermarked",
+    # Round-14 freshness pins (VERDICT r13 Next #1): the 22 oracled
+    # queries last driver-green in round 9 — the oldest cohort left
+    # after round 13 cleared the r8 debt. Pinning jumps them to the
+    # front of the r14 window so the last-green histogram floor rises
+    # to r10; each auto-expires on its first green row in a round >= 14
+    # and returns to normal rotation. (The round-13 pins — the r8
+    # cohort — all went green in CORRECTNESS_r13 and have expired.)
+    "corpus_takedown_ffd_audit",
+    "customer_balance_quartiles",
+    "customer_order_histogram",
+    "daily_funnel_reconciliation",
+    "doc_corpus_shuffle",
+    "doc_hash_sample",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_stratified_sample",
+    "doc_token_stats",
+    "keep_first_dedup_agg",
+    "nsw_graph_edges",
+    "nsw_takedown_edges_audit",
+    "order_price_lag_rank",
+    "orders_above_global_avg",
+    "orders_approx_bounds",
+    "parts_above_brand_avg",
+    "quality_clf_sampled_teacher_eval",
+    "signup_days_gapfilled",
+    "topk_orders_per_priority",
+    "user_cumulative_value",
+    "user_moving_avg",
 )
 
 

@@ -1048,7 +1048,16 @@ def minhash_near_dup_pairs_cms_streamed(
     in-flight batch. At 100 TB this is the whole point: the routing
     estimate costs a broadcast-sized read of D*W cells instead of an
     extra full pass over the band signatures, and a stale estimate can
-    cost only plan quality, never output or task-memory safety."""
+    cost only plan quality, never output or task-memory safety.
+
+    Note (ADVICE r13): on THIS driver path the stream replays the same
+    documents table the query then reads, so the sketch incidentally
+    always covers the input and the guard's demotion branch cannot
+    fire here — its live exercise (planted stale state, provable
+    unguarded divergence) is scripts/stress_sketch_planning.py and
+    tests/test_dedup.py. The guard's extra count/min aggregation is
+    paid regardless; that is the production posture being demonstrated
+    — a real deployment cannot know its sketch is fresh."""
     from newsflow.dedup import minhash
     from newsflow.streaming.ingest import (
         plan_cms_ingest_stream,

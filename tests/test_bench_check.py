@@ -362,3 +362,104 @@ def test_probe_disagreement_faster_engine_is_a_note_not_alarm():
     )
     assert any("faster" in w for w in warns)
     assert not any("investigate before shipping" in w for w in warns)
+
+
+def test_parse_bench_stdout_skips_trailing_summary_line():
+    """Round-14: bench.py prints the full per-query map THEN a compact
+    summary (the driver archives only a bounded stdout tail, which
+    front-truncated r13's full line). The gate must keep reading the
+    MAP, not the summary."""
+    full = {"metric": "headline_queries_total", "value": 2.0,
+            "queries": {"q": 2.0}, "data_sig": "s"}
+    summary = {"metric": "headline_summary", "value": 2.0,
+               "n_queries": 1, "data_sig": "s", "queries_md5": "ab"}
+    out = "some spark log noise\n%s\n%s\n" % (
+        json.dumps(full), json.dumps(summary))
+    assert bc.parse_bench_stdout(out) == full
+    # Summary-only stdout (full line lost entirely) is a loud error,
+    # not a silent gate against an empty map.
+    import pytest
+    with pytest.raises(RuntimeError):
+        bc.parse_bench_stdout(json.dumps(summary) + "\n")
+
+
+def test_bench_stdout_ends_with_compact_summary_line():
+    """The LAST stdout line bench.py emits must be short, complete and
+    parseable (what survives the driver's tail truncation), and must
+    carry the self-contained record: totals + both probes + data_sig +
+    a checksum of the per-query map."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+    from pathlib import Path
+
+    src = Path(bc.ROOT / "bench.py").read_text()
+    # Structural check (running main() costs a full 65-query bench):
+    # the summary print is the final print before spark.stop().
+    m = re.search(r"print\(json\.dumps\(summary\)\)\s*\n\s*spark\.stop\(\)", src)
+    assert m, "compact summary line must be the last thing printed"
+    for field in ("n_queries", "queries_md5", "cpu_calib_sec", "data_sig"):
+        assert f'"{field}"' in src
+
+
+def test_fresh_sig_adoption_refused_in_drifted_window(
+    monkeypatch, tmp_path, capsys
+):
+    """ADVICE r13: adopting a baseline while the pure-CPU probe reads
+    1.5-4x off the committed baseline would arm the round's hard gate
+    mis-scaled (loose after a slow window, tight after a fast one).
+    Defer adoption; a later near-nominal run adopts instead."""
+    from pathlib import Path
+
+    monkeypatch.setattr(bc, "ROOT", Path(tmp_path))
+    (tmp_path / "CORRECTNESS_r41.json").write_text("{}")
+    base = {"queries": {"q": 0.5}, "data_sig": "sig-old",
+            "cpu_calib_sec": 1.0}
+    monkeypatch.setattr(
+        bc, "latest_committed_bench",
+        lambda sig=None: ("BENCH_rTEST.json", base),
+    )
+    adopted = tmp_path / "BENCH_LOCAL_r42.json"
+
+    # Slow window: 2x the baseline probe — inside the 1.5-4x trap zone.
+    slow = {"queries": {"q": 1.0}, "data_sig": "sig-new",
+            "cpu_calib_sec": 2.0}
+    monkeypatch.setattr(bc, "run_bench", lambda: slow)
+    assert bc.main(["bench_check.py"]) == 0
+    assert not adopted.exists()
+    assert "NOT adopting" in capsys.readouterr().out
+
+    # Fast window (probe 0.5x): symmetric refusal — a deflated baseline
+    # gates later nominal runs ~2x TIGHT (false FAILs).
+    fast = {"queries": {"q": 0.3}, "data_sig": "sig-new",
+            "cpu_calib_sec": 0.5}
+    monkeypatch.setattr(bc, "run_bench", lambda: fast)
+    assert bc.main(["bench_check.py"]) == 0
+    assert not adopted.exists()
+
+    # Near-nominal window: adoption proceeds.
+    ok = {"queries": {"q": 0.55}, "data_sig": "sig-new",
+          "cpu_calib_sec": 1.1}
+    monkeypatch.setattr(bc, "run_bench", lambda: ok)
+    assert bc.main(["bench_check.py"]) == 0
+    assert adopted.exists()
+    assert json.loads(adopted.read_text())["data_sig"] == "sig-new"
+
+
+def test_base_none_adoption_print_guarded(monkeypatch, tmp_path, capsys):
+    """ADVICE r13: when adopt_baseline refuses (pre-existing file), the
+    no-baseline branch must not print a contradictory 'adopted' line
+    with an empty path."""
+    from pathlib import Path
+
+    monkeypatch.setattr(bc, "ROOT", Path(tmp_path))
+    (tmp_path / "CORRECTNESS_r41.json").write_text("{}")
+    # Pre-existing round baseline -> adopt_baseline refuses.
+    (tmp_path / "BENCH_LOCAL_r42.json").write_text("not json")
+    monkeypatch.setattr(bc, "latest_committed_bench", lambda sig=None: None)
+    fresh = {"queries": {"q": 1.0}, "data_sig": "sig-new"}
+    monkeypatch.setattr(bc, "run_bench", lambda: fresh)
+    assert bc.main(["bench_check.py"]) == 0
+    out = capsys.readouterr().out
+    assert "NOT adopting" in out
+    assert "adopted this run" not in out
