@@ -71,11 +71,19 @@ def lr_fit_xy(
     n_coef: int,
     iters: int = LR_ITERS,
     rate: float = LR_RATE,
+    l2: float = 0.0,
 ) -> list[float]:
     """The GD loop over ANY (x: array<double> incl. bias, y: double)
     frame — the generalized form `ml/quality_clf.py` trains its
     text-feature classifier with. Same determinism recipe as the
-    embedding model (module docstring)."""
+    embedding model (module docstring).
+
+    ``l2`` adds ridge regularization to the gradient (the MLlib
+    regParam analog the theme model mirrors): update uses
+    g_j + l2 * w_j for every coefficient EXCEPT the bias (j=1), the
+    MLlib convention. l2 terms are plain IEEE double ops mirrored
+    verbatim in `lr_ctes_sql_for`, so the determinism contract is
+    unchanged; l2=0.0 keeps the original expression exactly."""
     n = xy.count()
     w = [0.0] * n_coef
     for _ in range(iters):
@@ -84,6 +92,12 @@ def lr_fit_xy(
         # against the previous literal weights, then dround) so the
         # rounding semantics are Spark's round(+1e-9) — identical to the
         # oracle's sql_dround — not Python's banker's round.
+        wj_prev = F.element_at(_w_literal(w), F.col("j0") + 1)
+        grad = F.col("s").cast("double") / n
+        if l2:
+            grad = grad + l2 * F.when(
+                F.col("j0") == 0, F.lit(0.0)
+            ).otherwise(wj_prev)
         rows = (
             scored.select(
                 "p", "y", F.posexplode("x").alias("j0", "xj")
@@ -98,11 +112,7 @@ def lr_fit_xy(
             )
             .select(
                 "j0",
-                dround(
-                    F.element_at(_w_literal(w), F.col("j0") + 1)
-                    - rate * (F.col("s").cast("double") / n),
-                    ROUND_WEIGHT,
-                ).alias("wj"),
+                dround(wj_prev - rate * grad, ROUND_WEIGHT).alias("wj"),
             )
             .collect()
         )
@@ -363,6 +373,7 @@ def lr_ctes_sql_for(
     n_coef: int,
     iters: int = LR_ITERS,
     rate: float = LR_RATE,
+    l2: float = 0.0,
 ) -> str:
     """`lr_ctes_sql` over ANY ``ev`` relation (vec_id/x/y — x a DOUBLE[]
     with the bias prepended) — the oracle twin of `lr_fit_xy`.
@@ -381,6 +392,15 @@ def lr_ctes_sql_for(
     ]
     for i in range(1, iters + 1):
         prev = f"w{i - 1}"
+        # Mirror of lr_fit_xy's update: with l2, the gradient gets
+        # + l2 * w_j for every coefficient except the bias (j=1) —
+        # identical op order to the Spark expression.
+        grad = f"g{i}.g"
+        if l2:
+            grad = (
+                f"(g{i}.g + {l2!r} * (CASE WHEN g{i}.j = 1 THEN 0.0 "
+                f"ELSE {prev}.w[g{i}.j] END))"
+            )
         parts.append(
             f"""p{i} AS (
       SELECT ev.vec_id, ev.x, ev.y, {_sql_sigmoid(prev)} AS p
@@ -394,7 +414,7 @@ def lr_ctes_sql_for(
       GROUP BY j
     ),
     w{i} AS MATERIALIZED (
-      SELECT list({sql_dround(f"{prev}.w[g{i}.j] - {rate!r} * g{i}.g",
+      SELECT list({sql_dround(f"{prev}.w[g{i}.j] - {rate!r} * {grad}",
                               ROUND_WEIGHT)}
                   ORDER BY g{i}.j) AS w
       FROM g{i}, {prev}

@@ -367,19 +367,18 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "theme_lr_coefficients",
-    # Rows-only: L-BFGS coefficient values are not an SQL contract.
-    # tests/test_ml.py asserts seeded determinism, vocab alignment, and
-    # the minDF vocabulary cut.
-    doc="M4/M7/M9/M12 theme variant — CountVectorizer(vocabSize=1000, "
-    "minDF=5) sparse counts -> StringIndexer -> LogisticRegression("
-    "regParam=0.1), top-8 vocabulary terms by |coef| "
-    "(S3-scripts/.../theme_ml_job.py:59-79; token arrays over documents "
-    "play themes_arr, the two most frequent langs play label_week).",
-    tags=("ml", "themes"),
-)
-def theme_lr_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+def theme_lr_coefficients_mllib(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MLlib pipeline form of the theme job — CountVectorizer(
+    vocabSize=1000, minDF=5) -> StringIndexer -> LogisticRegression(
+    regParam=0.1), top-8 terms by |coef| (S3-scripts/.../
+    theme_ml_job.py:59-79). UNREGISTERED since r14 (was rows-only:
+    L-BFGS internals are engine-specific, so coefficient VALUES are
+    not a cross-engine contract); tests/test_ml.py keeps it covered
+    (seeded determinism, vocab alignment, minDF cut) and the
+    registered `theme_lr_coefficients` below replays the same pipeline
+    shape on the exactly-oracled native chain."""
     from newsflow.functions.text import tokens_expr
     from newsflow.ml.themes import fit_countvec_lr, vocab_coefficient_table
 
@@ -392,3 +391,29 @@ def theme_lr_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "toks", "lang", vocab_size=1000, min_df=5.0, reg_param=0.1
     )
     return vocab_coefficient_table(spark, result, k=8)
+
+
+from newsflow.ml.theme_native import (  # noqa: E402
+    theme_lr_native_df,
+    theme_lr_native_oracle_sql,
+)
+
+
+@register(
+    "theme_lr_coefficients",
+    # Exactly oracled since round 14 (VERDICT r13 Next #6): converged
+    # onto the native LR chain the way lr_native_coefficients did —
+    # DF-ordered vocabulary (CountVectorizer semantics), integer count
+    # features, unrolled ridge GD (MLlib's regParam convention via
+    # lr_fit_xy(l2=0.1)), top-8 by |coef|; DuckDB replays the WHOLE
+    # chain (ml/theme_native.py). The MLlib pipeline stays as the
+    # unregistered API-parity twin above.
+    oracle=theme_lr_native_oracle_sql(),
+    doc="M4/M7/M9/M12 theme variant — CountVectorizer-semantics vocab "
+    "+ count features -> natively-expressed ridge LR -> top-8 terms "
+    "by |coef| (theme_ml_job.py:59-79; token arrays over documents "
+    "play themes_arr, the two most frequent langs play label_week).",
+    tags=("ml", "themes", "iterative"),
+)
+def theme_lr_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theme_lr_native_df(spark, sf_dir)

@@ -575,17 +575,19 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "orders_approx_stats",
-    # No oracle: HLL++ and GK-sketch results are engine-specific.
-    # tests/test_approx.py bounds both against their exact twins.
-    tags=("agg", "approx"),
-)
-def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB forms of A6/quantiles: approx_count_distinct (HLL++,
-    default 5% rsd) and percentile_approx (GK sketch) — single-pass,
-    mergeable, bounded-memory, where the exact forms need a full
-    shuffle/sort of the column."""
+def orders_approx_stats_builtin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Spark-builtin production twin of `orders_approx_stats`:
+    approx_count_distinct (HLL++, default 5% rsd) and percentile_approx
+    (GK sketch) — single-pass, mergeable, bounded-memory. UNREGISTERED
+    (rows-only before r14): HLL++/GK internals are engine-specific, so
+    their VALUES can never hash-match another engine; this form is
+    bounds-checked against exact twins in tests/test_approx.py and its
+    accuracy contract is driver-oracled via `orders_approx_bounds`.
+    The registered `orders_approx_stats` below computes the same stats
+    from ENGINE-SHARED deterministic sketches instead, which makes the
+    estimates themselves exactly oracle-able."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
@@ -593,6 +595,205 @@ def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median_price"
         ),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# Engine-shared approximate stats (VERDICT r13 Next #6). OAS_K and the
+# 25% hash prune compose into a TOTAL distinct estimator with two
+# regimes, both deterministic functions of the data through the
+# md5-nibble derivation the sketch tier already certifies cross-engine:
+#   - >= OAS_K distinct keys survive the prune: the k-th smallest
+#     surviving hash IS the k-th smallest global hash (every smaller
+#     hash also survives the prefix prune), so the classic KMV estimate
+#     (k-1)*SCALE/v_k applies — rsd ~ 1/sqrt(k) = 12.5%.
+#   - fewer than OAS_K survivors: survivor_count * 4 (the inverse
+#     sampling rate) — the threshold/adaptive-sampling estimator, rsd
+#     ~ 1/sqrt(m). At sf0.001 the per-status groups take this branch,
+#     at sf0.01+ the KMV branch: both regimes are driver-exercised.
+OAS_K = 64
+OAS_PRUNE_HEX = "4"  # keep md5 first nibble < '4': 4/16 = 25% of keys
+OAS_R = 4  # the matching inverse sampling rate
+OAS_MED_K = 256  # bottom-k-by-hash sample behind the median estimate
+
+
+def _orders_approx_oracle() -> str:
+    from newsflow.functions.scalars import sql_dround
+    from newsflow.sketch import KMV_SCALE, _kmv_v12_sql
+
+    kmv_num = (OAS_K - 1) * KMV_SCALE  # 63 * 2^48: exact in a double
+    est = sql_dround(f"CAST({kmv_num} AS DOUBLE) / vk", 4)
+    return f"""
+    WITH o AS (
+      SELECT o_orderstatus AS status, o_custkey, o_orderkey, o_totalprice
+      FROM orders
+    ),
+    counts AS (
+      SELECT status, CAST(count(*) AS BIGINT) AS n_orders
+      FROM o GROUP BY 1
+    ),
+    surv AS (
+      SELECT DISTINCT status,
+             md5('oascd:' || CAST(o_custkey AS VARCHAR)) AS h
+      FROM o
+      WHERE substr(md5('oascd:' || CAST(o_custkey AS VARCHAR)), 1, 1)
+            < '{OAS_PRUNE_HEX}'
+    ),
+    sk AS (
+      SELECT status, h,
+             row_number() OVER (PARTITION BY status ORDER BY h) AS rn
+      FROM surv
+    ),
+    cd AS (
+      SELECT status, max(rn) AS m,
+             max(CASE WHEN rn = {OAS_K} THEN {_kmv_v12_sql("h")} END) AS vk
+      FROM sk WHERE rn <= {OAS_K} GROUP BY 1
+    ),
+    cde AS (
+      SELECT status,
+             CASE WHEN m < {OAS_K} THEN CAST(m * {OAS_R} AS DOUBLE)
+                  ELSE {est} END AS est_customers
+      FROM cd
+    ),
+    samp AS (
+      SELECT status, o_totalprice, o_orderkey,
+             md5('oasmed:' || CAST(o_orderkey AS VARCHAR)) AS h
+      FROM o
+      WHERE substr(md5('oasmed:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+            < '{OAS_PRUNE_HEX}'
+    ),
+    bk AS (
+      SELECT status, o_totalprice, o_orderkey FROM (
+        SELECT status, o_totalprice, o_orderkey,
+               row_number() OVER (
+                 PARTITION BY status ORDER BY h, o_orderkey
+               ) AS rn
+        FROM samp
+      ) WHERE rn <= {OAS_MED_K}
+    ),
+    med AS (
+      SELECT status, o_totalprice AS est_median_price FROM (
+        SELECT status, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY status ORDER BY o_totalprice, o_orderkey
+               ) AS pr,
+               count(*) OVER (PARTITION BY status) AS ns
+        FROM bk
+      ) WHERE pr = CAST(floor((ns + 1) / 2.0) AS BIGINT)
+    )
+    SELECT c.status, c.n_orders,
+           COALESCE(e.est_customers, 0.0) AS est_customers,
+           m.est_median_price
+    FROM counts c
+    LEFT JOIN cde e USING (status)
+    LEFT JOIN med m USING (status)
+    """
+
+
+@register(
+    "orders_approx_stats",
+    # Exactly oracled since round 14 (VERDICT r13 Next #6): the
+    # estimates themselves are deterministic functions of the data via
+    # the engine-shared md5 derivation — the KMV branch is one IEEE
+    # division of two exactly-representable values (the
+    # source_vocab_kmv argument), the threshold branch is integer
+    # arithmetic, and the median estimate is an ELEMENT of the data
+    # (type-1 quantile of the bottom-k sample), so no arithmetic can
+    # drift at all. The Spark-builtin HLL++/GK twin stays as the
+    # unregistered production variant (`orders_approx_stats_builtin`),
+    # bounds-tested in tests/test_approx.py and certified by the
+    # oracled `orders_approx_bounds`.
+    oracle=_orders_approx_oracle(),
+    tags=("agg", "approx", "sketch"),
+)
+def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms of A6/quantiles from ENGINE-SHARED sketches:
+    per status, (1) an approximate distinct-customer count from a
+    25%-hash-pruned KMV sketch (k=64 smallest md5 values; prune-count
+    fallback for groups too small to fill the sketch — see the regime
+    note above `OAS_K`), and (2) an approximate median price as the
+    middle element of a bottom-{OAS_MED_K}-by-hash uniform sample
+    (rank sd ~ 1/(2*sqrt(k)) ~ 3.1%). Exact n_orders rides along as
+    the audit anchor.
+
+    Scale shape: the prune is a narrow predicate pass (3/4 of keys
+    never reach a shuffle); the per-group windows then sort only the
+    pruned survivors / the 256-row samples — bounded state per group
+    at any corpus size, the same contract as HLL++/GK but with values
+    another engine can reproduce bit-for-bit."""
+    from pyspark.sql import Window
+
+    from newsflow.sketch import KMV_SCALE, _kmv_v12_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    counts = o.groupBy("status").agg(F.count(F.lit(1)).alias("n_orders"))
+
+    hc = F.md5(
+        F.concat(F.lit("oascd:"), F.col("o_custkey").cast("string"))
+    )
+    surv = (
+        o.select("status", hc.alias("h"))
+        .filter(F.substring("h", 1, 1) < OAS_PRUNE_HEX)
+        .distinct()
+    )
+    wk = Window.partitionBy("status").orderBy("h")
+    sk = surv.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= OAS_K
+    )
+    kmv_num = float((OAS_K - 1) * KMV_SCALE)
+    cd = (
+        sk.groupBy("status")
+        .agg(
+            F.max("rn").alias("m"),
+            F.max(
+                F.when(F.col("rn") == OAS_K, F.expr(_kmv_v12_sql("h")))
+            ).alias("vk"),
+        )
+        .select(
+            "status",
+            F.when(
+                F.col("m") < OAS_K,
+                (F.col("m") * OAS_R).cast("double"),
+            )
+            .otherwise(dround(F.lit(kmv_num) / F.col("vk"), 4))
+            .alias("est_customers"),
+        )
+    )
+
+    hm = F.md5(
+        F.concat(F.lit("oasmed:"), F.col("o_orderkey").cast("string"))
+    )
+    samp = o.select(
+        "status", "o_totalprice", "o_orderkey", hm.alias("h")
+    ).filter(F.substring("h", 1, 1) < OAS_PRUNE_HEX)
+    wh = Window.partitionBy("status").orderBy("h", "o_orderkey")
+    bk = samp.withColumn("rn", F.row_number().over(wh)).filter(
+        F.col("rn") <= OAS_MED_K
+    )
+    wp = Window.partitionBy("status").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("status")
+    med = (
+        bk.withColumn("pr", F.row_number().over(wp))
+        .withColumn("ns", F.count(F.lit(1)).over(wn))
+        .filter(F.col("pr") == F.floor((F.col("ns") + 1) / 2))
+        .select("status", F.col("o_totalprice").alias("est_median_price"))
+    )
+
+    return (
+        counts.join(cd, "status", "left")
+        .join(med, "status", "left")
+        .select(
+            "status",
+            "n_orders",
+            F.coalesce("est_customers", F.lit(0.0)).alias(
+                "est_customers"
+            ),
+            "est_median_price",
+        )
     )
 
 

@@ -227,3 +227,48 @@ def ivf_topk_native(
             dround(F.col("sim"), round_to).alias("cosine_sim"),
         )
     )
+
+
+def escalate_n_probe(
+    selectivity: float,
+    n_corpus: int,
+    k: int = 5,
+    k_clusters: int = 8,
+    base: int = 2,
+    margin: int = 4,
+) -> int:
+    """n_probe escalation rule for FILTERED IVF search (VERDICT r13
+    Next #7), keyed on the filter's selectivity estimate.
+
+    The filtered failure mode is candidate STARVATION, not probe
+    misranking: the licence filter is uncorrelated with geometry, so a
+    probed cell holds ~ selectivity * N / K qualifying vectors, and a
+    fixed-probe search can simply run out of qualifying candidates
+    before k. Probe enough cells that the EXPECTED qualifying
+    candidate pool is margin * k:
+
+        n_probe = clamp(ceil(margin * k * K / (selectivity * N)),
+                        base, K)
+
+    Measured on the sf0.01 corpus (N=500, K=8, k=5) at 5% selectivity:
+    fixed 2 probes -> recall@5 0.55; this rule (margin=4 -> 7 probes)
+    -> recall@5 1.0; the full curve is 2:0.55 / 3:0.625 / 4:0.75 /
+    5:0.85 / 6:0.925 / 7:1.0 (tests/test_sim_ivf.py re-measures the
+    endpoints). margin=4 is the >= 0.9 operating point there; margin=3
+    (the expected-value minimum) gave 0.85. When the rule escalates to
+    n_probe = K, the search degenerates to scanning every cell's
+    qualifying slice — at which point the honest plan is the filtered
+    brute-force baseline over the qualifying semi-join, which costs the
+    same and is exact.
+
+    ``selectivity`` is an ESTIMATE (catalog stats / a sampled count);
+    the rule only places the recall-cost knee, so estimate error
+    shifts cost, never correctness."""
+    import math
+
+    if selectivity <= 0 or n_corpus <= 0:
+        return k_clusters
+    need = math.ceil(
+        margin * k * k_clusters / (selectivity * n_corpus)
+    )
+    return max(base, min(k_clusters, need))

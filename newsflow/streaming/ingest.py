@@ -31,6 +31,58 @@ from pyspark.sql.streaming import StreamingQuery
 
 from newsflow.ops.merge import merge_upsert
 
+# --- Micro-batch shuffle sizing (VERDICT r13 Next #5) ----------------------
+#
+# The round-13 executor sweep measured streaming ingest ANTI-scaling with
+# core count: `streaming_ann_index_ingest` ran 15.1 s at local[8] vs
+# 22.6 s at local[32] in all four sweeps (BENCH_sf1.md), because the
+# session-level `spark.sql.shuffle.partitions` (sized for the BATCH
+# workload: one wave per core) fans each tiny micro-batch's exchanges
+# into 4x the tasks — pure scheduler overhead at 16-row deltas. The fix
+# is sizing shuffles to the BATCH, not the session: every foreachBatch
+# body below runs under a per-batch override computed from the observed
+# batch row count, clamped to [1, session value] so a genuinely large
+# batch keeps the session's parallelism. The one extra `count()` per
+# micro-batch is a re-read of the batch's source files — noise next to
+# the work it sizes (and exactly-once is untouched: the override changes
+# physical partitioning only).
+#
+# Session-global caveat: `spark.conf` is shared, so two streams draining
+# CONCURRENTLY in one session would race on the override. Every helper
+# in this module triggers availableNow and callers await termination
+# before starting the next stream; run truly concurrent streams from
+# separate `spark.newSession()` handles (each has its own conf).
+
+MICRO_BATCH_ROWS_PER_TASK = 65536
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+
+
+def _adaptive_micro_batch(spark, apply_fn, rows_per_task=None):
+    """Wrap a foreachBatch body so its jobs run with batch-volume-aware
+    shuffle partitioning: ceil(rows / rows_per_task) partitions, floor 1,
+    ceiling the session setting (restored after the batch).
+
+    ``rows_per_task`` defaults to MICRO_BATCH_ROWS_PER_TASK; pass a
+    smaller value for bodies whose per-row work fans out (the NSW insert
+    expands each vector into ~ef*M candidate rows per hop, so its call
+    site sizes by post-expansion volume)."""
+    per_task = rows_per_task or MICRO_BATCH_ROWS_PER_TASK
+
+    def wrapped(batch, batch_id):
+        try:
+            session_n = int(spark.conf.get(_SHUFFLE_KEY))
+        except (TypeError, ValueError):
+            session_n = 200
+        n_rows = batch.count()
+        target = max(1, min(session_n, -(-n_rows // per_task)))
+        spark.conf.set(_SHUFFLE_KEY, str(target))
+        try:
+            apply_fn(batch, batch_id)
+        finally:
+            spark.conf.set(_SHUFFLE_KEY, str(session_n))
+
+    return wrapped
+
 
 def stream_merge_to_corpus(
     spark: SparkSession,
@@ -59,7 +111,7 @@ def stream_merge_to_corpus(
         )
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_adaptive_micro_batch(spark, _apply))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -215,7 +267,7 @@ def neardup_ingest_stream(
         )
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_adaptive_micro_batch(spark, _apply))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -543,8 +595,15 @@ def ann_index_ingest_stream(
             hops=hops,
         )
 
+    # rows_per_task=64: the insert's beam search expands each batch
+    # vector into ~ef*M (~512) candidate rows per hop, so shuffles are
+    # sized by post-expansion volume — a 16-vector wave still runs its
+    # exchanges in ONE task (the r13 sweep's anti-scaling case) while a
+    # 2k+-vector batch regains the session's full parallelism.
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(
+            _adaptive_micro_batch(spark, _apply, rows_per_task=64)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -656,7 +715,7 @@ def cms_ingest_stream(
         cms_apply_batch(spark, batch, batch_id, sketch_dir)
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_adaptive_micro_batch(spark, _apply))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -854,7 +913,7 @@ def bloom_ingest_stream(
         bloom_apply_batch(spark, batch, batch_id, bloom_dir, n_shards)
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_adaptive_micro_batch(spark, _apply))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -956,7 +1015,7 @@ def kmv_ingest_stream(
         kmv_apply_batch(spark, batch, batch_id, kmv_dir)
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_adaptive_micro_batch(spark, _apply))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -1126,7 +1185,7 @@ def plan_cms_ingest_stream(
         )
 
     return (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(_adaptive_micro_batch(spark, _apply))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -225,3 +225,42 @@ def test_neardup_ingest_stream_planted_semantics(spark, tmp_path):
         .collect()
     }
     assert indexed3 == {1, 3, 12}
+
+
+def test_adaptive_micro_batch_sizes_shuffle_to_batch(spark):
+    """VERDICT r13 Next #5: foreachBatch bodies must run with shuffle
+    partitioning sized to the BATCH (ceil(rows/rows_per_task), floor 1,
+    ceiling the session value) and restore the session setting after —
+    the r13 sweep measured tiny micro-batches anti-scaling 1.5x when
+    they inherit a 32-partition session setting."""
+    from newsflow.streaming.ingest import _SHUFFLE_KEY, _adaptive_micro_batch
+
+    session_n = spark.conf.get(_SHUFFLE_KEY)
+    seen = {}
+
+    def _apply(batch, batch_id):
+        seen[batch_id] = int(spark.conf.get(_SHUFFLE_KEY))
+
+    # Tiny batch -> 1 partition.
+    _adaptive_micro_batch(spark, _apply)(spark.range(16), 0)
+    assert seen[0] == 1
+    # Large batch with a small rows_per_task -> clamped to session value.
+    _adaptive_micro_batch(spark, _apply, rows_per_task=10)(
+        spark.range(100_000), 1
+    )
+    assert seen[1] == int(session_n)
+    # Mid-size: ceil(1000/64) = 16 (session setting permitting).
+    _adaptive_micro_batch(spark, _apply, rows_per_task=64)(
+        spark.range(1000), 2
+    )
+    assert seen[2] == min(int(session_n), 16)
+    # Restored after every batch, including when the body raises.
+    assert spark.conf.get(_SHUFFLE_KEY) == session_n
+
+    def _boom(batch, batch_id):
+        raise RuntimeError("body failure")
+
+    import pytest
+    with pytest.raises(RuntimeError):
+        _adaptive_micro_batch(spark, _boom)(spark.range(1), 3)
+    assert spark.conf.get(_SHUFFLE_KEY) == session_n
