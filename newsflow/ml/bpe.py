@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.functions.text import sql_tokens, tokens_expr
 from newsflow.registry import register
-from newsflow.tables import load_table, spread
+from newsflow.tables import load_table, local_df, spread
 
 BPE_MERGES = 8
 
@@ -171,8 +171,8 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state collected from vocabulary-sized distributed
     aggregations (see module docstring)."""
     merges, _ = bpe_fit(spread(load_table(spark, sf_dir, "documents")))
-    return spark.createDataFrame(
-        merges, "step long, lhs string, rhs string, pair_count long"
+    return local_df(
+        spark, merges, "step long, lhs string, rhs string, pair_count long"
     )
 
 

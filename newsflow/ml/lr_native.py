@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
 from newsflow.functions.scalars import dround, sql_dround
+from newsflow.tables import local_df
 from newsflow.sim.knn import as_double_array, dot_expr
 
 LR_ITERS = 3
@@ -128,8 +129,9 @@ def lr_coefficients_df(embeddings: DataFrame) -> DataFrame:
     a corpus-sized result."""
     spark = embeddings.sparkSession
     w = lr_fit(embeddings)
-    return spark.createDataFrame(
-        [(j + 1, w[j]) for j in range(N_COEF)], "j long, weight double"
+    return local_df(
+        spark, [(j + 1, w[j]) for j in range(N_COEF)],
+        "j long, weight double",
     )
 
 

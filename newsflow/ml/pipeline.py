@@ -33,6 +33,8 @@ from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import StringIndexer, VectorAssembler
 from pyspark.sql import DataFrame
 
+from newsflow.tables import local_df
+
 
 @dataclass
 class LRResult:
@@ -105,7 +107,8 @@ def coefficient_table(spark, result: LRResult) -> DataFrame:
     rows = sorted(
         result.coefficients, key=lambda fc: (-abs(fc[1]), fc[0])
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(f, c, abs(c), i + 1) for i, (f, c) in enumerate(rows)],
         "feature string, coef double, abs_coef double, rank int",
     )

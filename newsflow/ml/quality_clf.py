@@ -58,7 +58,7 @@ from newsflow.ml.lr_native import (
     lr_fit_xy,
 )
 from newsflow.registry import register
-from newsflow.tables import load_table, spread
+from newsflow.tables import load_table, local_df, spread
 
 N_COEF_Q = 7  # bias + 5 text features + upstream lang-ID indicator
 Q_ITERS = 25  # these features need a longer, gentler schedule than the
@@ -167,8 +167,9 @@ def quality_clf_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly oracled end to end INCLUDING the teacher labels (the
     funnel CTEs feed the oracle's training relation)."""
     w = _fit(spark, sf_dir)
-    return spark.createDataFrame(
-        [(j + 1, w[j]) for j in range(N_COEF_Q)], "j long, weight double"
+    return local_df(
+        spark, [(j + 1, w[j]) for j in range(N_COEF_Q)],
+        "j long, weight double",
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from newsflow.functions.scalars import tokenize
 from newsflow.ml.pipeline import coefficient_table, fit_binary_lr
 from newsflow.registry import register
-from newsflow.tables import load_table
+from newsflow.tables import load_table, local_df
 
 LR_FEATURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
@@ -90,7 +90,8 @@ def lr_coefficients_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lr_model_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     result = fit_binary_lr(li, "l_linestatus", LR_FEATURES, seed=42)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 "auc",

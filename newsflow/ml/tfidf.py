@@ -29,6 +29,8 @@ from pyspark.ml.feature import (
 from pyspark.ml.functions import vector_to_array
 from pyspark.sql import Column, DataFrame
 
+from newsflow.tables import local_df
+
 # Domain stopword lexicon added to the English defaults — the reference's
 # pattern of brand/domain noise terms (nlp_analysis.py:129-139).
 DOMAIN_STOPWORDS = (
@@ -224,8 +226,8 @@ def top_k_terms_exploded(
     from newsflow.functions.scalars import dround
 
     spark = scored.sparkSession
-    vocab_df = spark.createDataFrame(
-        list(enumerate(vocabulary)), "idx int, term string"
+    vocab_df = local_df(
+        spark, list(enumerate(vocabulary)), "idx int, term string"
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("r"), "idx")
     ranked = (

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from newsflow.functions.text import sql_tokens, tokens_expr
 from newsflow.ml.lr_native import lr_ctes_sql_for, lr_fit_xy
-from newsflow.tables import load_table
+from newsflow.tables import load_table, local_df
 
 THEME_V = 32
 THEME_MIN_DF = 5
@@ -129,7 +129,8 @@ def theme_lr_native_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = sorted(coefs, key=lambda tc: (-abs(tc[1]), tc[0]))[
         :THEME_TOP_K
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(t, i + 1, c) for i, (t, c) in enumerate(ranked)],
         "term string, rank long, coef double",
     )

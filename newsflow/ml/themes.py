@@ -29,6 +29,8 @@ from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.feature import CountVectorizer, StringIndexer
 from pyspark.sql import DataFrame, SparkSession
 
+from newsflow.tables import local_df
+
 
 @dataclass
 class ThemeLRResult:
@@ -93,7 +95,8 @@ def vocab_coefficient_table(
     ranked = sorted(
         result.coefficients, key=lambda tc: (-abs(tc[1]), tc[0])
     )[:k]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(t, c, abs(c), i + 1) for i, (t, c) in enumerate(ranked)],
         "term string, coef double, abs_coef double, rank int",
     )

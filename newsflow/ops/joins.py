@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from newsflow.functions.exactagg import Sum, exact_stats_agg
 from newsflow.functions.scalars import davg, dsum, sql_davg, sql_dsum
 from newsflow.registry import register
-from newsflow.tables import load_table
+from newsflow.tables import load_table, local_df
 
 
 @register(
@@ -275,7 +275,7 @@ def events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsflow.ops.rangejoin import range_join_binned
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    tiers = spark.createDataFrame(
+    tiers = local_df(spark, 
         [
             ("bronze", 0.0, 50.0),
             ("silver", 50.0, 120.0),

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
 
 from newsflow.functions.scalars import dround
+from newsflow.tables import local_df
 from newsflow.sim.knn import as_double_array, dot_expr, norm_expr
 
 
@@ -71,7 +72,8 @@ def ivf_topk(
 
     # Centroid table is tiny (n_cells rows) → broadcast everywhere.
     centroids = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+        local_df(
+            corpus.sparkSession,
             [(i, [float(x) for x in c]) for i, c in
              enumerate(model.clusterCenters())],
             "cell int, centroid array<double>",

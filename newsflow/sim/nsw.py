@@ -56,7 +56,7 @@ from newsflow.functions.scalars import dround
 from newsflow.registry import register
 from newsflow.sim.knn import dot_expr
 from newsflow.sim.pq import _unit
-from newsflow.tables import load_table, spread
+from newsflow.tables import load_table, local_df, spread
 
 GRAPH_MAX_VEC_ID = 400  # indexed slice; queries are out-of-index
 GRAPH_M = 8             # graph degree
@@ -1552,8 +1552,8 @@ def nsw_takedown_edges_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_sim.py, tests/test_takedown.py)."""
     units = _index_units(spark, sf_dir).localCheckpoint(eager=True)
     edges = nsw_graph_edges_df(units)
-    dels = spark.createDataFrame(
-        [(d,) for d in TAKEDOWN_AUDIT_DELS], "vec_id long"
+    dels = local_df(
+        spark, [(d,) for d in TAKEDOWN_AUDIT_DELS], "vec_id long"
     )
     survivors = units.filter(
         ~F.col("vec_id").isin(list(TAKEDOWN_AUDIT_DELS))
@@ -1630,8 +1630,8 @@ def nsw_graph_edges_ivf(
     # adds no shuffle: n·n_cells distance terms are computed where the
     # vectors sit, the IVF-assign cost every inverted-file index pays.
     cents_df = F.broadcast(
-        units.sparkSession.createDataFrame(
-            [(cents,)], "cents array<array<double>>"
+        local_df(
+            units.sparkSession, [(cents,)], "cents array<array<double>>"
         )
     )
     probe_expr = F.expr(

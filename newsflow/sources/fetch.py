@@ -134,7 +134,9 @@ def gdelt_day_urls(
         ts = cur.strftime("%Y%m%d%H%M%S")
         rows.append((ts, GDELT_GAL_TEMPLATE.format(ts=ts)))
         cur += timedelta(days=1)
-    return spark.createDataFrame(rows, "ts string, url string")
+    from newsflow.tables import local_df
+
+    return local_df(spark, rows, "ts string, url string")
 
 
 FETCH_SCHEMA = StructType(

@@ -48,7 +48,7 @@ from newsflow.streaming.queries import (
     SLIDING_ORACLE,
     TUMBLING_ORACLE,
 )
-from newsflow.tables import load_table
+from newsflow.tables import load_table, local_df
 
 
 @register(
@@ -508,7 +508,8 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(r.doc_id, r.ingest_batch) for r in rows],
         "doc_id long, ingest_batch long",
     )
@@ -637,8 +638,9 @@ def streaming_takedown_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(
-        [(r.doc_id, r.phase) for r in rows], "doc_id long, phase string"
+    return local_df(
+        spark, [(r.doc_id, r.phase) for r in rows],
+        "doc_id long, phase string",
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from newsflow.ops.merge import merge_upsert
+from newsflow.tables import local_df
 
 # --- Micro-batch shuffle sizing (VERDICT r13 Next #5) ----------------------
 #
@@ -536,7 +537,7 @@ def ann_index_apply_batch(
             overwrite_touched_graph_buckets(
                 spark, graph_path, write_rows, tb, layout
             )
-    spark.createDataFrame([(batch_id,)], "batch_id long").coalesce(
+    local_df(spark, [(batch_id,)], "batch_id long").coalesce(
         1
     ).write.mode("overwrite").parquet(
         f"{graph_path}_applied/batch={batch_id}"
@@ -856,7 +857,7 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     window the rule exists to absorb (ADVICE r11)."""
     dirs = _live_sketch_dirs(spark, sketch_dir)
     if not dirs:
-        return spark.createDataFrame([], _CMS_SCHEMA)
+        return local_df(spark, [], _CMS_SCHEMA)
     return _cms_fold(spark.read.schema(_CMS_SCHEMA).parquet(*dirs))
 
 
@@ -951,7 +952,7 @@ def read_bloom(
     ``n_shards``."""
     dirs = _live_sketch_dirs(spark, bloom_dir)
     if not dirs:
-        return spark.createDataFrame([], _bloom_delta_schema(sharded))
+        return local_df(spark, [], _bloom_delta_schema(sharded))
     return _bloom_fold(
         spark.read.schema(_bloom_delta_schema(sharded)).parquet(*dirs),
         sharded,
@@ -1036,9 +1037,7 @@ def read_kmv(spark: SparkSession, kmv_dir: str) -> DataFrame:
 
     dirs = _live_sketch_dirs(spark, kmv_dir)
     if not dirs:
-        return spark.createDataFrame(
-            [], "source string, h string, rn int"
-        )
+        return local_df(spark, [], "source string, h string, rn int")
     win = Window.partitionBy("source").orderBy("h")
     return (
         spark.read.schema("source string, h string")
@@ -1199,7 +1198,7 @@ def read_plan_cms(spark: SparkSession, sketch_dir: str) -> DataFrame:
     `native_minhash_candidates_cms_planned` accepts as ``sketch``."""
     dirs = _live_sketch_dirs(spark, sketch_dir)
     if not dirs:
-        return spark.createDataFrame([], _PLAN_CMS_SCHEMA)
+        return local_df(spark, [], _PLAN_CMS_SCHEMA)
     return _plan_cms_fold(
         spark.read.schema(_PLAN_CMS_SCHEMA).parquet(*dirs)
     )
