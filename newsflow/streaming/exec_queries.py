@@ -281,7 +281,9 @@ def replay_events_watermarked(
     complete-mode variants carry does not apply here.
     """
     events = load_table(spark, sf_dir, "events")
-    tmin, tmax = events.agg(F.min("ts"), F.max("ts")).first()
+    tmin, tmax, n_events = events.agg(
+        F.min("ts"), F.max("ts"), F.count(F.lit(1))
+    ).first()
     tmid = tmin + (tmax - tmin) / 2
     sent_ts = tmax + timedelta(hours=2)
 
@@ -323,14 +325,39 @@ def replay_events_watermarked(
         )
         agg = build_agg(stream.withWatermark("ts", delay))
         sink = f"wm_replay_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        # State-partition sizing (guide §2.2, the streaming corollary of
+        # the foreachBatch override in streaming/ingest.py): a stateful
+        # aggregation fixes its state-store partition count at query
+        # START from spark.sql.shuffle.partitions, and every micro-batch
+        # then commits state per partition — at core-count partitioning a
+        # 4-batch replay of ~100k rows pays 4 x cores state commits for
+        # kilobytes of state. Size it to the REPLAY VOLUME (same
+        # rows-per-task rule as the micro-batch override), clamped to the
+        # session value so a genuinely large replay keeps its
+        # parallelism; restored right after the drain. Results are
+        # partitioning-independent; only commit/task overhead changes.
+        from newsflow.streaming.ingest import (
+            MICRO_BATCH_ROWS_PER_TASK,
+            _SHUFFLE_KEY,
         )
-        q.awaitTermination()
+
+        session_n = int(spark.conf.get(_SHUFFLE_KEY))
+        target = max(
+            1,
+            min(session_n, -(-int(n_events) // MICRO_BATCH_ROWS_PER_TASK)),
+        )
+        spark.conf.set(_SHUFFLE_KEY, str(target))
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(_SHUFFLE_KEY, str(session_n))
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink), q
