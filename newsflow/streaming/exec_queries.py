@@ -331,23 +331,14 @@ def replay_events_watermarked(
         # START from spark.sql.shuffle.partitions, and every micro-batch
         # then commits state per partition — at core-count partitioning a
         # 4-batch replay of ~100k rows pays 4 x cores state commits for
-        # kilobytes of state. Size it to the REPLAY VOLUME (same
-        # rows-per-task rule as the micro-batch override), clamped to the
-        # session value so a genuinely large replay keeps its
-        # parallelism; restored right after the drain. Results are
-        # partitioning-independent; only commit/task overhead changes.
-        from newsflow.streaming.ingest import (
-            MICRO_BATCH_ROWS_PER_TASK,
-            _SHUFFLE_KEY,
-        )
+        # kilobytes of state. Size it to the REPLAY VOLUME via the
+        # shared `sized_shuffle` rule (clamped to the session value so a
+        # genuinely large replay keeps its parallelism; restored after
+        # the drain). Results are partitioning-independent; only
+        # commit/task overhead changes.
+        from newsflow.streaming.ingest import sized_shuffle
 
-        session_n = int(spark.conf.get(_SHUFFLE_KEY))
-        target = max(
-            1,
-            min(session_n, -(-int(n_events) // MICRO_BATCH_ROWS_PER_TASK)),
-        )
-        spark.conf.set(_SHUFFLE_KEY, str(target))
-        try:
+        with sized_shuffle(spark, int(n_events)):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(sink)
@@ -356,8 +347,6 @@ def replay_events_watermarked(
                 .start()
             )
             q.awaitTermination()
-        finally:
-            spark.conf.set(_SHUFFLE_KEY, str(session_n))
     finally:
         shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink), q

@@ -58,29 +58,43 @@ MICRO_BATCH_ROWS_PER_TASK = 65536
 _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def sized_shuffle(spark, n_rows: int, rows_per_task: int | None = None):
+    """Scoped volume-aware shuffle partitioning: ceil(n_rows /
+    rows_per_task) partitions, floor 1, ceiling the session setting
+    (restored on exit). The single shared implementation of the sizing
+    rule — the foreachBatch wrapper below and the watermarked-replay
+    drain (streaming/exec_queries.py) both use it, so the batch and
+    stream-start paths cannot drift."""
+    per_task = rows_per_task or MICRO_BATCH_ROWS_PER_TASK
+    try:
+        session_n = int(spark.conf.get(_SHUFFLE_KEY))
+    except (TypeError, ValueError):
+        session_n = 200
+    target = max(1, min(session_n, -(-int(n_rows) // per_task)))
+    spark.conf.set(_SHUFFLE_KEY, str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set(_SHUFFLE_KEY, str(session_n))
+
+
 def _adaptive_micro_batch(spark, apply_fn, rows_per_task=None):
     """Wrap a foreachBatch body so its jobs run with batch-volume-aware
-    shuffle partitioning: ceil(rows / rows_per_task) partitions, floor 1,
-    ceiling the session setting (restored after the batch).
+    shuffle partitioning (`sized_shuffle` over the observed batch row
+    count).
 
     ``rows_per_task`` defaults to MICRO_BATCH_ROWS_PER_TASK; pass a
     smaller value for bodies whose per-row work fans out (the NSW insert
     expands each vector into ~ef*M candidate rows per hop, so its call
     site sizes by post-expansion volume)."""
-    per_task = rows_per_task or MICRO_BATCH_ROWS_PER_TASK
 
     def wrapped(batch, batch_id):
-        try:
-            session_n = int(spark.conf.get(_SHUFFLE_KEY))
-        except (TypeError, ValueError):
-            session_n = 200
-        n_rows = batch.count()
-        target = max(1, min(session_n, -(-n_rows // per_task)))
-        spark.conf.set(_SHUFFLE_KEY, str(target))
-        try:
+        with sized_shuffle(spark, batch.count(), rows_per_task):
             apply_fn(batch, batch_id)
-        finally:
-            spark.conf.set(_SHUFFLE_KEY, str(session_n))
 
     return wrapped
 

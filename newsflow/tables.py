@@ -90,12 +90,22 @@ def _apply_runtime_confs_once(spark: SparkSession) -> None:
     """`apply_runtime_confs`, skipped when this exact session object has
     already been configured (9 py4j conf round-trips per call otherwise,
     once per load_table). Keyed on the AQE knob so an env flip between
-    calls still re-applies."""
+    calls still re-applies, and guarded by a one-call CANARY read of the
+    session time zone — the conf the events-ts normalization's
+    exactness depends on (tables docstring) and the one an externally
+    mutated session (the defensive-apply contract in session.py) would
+    silently break results with. A drifted canary re-applies the full
+    set; AQE/pushdown drift cannot change results (the determinism
+    audit asserts that) so one canary covers the semantic surface."""
     import os as _os
 
     key = _os.environ.get("NEWSFLOW_AQE", "")
     if getattr(spark, "_newsflow_confs_applied", None) == key:
-        return
+        try:
+            if spark.conf.get("spark.sql.session.timeZone") == "UTC":
+                return
+        except Exception:
+            pass
     apply_runtime_confs(spark)
     spark._newsflow_confs_applied = key
 
@@ -120,24 +130,32 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     target = min_parts or sc.defaultParallelism
     hint = getattr(df, "_newsflow_scan_bytes", None)
     if hint is not None:
-        # Estimate the scan's split count the way Spark's file source
-        # does (size / maxPartitionBytes, floor 1) — one stat call by
-        # load_table instead of `.rdd`, which physically plans the whole
-        # query just to read its partition count (measured ~140 ms per
-        # fresh frame; guide §1.2 per-task work, here per-QUERY work).
-        # The estimate only picks between "already parallel enough" and
-        # "repartition"; both branches are correct, so a split-count
-        # misestimate costs at most one redundant (or missed) tiny
-        # exchange on a small input.
+        # Estimate the scan's split count with Spark's own file-source
+        # formula — maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, bytes / defaultParallelism)) — from one
+        # stat call by load_table, instead of `.rdd`, which physically
+        # plans the whole query just to read its partition count
+        # (measured ~140 ms per fresh frame; guide §1.2 per-task work,
+        # here per-QUERY work). Replicating the full formula (not just
+        # size/maxPartitionBytes) keeps the passthrough decision aligned
+        # with what Spark actually plans for mid-size files, so the
+        # hinted branch agrees with the old exact check across the size
+        # range. Both branches stay correct either way; only the tiny
+        # round-robin exchange is at stake.
+        conf = None
         try:
-            max_bytes = int(
-                df.sparkSession._jsparkSession.sessionState()
-                .conf()
-                .filesMaxPartitionBytes()
-            )
+            conf = df.sparkSession._jsparkSession.sessionState().conf()
+            max_bytes = int(conf.filesMaxPartitionBytes())
         except Exception:
             max_bytes = 128 * 1024 * 1024
-        est_parts = max(1, int(hint) // max_bytes)
+        try:
+            open_cost = int(conf.filesOpenCostInBytes())
+        except Exception:
+            open_cost = 4 * 1024 * 1024
+        split = min(
+            max_bytes, max(open_cost, int(hint) // max(1, target))
+        )
+        est_parts = max(1, -(-int(hint) // max(1, split)))
         if est_parts < target:
             return df.repartition(target)
         return df
