@@ -150,6 +150,55 @@ def fs_list_data_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
+def fs_list_partition_data_files(
+    spark: SparkSession, path: str, prefix: str
+) -> dict[str, list[str]] | None:
+    """Immediate data files of EVERY ``<prefix>*`` partition dir under
+    ``path``, in a constant number of py4j round trips.
+
+    The per-dir loop (`fs_list_data_files` per partition) costs an
+    ``exists`` + ``listStatus`` + ~3·files JVM round trips PER
+    PARTITION — measured ~5-9 ms per dir, ~0.3-0.5 s of driver time
+    for a 32-bucket graph on every validate-on-read and manifest
+    refresh (guide §1.2: per-query driver work). This batches the
+    whole tree into TWO ``globStatus`` calls (dirs, then files) and
+    iterates the returned statuses — ~3 round trips per entry, no
+    per-dir exists/listStatus.
+
+    Returns ``{partition_dir_name: [data file names]}`` — dirs with no
+    data files map to ``[]`` — or ``None`` when the batched form is
+    unavailable (no glob support on the store), in which case callers
+    MUST fall back to the exact per-dir listing."""
+    try:
+        fs, jroot = _fs_and_path(spark, path)
+        if not fs.exists(jroot):
+            return {}
+        jvm = spark._jvm
+
+        def glob(pattern: str):
+            st = fs.globStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/{pattern}")
+            )
+            return [] if st is None else st
+
+        result: dict[str, list[str]] = {}
+        for st in glob(f"{prefix}*"):
+            if st.isDirectory():
+                result[str(st.getPath().getName())] = []
+        for st in glob(f"{prefix}*/*"):
+            p = str(st.getPath())
+            parts = p.rstrip("/").rsplit("/", 2)
+            if len(parts) < 3 or st.isDirectory():
+                continue
+            d, name = parts[1], parts[2]
+            if name.startswith(("_", ".")) or d not in result:
+                continue
+            result[d].append(name)
+        return result
+    except Exception:
+        return None
+
+
 def fs_list_subdirs(spark: SparkSession, path: str, prefix: str = "") -> list[str]:
     """Names of the immediate child DIRECTORIES of ``path`` starting
     with ``prefix`` (e.g. hive partition dirs ``batch=``/``bucket=``);

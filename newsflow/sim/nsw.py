@@ -133,6 +133,8 @@ def nsw_search_df(
     hops: int = GRAPH_HOPS,
     n_entries: int | str = GRAPH_N_ENTRIES,
     entry_ids: DataFrame | None = None,
+    hop_edges=None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Beam search: (query_id, node, sim, rank) — the final beam per
     query, rank 1 = best. ``queries`` is a (query_id, u) frame (small,
@@ -168,7 +170,36 @@ def nsw_search_df(
     ``n_entries="auto"`` applies the sizing rule WITHOUT the caller
     knowing the component count: `estimate_graph_components` (bounded
     min-label propagation — an upper bound, the safe side) with a 2×
-    margin, floored at {GRAPH_N_ENTRIES}."""
+    margin, floored at {GRAPH_N_ENTRIES}.
+
+    BEAM STATE AS A LOCAL RELATION: each hop's materialization barrier
+    is a driver collect of the beam (≤ |queries| × ef rows —
+    query-batch-bounded by contract, the same driver budget as the
+    codebook collects) re-embedded as a JVM ``LocalRelation``, instead
+    of an eager localCheckpoint. Same job count per hop (the collect IS
+    the barrier), but the next hop's plan starts from in-plan literals:
+    no checkpoint-RDD scan stage and no broadcast-build job per
+    consumer. Measured on `streaming_ann_index_ingest`: 19.8 → 16.8 s
+    fresh-JVM min (the ~25 sequential per-hop actions each shed their
+    scheduling overhead). Values round-trip exactly (int64/float64
+    through Arrow).
+
+    BUCKET-PRUNED HOPS: pass ``hop_edges`` (a callable
+    ``bucket_ids -> DataFrame`` returning the SAME logical edge relation
+    restricted to those storage buckets) plus ``n_buckets`` and a hop
+    whose frontier hashes into at most half the buckets reads only
+    those buckets (``bucket = pmod(xxhash64(src), B)`` — every frontier
+    node's edge rows live in its own bucket, so the restriction is
+    lossless and the results bitwise identical). Without it every hop
+    re-scans the FULL stored graph — index-proportional I/O per hop at
+    100 TB; with it hop I/O is frontier-proportional. The collected
+    state hands the driver the frontier's bucket set for free. The
+    half-the-buckets gate is scale-adaptive, not a local constant: at
+    the check layout (B=32, frontier ≈ B) most hops read everything
+    and skip the filtered-relation planning overhead (measured
+    +0.5-1.3 s/query when forced on); at production bucket counts
+    (B in the thousands, frontier = batch-bounded hundreds) every hop
+    prunes."""
     q = F.broadcast(
         queries.select(F.col("query_id"), F.col("u").alias("qu"))
     )
@@ -192,21 +223,58 @@ def nsw_search_df(
             .drop("t")
         )
     entry_nodes = F.broadcast(nodes.join(tiles, "node", "left_semi"))
-    state = (
-        q.crossJoin(entry_nodes)
-        .select(
+    state = q.crossJoin(entry_nodes).select(
+        "query_id",
+        "node",
+        dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
+    )
+    pruned = hop_edges is not None and n_buckets is not None
+    spark = units.sparkSession
+
+    def _materialize(frame: DataFrame):
+        """Per-hop barrier: (state, frontier buckets).
+
+        PRUNED path (persisted bucketed graph): driver collect +
+        LocalRelation — measured 19.8 → 16.8 s on the ingest query's
+        ~25 sequential per-hop actions, and the collect is what hands
+        the driver the frontier's bucket set without an extra job.
+        UNPRUNED path (in-session graphs — the batch search/eval
+        queries): eager localCheckpoint — the collect+rebuild was
+        measured same-JVM ~0.4-0.5 s SLOWER there (9 pandas/Arrow
+        conversions buy nothing when there is no per-hop store read to
+        prune and the session's full shuffle width amortizes the
+        barrier job anyway)."""
+        if not pruned:
+            return frame.localCheckpoint(eager=True), None
+        rows = frame.select(
             "query_id",
             "node",
-            dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
+            "sim",
+            graph_bucket_expr("node", n_buckets).alias("b"),
+        ).collect()
+        return (
+            local_df(
+                spark,
+                [(r["query_id"], r["node"], r["sim"]) for r in rows],
+                "query_id long, node long, sim double",
+            ),
+            sorted({r["b"] for r in rows}),
         )
-        .localCheckpoint(eager=True)
-    )
+
+    state, frontier = _materialize(state)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("node")
     )
     for _ in range(hops):
+        # Per-hop gate: prune only when the frontier's bucket set is
+        # selective (≤ half the layout) — otherwise the filtered
+        # relation's planning overhead buys nothing.
+        if pruned and len(frontier) * 2 <= n_buckets:
+            hop_rel = hop_edges(frontier)
+        else:
+            hop_rel = edges
         nbrs = (
-            state.join(edges, state["node"] == edges["src"])
+            state.join(hop_rel, state["node"] == hop_rel["src"])
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
             .join(state.select("query_id", "node"), ["query_id", "node"],
@@ -221,12 +289,11 @@ def nsw_search_df(
                 dround(dot_expr(F.col("qu"), F.col("u")), 6).alias("sim"),
             )
         )
-        state = (
+        state, frontier = _materialize(
             state.unionByName(scored)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= ef)
             .drop("rn")
-            .localCheckpoint(eager=True)
         )
     return state.withColumn("rank", F.row_number().over(w))
 
@@ -272,6 +339,8 @@ def nsw_insert_delta(
     m: int = GRAPH_M,
     ef: int = GRAPH_EF,
     hops: int = GRAPH_HOPS,
+    hop_edges=None,
+    n_buckets: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The insert's CHANGE SET, separated from the full-table union so
     persisted deployments can rewrite only the touched buckets
@@ -279,13 +348,18 @@ def nsw_insert_delta(
     where ``added`` is the candidate edge rows (forward beam-M-NN +
     intra-batch pairs + reverse donations, pre-prune) and ``affected``
     the distinct srcs whose neighbor lists must re-rank. `nsw_insert_batch`
-    composes this with `_reprune_affected` over the full edge table."""
+    composes this with `_reprune_affected` over the full edge table.
+
+    ``hop_edges``/``n_buckets`` forward to `nsw_search_df`'s
+    bucket-pruned hop reads (callers with a bucketed stored graph)."""
     beam = nsw_search_df(
         units,
         edges,
         new_units.select(F.col("vec_id").alias("query_id"), "u"),
         ef=ef,
         hops=hops,
+        hop_edges=hop_edges,
+        n_buckets=n_buckets,
     )
     fwd = beam.filter(F.col("rank") <= m).select(
         F.col("query_id").alias("src"),
@@ -640,9 +714,21 @@ def _list_bucket_files(
     spark: SparkSession, graph_path: str
 ) -> dict[int, int]:
     """(bucket -> data-file count) by listing the live partition dirs —
-    metadata-only, bounded by the bucket count."""
-    from newsflow.fs import fs_list_data_files, fs_list_subdirs
+    metadata-only, bounded by the bucket count. Batched into a constant
+    number of JVM calls (`fs_list_partition_data_files`); the exact
+    per-dir loop remains as the fallback."""
+    from newsflow.fs import (
+        fs_list_data_files,
+        fs_list_partition_data_files,
+        fs_list_subdirs,
+    )
 
+    batched = fs_list_partition_data_files(spark, graph_path, "bucket=")
+    if batched is not None:
+        return {
+            int(name.split("=", 1)[1]): len(files)
+            for name, files in batched.items()
+        }
     return {
         int(name.split("=", 1)[1]): len(
             fs_list_data_files(spark, f"{graph_path}/{name}")
@@ -660,12 +746,21 @@ def validate_graph_buckets(
     Returns the torn bucket ids ([] = healthy); None = no valid
     manifest to check against (legacy layout, pre-manifest graph, or a
     manifest write that itself crashed — the fail-safe direction).
-    Metadata-only: one listing per manifest bucket, no data read."""
-    from newsflow.fs import fs_list_data_files
+    Metadata-only: one batched listing of all bucket dirs (constant JVM
+    round trips via `fs_list_partition_data_files`; per-dir fallback),
+    no data read."""
+    from newsflow.fs import fs_list_data_files, fs_list_partition_data_files
 
     manifest = _read_graph_manifest(spark, graph_path)
     if manifest is None:
         return None
+    live = fs_list_partition_data_files(spark, graph_path, "bucket=")
+    if live is not None:
+        return [
+            b
+            for b, n_files in manifest.items()
+            if n_files > 0 and not live.get(f"bucket={b}")
+        ]
     return [
         b
         for b, n_files in manifest.items()
@@ -748,18 +843,26 @@ def overwrite_touched_graph_buckets(
     # Post-commit manifest refresh, touched buckets only (untouched
     # entries carry over): the validate-on-read tear detector's ground
     # truth. A missing/invalid prior manifest falls back to a full
-    # relist — still metadata-only, bounded by the bucket count.
-    from newsflow.fs import fs_list_data_files
+    # relist — still metadata-only, bounded by the bucket count. The
+    # relist batches into constant JVM round trips
+    # (`fs_list_partition_data_files`), per-dir loop as fallback.
+    from newsflow.fs import fs_list_data_files, fs_list_partition_data_files
 
     prior = _read_graph_manifest(spark, graph_path)
     if prior is None:
         entries = _list_bucket_files(spark, graph_path)
     else:
         entries = dict(prior)
-        for b in set(touched_buckets) | written:
-            entries[b] = len(
-                fs_list_data_files(spark, f"{graph_path}/bucket={b}")
-            )
+        refresh = set(touched_buckets) | written
+        live = fs_list_partition_data_files(spark, graph_path, "bucket=")
+        if live is not None:
+            for b in refresh:
+                entries[b] = len(live.get(f"bucket={b}", []))
+        else:
+            for b in refresh:
+                entries[b] = len(
+                    fs_list_data_files(spark, f"{graph_path}/bucket={b}")
+                )
     _write_graph_manifest(spark, graph_path, entries)
     spark.catalog.refreshByPath(graph_path)
     return {"buckets_rewritten": len(set(touched_buckets))}

@@ -1,11 +1,12 @@
-"""Capture `.explain("formatted")` for headline queries into plans/r14/.
+"""Capture `.explain("formatted")` for headline queries into plans/rNN/.
 
-Usage: python scripts/capture_plans.py before|after [name ...]
+Usage: [PLANS_ROUND=r15] python scripts/capture_plans.py before|after [name ...]
 
 With no names, captures every bench.py HEADLINE query. Writes
-plans/r14/<query>_<tag>.txt — the optimization-round evidence files the
-judge checks plan claims against (guide §1: capture the plan shape for
-every declared query before and after).
+plans/$PLANS_ROUND/<query>_<tag>.txt (default r15) — the
+optimization-round evidence files the judge checks plan claims against
+(guide §1: capture the plan shape for every declared query before and
+after).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from newsflow.session import get_spark  # noqa: E402
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r14",
+    os.environ.get("PLANS_ROUND", "r15"),
 )
 
 

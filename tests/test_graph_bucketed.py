@@ -382,3 +382,81 @@ def test_rebuild_from_vector_store(spark, tmp_path):
     assert out["nodes"] == 40 and out["edges"] == len(expected)
     assert graph_layout_buckets(spark, graph) == GRAPH_BUCKETS
     assert _edge_set(read_graph_edges(spark, graph)) == expected
+
+
+def test_hop_pruned_search_matches_full_reads(spark, tmp_path):
+    """r15 hop pruning: `nsw_search_df` with a bucket-pruned hop reader
+    must return exactly the rows of the full-read form, the per-hop
+    gate must engage when the frontier is selective, and the pruned
+    relation's scan must carry the bucket partition filter (the 100 TB
+    frontier-proportional-I/O evidence)."""
+    from newsflow.sim.nsw import nsw_search_df
+
+    emb = _emb(spark, n=80)
+    units = _unit(emb, "vec_id")
+    graph_path = str(tmp_path / "g")
+    # High bucket count relative to the frontier so the gate engages.
+    n_buckets = 512
+    write_graph_bucketed(
+        spark, graph_path, nsw_graph_edges_df(units, m=4),
+        n_buckets=n_buckets,
+    )
+    bucketed = spark.read.parquet(graph_path)
+    calls: list[list[int]] = []
+
+    def hop_edges(bucket_ids):
+        calls.append(list(bucket_ids))
+        return bucketed.filter(
+            F.col("bucket").isin([int(b) for b in bucket_ids])
+        ).select("src", "dst", "cosine_sim")
+
+    queries = _emb(spark, n=90).filter(F.col("vec_id") >= 80)
+    qs = _unit(queries, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "u"
+    )
+    edges = read_graph_edges(spark, graph_path)
+    full = nsw_search_df(units, edges, qs, ef=8, hops=3, n_entries=4)
+    pruned = nsw_search_df(
+        units, edges, qs, ef=8, hops=3, n_entries=4,
+        hop_edges=hop_edges, n_buckets=n_buckets,
+    )
+    rows_full = {tuple(r) for r in full.collect()}
+    rows_pruned = {tuple(r) for r in pruned.collect()}
+    assert rows_pruned == rows_full
+    # the gate engaged (frontier << 512 buckets) on every hop
+    assert len(calls) == 3
+    assert all(0 < len(c) * 2 <= n_buckets for c in calls)
+    # plan evidence: the pruned hop relation is partition-filtered
+    plan = hop_edges(calls[0])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan, plan
+
+
+def test_apply_batch_prunes_hop_reads_on_wide_layouts(spark, tmp_path):
+    """End-to-end: `ann_index_apply_batch` on a wide bucketed layout
+    produces the same stored graph whether or not its hop reads prune
+    (parity vs the batch-mode `nsw_insert_batch` ground truth)."""
+    emb = _emb(spark, n=70)
+    base, wave = emb.filter("vec_id < 60"), emb.filter("vec_id >= 60")
+    vectors, graph = str(tmp_path / "v"), str(tmp_path / "g")
+    ann_index_init(
+        spark, base, vectors_path=vectors, graph_path=graph,
+        n_buckets=256,
+    )
+    from newsflow.sim.nsw import (
+        NSW_EF_CONSTRUCTION,
+        NSW_HOPS_CONSTRUCTION,
+    )
+
+    stored0 = read_graph_edges(spark, graph)
+    expected = nsw_insert_batch(
+        _unit(base, "vec_id"),
+        stored0,
+        _unit(wave, "vec_id"),
+        ef=NSW_EF_CONSTRUCTION,
+        hops=NSW_HOPS_CONSTRUCTION,
+    )
+    expected_rows = _edge_set(expected)
+    ann_index_apply_batch(
+        spark, wave, 0, vectors_path=vectors, graph_path=graph
+    )
+    assert _edge_set(read_graph_edges(spark, graph)) == expected_rows
