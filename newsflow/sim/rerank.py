@@ -116,8 +116,19 @@ def maxsim_rerank(
     |pool| · qtok_cap · dtok_cap scored pairs, corpus-independent —
     the cross-encoder economics. The token frames are semi-joined down
     to the ids the pool actually references before the cross scoring,
-    so the corpus-wide tokenization prunes to the pool too."""
-    pool = pool.select("query_id", "neighbor_id")
+    so the corpus-wide tokenization prunes to the pool too.
+
+    The pool is consumed THREE times (two semi-join prunes + the
+    scoring join); a LAZY localCheckpoint makes the retrieval plan
+    execute once inside the action instead of three times — at 100 TB
+    the pool source is a full index ladder, so re-execution is
+    re-scanning the corpus. Lazy (not eager) on purpose: the r14 eager
+    attempt serialized the driver on the ladder BEFORE the timed action
+    and measured slower; lazy defers materialization to the first
+    consumer and the persisted partitions serve the other two."""
+    pool = pool.select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
     capped = _capped_tokens(documents, max(qtok_cap, dtok_cap))
     qtoks = (
         capped.filter(F.col("rn") <= qtok_cap)
