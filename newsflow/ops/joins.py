@@ -275,7 +275,8 @@ def events_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from newsflow.ops.rangejoin import range_join_binned
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    tiers = local_df(spark, 
+    tiers = local_df(
+        spark,
         [
             ("bronze", 0.0, 50.0),
             ("silver", 50.0, 120.0),

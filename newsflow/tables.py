@@ -68,20 +68,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# Parquet SCHEMA cache, keyed by file path: the testdata is immutable
-# within a process, and `spark.read.parquet` re-reads the footer to
-# resolve the schema on every call — ~100 ms of driver time per benched
-# query build (guide §1.2: per-query driver work). Schemas are metadata,
-# not results: a fresh process re-reads them once, so nothing is
-# precomputed across bench runs. Session-independent (file metadata).
-_PARQUET_SCHEMA_CACHE: dict[str, object] = {}
+# Parquet SCHEMA cache, keyed by (path, size, mtime): the testdata is
+# immutable within a process, and `spark.read.parquet` re-reads the
+# footer to resolve the schema on every call — ~100 ms of driver time
+# per benched query build (guide §1.2: per-query driver work). Schemas
+# are metadata, not results: a fresh process re-reads them once, so
+# nothing is precomputed across bench runs. Session-independent (file
+# metadata). The size/mtime key (ADVICE r14) invalidates the entry if
+# a file at the same path is rewritten in-process with a different
+# schema (test fixtures); directories fall back to (path,) — their
+# per-file stats aren't worth a listing here.
+_PARQUET_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _schema_cache_key(path: str) -> tuple:
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (path,)
 
 
 def _read_with_cached_schema(spark: SparkSession, path: str) -> DataFrame:
-    schema = _PARQUET_SCHEMA_CACHE.get(path)
+    key = _schema_cache_key(path)
+    schema = _PARQUET_SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
-        _PARQUET_SCHEMA_CACHE[path] = df.schema
+        _PARQUET_SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -90,19 +105,26 @@ def _apply_runtime_confs_once(spark: SparkSession) -> None:
     """`apply_runtime_confs`, skipped when this exact session object has
     already been configured (9 py4j conf round-trips per call otherwise,
     once per load_table). Keyed on the AQE knob so an env flip between
-    calls still re-applies, and guarded by a one-call CANARY read of the
-    session time zone — the conf the events-ts normalization's
-    exactness depends on (tables docstring) and the one an externally
-    mutated session (the defensive-apply contract in session.py) would
-    silently break results with. A drifted canary re-applies the full
-    set; AQE/pushdown drift cannot change results (the determinism
-    audit asserts that) so one canary covers the semantic surface."""
+    calls still re-applies, and guarded by a two-conf CANARY read —
+    the session time zone (the conf the events-ts normalization's
+    exactness depends on, see tables docstring) and parquet
+    ``nanosAsLong`` (the conf the events READ depends on; ADVICE r14:
+    its external drift previously failed fast only by luck of the
+    error path). A drifted canary re-applies the full set; AQE/pushdown
+    drift cannot change results (the determinism audit asserts that)
+    so these two cover the semantic surface."""
     import os as _os
 
     key = _os.environ.get("NEWSFLOW_AQE", "")
     if getattr(spark, "_newsflow_confs_applied", None) == key:
         try:
-            if spark.conf.get("spark.sql.session.timeZone") == "UTC":
+            if (
+                spark.conf.get("spark.sql.session.timeZone") == "UTC"
+                and spark.conf.get(
+                    "spark.sql.legacy.parquet.nanosAsLong"
+                ).lower()
+                == "true"
+            ):
                 return
         except Exception:
             pass
@@ -152,8 +174,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             open_cost = int(conf.filesOpenCostInBytes())
         except Exception:
             open_cost = 4 * 1024 * 1024
+        # bytesPerCore includes the per-file open-cost addend, exactly
+        # as FilePartition computes it (ADVICE r14): one hinted file
+        # here, so (bytes + openCost) / parallelism.
         split = min(
-            max_bytes, max(open_cost, int(hint) // max(1, target))
+            max_bytes,
+            max(open_cost, (int(hint) + open_cost) // max(1, target)),
         )
         est_parts = max(1, -(-int(hint) // max(1, split)))
         if est_parts < target:
@@ -180,6 +206,12 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
 
     Falls back to the plain path if the Arrow conversion rejects the
     rows (exotic types) — correctness never depends on the fast path.
+    CONTRACT (ADVICE r14): rows must be plain non-None literals — pandas
+    silently coerces None to NaN in numeric columns, which would NOT
+    raise and could diverge from the list path's NULL. Enforced below:
+    any None (top-level value) routes to the plain path. Engine call
+    sites all pass clean literals; the check is a cheap guard over
+    small-by-contract frames.
     """
     try:
         import pandas as pd
@@ -187,6 +219,8 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
 
         fields = list(StructType.fromDDL(schema))
         rows = list(rows)
+        if any(v is None for row in rows for v in row):
+            return spark.createDataFrame(rows, schema)
         if not rows:
             # Zero-row frame straight off a JVM Range scan — the pandas
             # conversion rejects all-object empty columns.

