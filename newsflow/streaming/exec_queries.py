@@ -65,21 +65,30 @@ def tumbling_window_counts_stream(
     with an availableNow trigger into a memory sink. The final sink
     table equals the batch aggregate, so the batch oracle applies
     verbatim. Complete mode is safe here because the key space (hours ×
-    event types) is horizon-bounded, not row-bounded."""
-    schema = load_table(spark, sf_dir, "events").schema
+    event types) is horizon-bounded, not row-bounded.
+
+    The drain runs under the shared `sized_shuffle` rule (state
+    partitions sized to the replay volume, clamped to the session
+    value — guide §2.2, same as the watermarked replays; results are
+    partitioning-independent)."""
+    from newsflow.streaming.ingest import sized_shuffle
+
+    events = load_table(spark, sf_dir, "events")
     stream = W.read_events_stream(
-        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+        spark, sf_dir, schema=events.schema,
+        path_glob_filter="events.parquet",
     )
     sink = f"twc_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        W.tumbling_counts(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_shuffle(spark, events.count()):
+        q = (
+            W.tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -99,21 +108,27 @@ def session_window_stats_stream(
     equals the batch sessionization, so the gaps-and-islands oracle
     applies verbatim. Complete mode is the bounded-replay form; a
     production stream would run append mode with a watermark and let
-    closed sessions emit incrementally (state evicted at watermark)."""
-    schema = load_table(spark, sf_dir, "events").schema
+    closed sessions emit incrementally (state evicted at watermark).
+    Drained under the shared `sized_shuffle` rule (see the tumbling
+    variant)."""
+    from newsflow.streaming.ingest import sized_shuffle
+
+    events = load_table(spark, sf_dir, "events")
     stream = W.read_events_stream(
-        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+        spark, sf_dir, schema=events.schema,
+        path_glob_filter="events.parquet",
     )
     sink = f"sess_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        W.session_stats(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_shuffle(spark, events.count()):
+        q = (
+            W.session_stats(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -132,21 +147,27 @@ def sliding_window_counts_stream(
     drained table equals the batch twin so SLIDING_ORACLE applies
     verbatim. With tumbling + sliding + session + applyInPandasWithState
     + the stream-stream interval join, every Structured Streaming state
-    shape the engine ships is execution-verified, not just batch-twinned."""
-    schema = load_table(spark, sf_dir, "events").schema
+    shape the engine ships is execution-verified, not just batch-twinned.
+    Drained under the shared `sized_shuffle` rule (see the tumbling
+    variant)."""
+    from newsflow.streaming.ingest import sized_shuffle
+
+    events = load_table(spark, sf_dir, "events")
     stream = W.read_events_stream(
-        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+        spark, sf_dir, schema=events.schema,
+        path_glob_filter="events.parquet",
     )
     sink = f"swc_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        W.sliding_counts(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_shuffle(spark, events.count()):
+        q = (
+            W.sliding_counts(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -165,12 +186,15 @@ def exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument. Bounded replay keeps unlimited state safe here; the
     production form is ``withWatermark`` +
     ``dropDuplicatesWithinWatermark`` so keys age out (documented,
-    same operator surface)."""
+    same operator surface). Drained under the shared `sized_shuffle`
+    rule (state partitions sized to the replay volume)."""
     import pyspark.sql.functions as F
 
-    schema = load_table(spark, sf_dir, "documents").schema
+    from newsflow.streaming.ingest import sized_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
@@ -178,14 +202,15 @@ def exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["text_hash"]
     )
     sink = f"dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        hashes.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_shuffle(spark, docs.count()):
+        q = (
+            hashes.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -208,26 +233,31 @@ def user_event_keys_stream_watermarked(
     deterministic under bounded replay (which concrete first row wins is
     engine-internal, the surviving key set is not): the availableNow
     drain sees every event before the watermark advances past it, so the
-    sink equals the batch DISTINCT key set and the oracle is exact."""
+    sink equals the batch DISTINCT key set and the oracle is exact.
+    Drained under the shared `sized_shuffle` rule (state partitions
+    sized to the replay volume)."""
     from newsflow.streaming.dedup import dedup_events_within_watermark
+    from newsflow.streaming.ingest import sized_shuffle
     from newsflow.streaming.windows import read_events_stream
 
-    schema = load_table(spark, sf_dir, "events").schema
+    events = load_table(spark, sf_dir, "events")
     stream = read_events_stream(
-        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+        spark, sf_dir, schema=events.schema,
+        path_glob_filter="events.parquet",
     )
     keys = dedup_events_within_watermark(
         stream, ["user_id", "event_type"], watermark="2 hours"
     ).select("user_id", "event_type")
     sink = f"wmdedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        keys.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_shuffle(spark, events.count()):
+        q = (
+            keys.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 

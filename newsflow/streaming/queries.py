@@ -133,24 +133,30 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming surface (VERDICT r1 §7); multi-batch state carry-over is
     additionally covered in tests/test_streaming_stateful.py.
     """
+    from newsflow.streaming.ingest import sized_shuffle
     from newsflow.streaming.stateful import running_user_cents
 
-    schema = load_table(spark, sf_dir, "events").schema
+    events = load_table(spark, sf_dir, "events")
     stream = W.read_events_stream(
-        spark, sf_dir, schema=schema, path_glob_filter="events.parquet"
+        spark, sf_dir, schema=events.schema,
+        path_glob_filter="events.parquet",
     ).select(
         "user_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
     )
     sink = f"rut_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_user_cents(stream)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State partitions sized to the replay volume (shared `sized_shuffle`
+    # rule, clamped to the session value — guide §2.2); results are
+    # partitioning-independent.
+    with sized_shuffle(spark, events.count()):
+        q = (
+            running_user_cents(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # One emission per (user, micro-batch); the final state row is the
     # one with the largest n_events.
     return spark.table(sink).groupBy("user_id").agg(
