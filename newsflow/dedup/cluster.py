@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame,
+    max_iterations: int = 20,
+    jump_after: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, component) where
     component = min doc_id reachable. Deterministic.
@@ -34,6 +37,22 @@ def connected_components(
     (the failure mode that kills iterative DataFrame jobs at scale).
     On a cluster where executor loss matters, swap for reliable
     ``checkpoint()`` with a checkpoint dir — same call shape.
+
+    DOUBLING (pointer jumping, r15): from iteration ``jump_after``
+    onward each round also re-points every label at its label's own
+    label (``component ← label(component)`` — one extra label-table
+    self-join per round), so label information travels 2^k hops instead
+    of k and convergence is O(log diameter) instead of O(diameter) —
+    the difference between 20 and ~7 rounds on a 100-node chain, and
+    the reason ``max_iterations`` can no longer silently truncate a
+    high-diameter component. The fixpoint (min reachable id) is
+    schedule-independent, so the OUTPUT is identical; only the round
+    count changes. ``jump_after=2`` keeps the common near-dup shape
+    free: duplicate clusters are near-cliques that converge in ≤2
+    min-sweeps, so they break on the stall check before any jump join
+    is ever planned (bench-neutral at check scale, measured).
+
+    ``stats``: optional dict, filled with ``{"iterations": n}``.
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -66,7 +85,9 @@ def connected_components(
         ).first()[0]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_iterations):
+    iterations = 0
+    for it in range(max_iterations):
+        iterations = it + 1
         neighbor_min = (
             both.join(
                 labels.select(
@@ -78,22 +99,41 @@ def connected_components(
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("n_comp").alias("n_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                "component", F.coalesce("n_comp", "component")
+            ).alias("component"),
+        )
+        if it >= jump_after:
+            # Pointer jump: component ← label(component). Labels are
+            # always existing node ids (min over node-id labels), so
+            # the self-join hits a row for every live label; `least`
+            # is belt-and-braces monotonicity (j_comp ≤ component
+            # already, labels only ever decrease).
+            jump_map = propagated.select(
+                F.col("doc_id").alias("j_id"),
+                F.col("component").alias("j_comp"),
+            )
+            propagated = propagated.join(
+                jump_map,
+                propagated["component"] == jump_map["j_id"],
+                "left",
+            ).select(
                 "doc_id",
                 F.least(
-                    "component", F.coalesce("n_comp", "component")
+                    "component", F.coalesce("j_comp", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
-        )
+        new_labels = propagated.localCheckpoint()
         new_sum = _label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     both.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
     return labels
 
 

@@ -84,3 +84,59 @@ def test_lsh_fed_components_match_exact_fed(spark):
         for r in connected_components(lsh).collect()
     }
     assert comp_exact == comp_lsh
+
+
+def test_doubling_converges_in_log_rounds_on_a_chain(spark):
+    """r15 pointer jumping: a 64-node path needs ~63 plain min-sweeps
+    (more than the default max_iterations cap — a silent-truncation
+    hazard); with the jump engaged after round 2 it must converge to
+    the exact union-find labels in O(log n) rounds."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    out = {
+        (r.doc_id, r.component)
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    expected = {(i, 0) for i in range(n)}
+    assert out == expected
+    assert stats["iterations"] <= 12, stats
+
+    # plain propagation (jump disabled) must hit the cap unconverged on
+    # the same graph — the hazard the doubling removes
+    plain_stats: dict = {}
+    plain = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            edges, max_iterations=10, jump_after=10**9, stats=plain_stats
+        ).collect()
+    }
+    assert plain != expected
+    assert plain_stats["iterations"] == 10
+
+
+def test_doubling_output_identical_to_plain_on_cliquey_pairs(spark):
+    """Output identity on the real near-dup pair graph: doubling is a
+    schedule change, not a semantics change."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    arrays = core.doc_shingle_arrays(docs, 3)
+    pairs = minhash._verify_pairs(
+        arrays, minhash.native_minhash_candidates(arrays), threshold=0.8
+    )
+    with_jump: dict = {}
+    no_jump: dict = {}
+    a = {
+        tuple(r)
+        for r in connected_components(
+            pairs, jump_after=0, stats=with_jump
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in connected_components(
+            pairs, jump_after=10**9, stats=no_jump
+        ).collect()
+    }
+    assert a == b
