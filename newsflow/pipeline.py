@@ -155,7 +155,18 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash.native_minhash_candidates(arrays_kept),
         threshold=NEAR_DUP_JACCARD,
     )
-    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # pair-bounded drop list, LAZY-checkpointed (r15 stage profile):
+    # `final` is consumed both by `selected`'s barrier (build time) and
+    # by the stage-3 aggregate (action time), so without a barrier the
+    # whole minhash candidate+verify chain executes twice per query —
+    # at 100 TB that is a second full pass over the keeper corpus. Lazy
+    # (not eager) so the first consumer materializes it inside the
+    # timed action and the second reuses the persisted handful of ids.
+    dropped = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # pair-bounded -> broadcast anti join, no shuffle of the keepers
     final = kept.join(F.broadcast(dropped), "doc_id", "left_anti")
 
