@@ -169,6 +169,12 @@ def fs_list_partition_data_files(
     data files map to ``[]`` — or ``None`` when the batched form is
     unavailable (no glob support on the store), in which case callers
     MUST fall back to the exact per-dir listing."""
+    # A glob special character in the TABLE path would make globStatus
+    # silently mis-match (wrong listing, not an exception — the
+    # fallback would never trigger); route such paths to the exact
+    # per-dir loop instead.
+    if any(c in path for c in "*?[]{}\\"):
+        return None
     try:
         fs, jroot = _fs_and_path(spark, path)
         if not fs.exists(jroot):
